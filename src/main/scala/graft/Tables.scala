@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the synthetic star schema under
+  * /root/testdata (see TESTDATA.md). All queries take the sf dir as a
+  * parameter so the same code runs at any scale factor; at cluster scale the
+  * same call reads a partitioned directory tree instead of one file.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
+    // long when this legacy flag is on (set here so it holds under any
+    // caller-supplied session). Nanos arrive as LongType; use `eventTime`
+    // below when a real timestamp column is needed.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events.ts (nanos-since-epoch long) as a microsecond-precision
+    * timestamp — same truncation DuckDB applies when reading nanos.
+    */
+  def eventTime(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.floor(tsNanos / 1000L).cast("long"))
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** One registered query: a Spark implementation plus (when SQL-expressible)
+  * an equivalent DuckDB oracle over the same parquet tables.
+  *
+  * Determinism contract (SURVEY.md §7.3 hazards 2/6): every oracled query
+  * ends in a TOTAL order (unique tie-break key) replicated on both sides, and
+  * every floating aggregate is rounded at the decimal grain of its true value
+  * so the Spark and DuckDB doubles are bit-identical despite different
+  * summation order.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** The reference's relational operator inventory (SURVEY.md §2.2-2.7),
+  * re-expressed over the synthetic star schema so each operator is checkable
+  * against a DuckDB oracle. Each query cites the SURVEY §2 row it covers.
+  *
+  * Scale notes (100 TB thinking) are on each query; the common rules:
+  *  - dimension tables (nation, region, customer at small SF) are broadcast;
+  *  - aggregations are partial (map-side combine) by construction —
+  *    `groupBy.agg` of sum/count/min/max lowers to HashAggregate(partial) →
+  *    shuffle → HashAggregate(final);
+  *  - filters/projections sit directly on the parquet scan so Catalyst
+  *    pushes them down (verified via explain in BenchSpec).
+  */
+object RelationalQueries {
+  import Tables._
+
+  val all: Seq[Q] = Seq(
+    // ----- §2.2 projections / filters / scalar predicates ---------------
+    // P1: column projection + predicate; both reach the parquet scan
+    // (PushedFilters + pruned ReadSchema at any scale).
+    Q("p1_project_filter",
+      (s, d) => lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .filter(col("l_quantity") > 45)
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_quantity > 45
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P2: nested-field extraction out of array<struct> (the reference's
+    // `recommendations.track_idx`, param_train_1st.py:58). Built by
+    // collect_list(struct(..)) then GetArrayStructFields.
+    Q("p2_nested_field",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk")))).as("recs"))
+        .select(col("l_orderkey"), col("recs.pk").as("parts"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |  list(l_partkey ORDER BY l_linenumber, l_partkey) AS parts
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // P6: null normalize / replace (EDA cell 46: year 0 -> null).
+    Q("p6_null_normalize",
+      (s, d) => events(s, d)
+        .select(
+          col("event_id"),
+          when(col("value") < 1.0, lit(null)).otherwise(col("value")).as("value_n"),
+          coalesce(when(col("value") < 1.0, lit(null)).otherwise(col("value")), lit(0.0))
+            .as("value_filled"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CASE WHEN value < 1.0 THEN NULL ELSE value END AS value_n,
+             |  coalesce(CASE WHEN value < 1.0 THEN NULL ELSE value END, 0.0) AS value_filled
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // P7: integer arithmetic (EDA cell 34: 1-based -> 0-based ids).
+    Q("p7_int_arith",
+      (s, d) => events(s, d)
+        .select(col("event_id"), (col("user_id") - 1).as("user0"),
+          (col("event_id") % 7).as("bucket7"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id - 1 AS user0, event_id % 7 AS bucket7
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // P8: regex cleanup (EDA cell 99 clean_word: extract-or-'NA'), on the
+    // JSON-ish events.props string.
+    Q("p8_regex_clean",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          coalesce(nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit("")),
+            lit("NA")).as("kval"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  coalesce(nullif(regexp_extract(props, '"k": (\d+)', 1), ''), 'NA') AS kval
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ----- §2.3 joins ----------------------------------------------------
+    // J1: broadcast inner equi-join (param_train_1st.py:60). customer is the
+    // dimension side — at 100 TB fact scale the dim still fits an executor,
+    // so the explicit broadcast() hint keeps this a BroadcastHashJoin with
+    // no shuffle of the fact table.
+    Q("j1_broadcast_agg",
+      (s, d) => orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // J2: full-outer equi-join (EDA cell 35 tag assembly). Aggregate the
+    // fact side first (partial agg shrinks the shuffle), then outer-join the
+    // dimension.
+    Q("j2_outer_join",
+      (s, d) => {
+        val liAgg = lineitem(s, d).groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_li"))
+        part(s, d).join(liAgg, col("p_partkey") === col("l_partkey"), "full_outer")
+          .select(coalesce(col("p_partkey"), col("l_partkey")).as("partkey"),
+            col("p_name"), col("n_li"))
+          .orderBy("partkey")
+      },
+      Some("""SELECT coalesce(p_partkey, l_partkey) AS partkey, p_name, n_li
+             |FROM part FULL OUTER JOIN
+             |  (SELECT l_partkey, count(*) AS n_li FROM lineitem GROUP BY l_partkey) li
+             |  ON p_partkey = l_partkey
+             |ORDER BY partkey""".stripMargin)),
+
+    // J3: inner equi-join chain (EDA cells 45-52), TPC-H Q5 shaped.
+    // lineitem⨝orders shuffles on orderkey; customer and nation broadcast.
+    Q("j3_join_chain",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d).filter(year(col("o_orderdate")) === 1996),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE year(o_orderdate) = 1996
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // J4: anti-join (sample_indexer.py:32-33 driver set-difference,
+    // rebuilt distributed — SURVEY §7.3 hazard 1).
+    Q("j4_anti_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J4b/P4: left-semi join — the scalable rewrite of the reference's
+    // driver-built `isin` membership filter (sample_indexer.py:39).
+    Q("j5_semi_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE c_custkey IN
+             |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J5/J7: union + distinct of key sets (sample_indexer.py:32).
+    Q("set_union_distinct",
+      (s, d) => customer(s, d).select(col("c_nationkey").as("nk"))
+        .union(supplier(s, d).select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin)),
+
+    // §2.7: except ≈ the driver set-difference, distributed.
+    Q("set_except",
+      (s, d) => orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("ck"))
+        .except(orders(s, d).filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey").as("ck")))
+        .orderBy("ck"),
+      Some("""SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT'
+             |EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+             |ORDER BY ck""".stripMargin)),
+
+    Q("set_intersect",
+      (s, d) => customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin)),
+
+    // ----- §2.4 aggregations --------------------------------------------
+    // A1: the ground-truth list build (param_train_1st.py:39-41), with the
+    // reference's sort-before-groupBy hazard fixed by sort_array inside the
+    // agg (SURVEY §7.3 hazard 2).
+    Q("a1_collect_list",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // A2: distinct (sample_indexer.py:28-30).
+    Q("a2_distinct",
+      (s, d) => orders(s, d).select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // A3: group-by sum (EDA cell 73: play count per track).
+    Q("a3_group_sum",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)),
+
+    // A4: count-by-group (EDA cell 72 value_counts).
+    Q("a4_count_by_group",
+      (s, d) => events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // A5: map-of-pairs per group (EDA cells 36-37 {tag→val} dicts), emitted
+    // as parallel sorted arrays so the oracle hash is well-defined (map
+    // iteration order is not). The true MapType variant is a5_map below.
+    Q("a5_group_entries",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("e"))
+        .select(col("l_orderkey"), col("e.ln").as("lns"), col("e.qty").as("qtys"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |  list(l_linenumber ORDER BY l_linenumber, l_quantity) AS lns,
+             |  list(l_quantity   ORDER BY l_linenumber, l_quantity) AS qtys
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // A5 (true map form): map_from_entries — rows-only check (no oracle:
+    // map hashing is order-sensitive across engines).
+    Q("a5_map_from_entries",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(struct(
+          col("event_id"), col("value"))))).as("event_values"))
+        .orderBy("user_id"),
+      None),
+
+    // A6: rank over an aggregate (EDA cell 86 genre popularity rank).
+    Q("a6_rank_agg",
+      (s, d) => events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .withColumn("rnk",
+          rank().over(Window.orderBy(desc("n"), col("event_type"))).cast("long"))
+        .orderBy("rnk", "event_type"),
+      Some("""SELECT event_type, n, rank() OVER (ORDER BY n DESC, event_type) AS rnk
+             |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type) t
+             |ORDER BY rnk, event_type""".stripMargin)),
+
+    // A7: describe/summary (EDA cell 59) — mean/sd derived from exact
+    // grain-rounded sums so both engines compute bit-identical doubles.
+    Q("a7_summary_stats",
+      (s, d) => events(s, d).agg(
+        count(col("value")).as("cnt"),
+        round(round(sum(col("value")), 2) / count(col("value")), 4).as("mean"),
+        round(sqrt(
+          (round(sum(col("value") * col("value")), 4)
+            - round(sum(col("value")), 2) * round(sum(col("value")), 2) / count(col("value")))
+            / (count(col("value")) - 1)), 4).as("sd"),
+        round(min(col("value")), 2).as("mn"),
+        round(max(col("value")), 2).as("mx")),
+      Some("""SELECT count(value) AS cnt,
+             |  round(round(sum(value), 2) / count(value), 4) AS mean,
+             |  round(sqrt((round(sum(value*value), 4)
+             |      - round(sum(value), 2) * round(sum(value), 2) / count(value))
+             |    / (count(value) - 1)), 4) AS sd,
+             |  round(min(value), 2) AS mn,
+             |  round(max(value), 2) AS mx
+             |FROM events""".stripMargin)),
+
+    // A8: histogram binning + proportions (EDA cells 77-82).
+    Q("a8_histogram",
+      (s, d) => {
+        val bin = when(col("value") < 2, "0_under2")
+          .when(col("value") < 5, "1_2to5")
+          .when(col("value") < 10, "2_5to10")
+          .when(col("value") < 20, "3_10to20")
+          .otherwise("4_20plus")
+        events(s, d).select(bin.as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+          .withColumn("pct",
+            round(col("n") * lit(100.0) / sum(col("n")).over(Window.partitionBy()), 4))
+          .orderBy("bin")
+      },
+      Some("""WITH b AS (SELECT CASE WHEN value < 2 THEN '0_under2'
+             |  WHEN value < 5 THEN '1_2to5' WHEN value < 10 THEN '2_5to10'
+             |  WHEN value < 20 THEN '3_10to20' ELSE '4_20plus' END AS bin FROM events)
+             |SELECT bin, count(*) AS n,
+             |  round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // A9: argmax per group with ties kept (EDA cell 96 select_genre).
+    Q("a9_argmax",
+      (s, d) => orders(s, d)
+        .withColumn("r", rank().over(
+          Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"))))
+        .filter(col("r") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM
+             |  (SELECT o_custkey, o_orderkey, o_totalprice,
+             |     rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS r
+             |   FROM orders) t
+             |WHERE r = 1 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // A10: RMSE (learning_curve.py:75-76) — value vs. its per-type mean,
+    // from exact grain-rounded sums (bit-identical across engines).
+    Q("a10_rmse",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("value") * col("value")), 4).as("ssq"),
+          round(sum(col("value")), 2).as("sv"),
+          count(lit(1)).as("n"))
+        .agg(round(sqrt(sum(col("ssq") - col("sv") * col("sv") / col("n")) / sum(col("n"))), 4)
+          .as("rmse")),
+      Some("""WITH g AS (SELECT event_type, round(sum(value*value), 4) AS ssq,
+             |  round(sum(value), 2) AS sv, count(*) AS n FROM events GROUP BY event_type)
+             |SELECT round(sqrt(sum(ssq - sv*sv/n) / sum(n)), 4) AS rmse FROM g""".stripMargin)),
+
+    // ----- §2.5 windows --------------------------------------------------
+    // W2: per-key top-N by score (the top-500-per-user pattern, O4/W2).
+    Q("w2_topk_per_key",
+      (s, d) => events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(desc("value"), col("event_id")))
+          .cast("long"))
+        .filter(col("rn") <= 5)
+        .select("user_id", "event_id", "value", "rn")
+        .orderBy("user_id", "rn"),
+      Some("""SELECT user_id, event_id, value, rn FROM
+             |  (SELECT user_id, event_id, value,
+             |     row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+             |   FROM events) t
+             |WHERE rn <= 5 ORDER BY user_id, rn""".stripMargin)),
+
+    // ----- §2.6 sorts / limits / top-k / sampling ------------------------
+    // O1: global sort (param_train_1st.py:58).
+    Q("o1_sort",
+      (s, d) => orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // O2: limit (EDA cell 43) — made deterministic with an order.
+    Q("o2_limit",
+      (s, d) => orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey").limit(1000),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
+    // O3: top-k after aggregate (EDA cell 74) → TakeOrderedAndProject.
+    Q("o3_topk",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+        .orderBy(desc("rev"), col("l_partkey"))
+        .limit(20),
+      Some("""SELECT l_partkey, round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem GROUP BY l_partkey
+             |ORDER BY rev DESC, l_partkey LIMIT 20""".stripMargin)),
+
+    // O5: Bernoulli row sampling (als_model_extension_2.py:38). Seeded Spark
+    // sampling is engine-specific → rows-only check (no oracle).
+    Q("o5_row_sample",
+      (s, d) => lineitem(s, d).sample(withReplacement = false, 0.1, 66)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // O6: key-level sampling, distributed (sample_indexer.py:36-39 rebuilt:
+    // sample the *keys*, keep all their rows via semi-join — no driver
+    // collect, no giant isin literal).
+    Q("o6_user_sample",
+      (s, d) => {
+        val users = events(s, d).select(col("user_id")).distinct()
+          .sample(withReplacement = false, 0.5, 42)
+        events(s, d).join(users, Seq("user_id"), "left_semi")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      None)
+  )
+}
