@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: wall-times every registered query at SPARK_GRAFT_SF_DIR.
+  *
+  * Harness rules (VERDICT r1 findings 2-5):
+  *  - each query executes via a `noop`-format write, not `.count()` — count
+  *    lets Catalyst prune all projected columns and elide sorts, which would
+  *    benchmark p1/o1-style queries as near-empty scans;
+  *  - one throwaway warmup query absorbs JVM/Spark startup (~8 s) so the
+  *    first measured query isn't charged for it;
+  *  - queries run in sorted name order (stable across rounds);
+  *  - a failing query records -1 and its error, never a bogus fast time;
+  *  - the JSON line goes to stdout AND to a file (sbt [info] noise made the
+  *    stdout-only line unparseable in round 1).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +22,41 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def execute(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // Warmup: a real scan+agg through the whole stack, not measured.
+    try execute((s, d) => Tables.lineitem(s, d).groupBy("l_returnflag").count())
+    catch { case _: Throwable => () }
+
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { execute(fn); true }
+        catch { case e: Throwable =>
+          errors += s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}"
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val errJson = errors.map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}"""
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()
   }
 }

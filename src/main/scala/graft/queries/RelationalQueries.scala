@@ -35,16 +35,19 @@ object RelationalQueries {
 
     // P2: nested-field extraction out of array<struct> (the reference's
     // `recommendations.track_idx`, param_train_1st.py:58). Built by
-    // collect_list(struct(..)) then GetArrayStructFields.
+    // collect_list(struct(..)) then GetArrayStructFields. The extracted
+    // array is serialized to CSV text for the driver comparator (top-level
+    // array columns are not hashable on the oracle side).
     Q("p2_nested_field",
       (s, d) => lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_list(struct(
           col("l_linenumber").as("ln"), col("l_partkey").as("pk")))).as("recs"))
-        .select(col("l_orderkey"), col("recs.pk").as("parts"))
+        .select(col("l_orderkey"),
+          array_join(col("recs.pk").cast("array<string>"), ",").as("parts"))
         .orderBy("l_orderkey"),
       Some("""SELECT l_orderkey,
-             |  list(l_partkey ORDER BY l_linenumber, l_partkey) AS parts
+             |  array_to_string(list(l_partkey ORDER BY l_linenumber, l_partkey), ',') AS parts
              |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
     // P6: null normalize / replace (EDA cell 46: year 0 -> null).
@@ -120,7 +123,11 @@ object RelationalQueries {
     // lineitem⨝orders shuffles on orderkey; customer and nation broadcast.
     Q("j3_join_chain",
       (s, d) => lineitem(s, d)
-        .join(orders(s, d).filter(year(col("o_orderdate")) === 1996),
+        // range predicate, not year(col): a function over the column would
+        // defeat parquet predicate pushdown / row-group pruning — at 100 TB
+        // that is the difference between scanning a year and the full table.
+        .join(orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1997-01-01")),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -135,7 +142,8 @@ object RelationalQueries {
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
-             |WHERE year(o_orderdate) = 1996
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
     // J4: anti-join (sample_indexer.py:32-33 driver set-difference,
@@ -198,9 +206,11 @@ object RelationalQueries {
     Q("a1_collect_list",
       (s, d) => orders(s, d)
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))).cast("array<string>"), ",")
+          .as("orderkeys"))
         .orderBy("o_custkey"),
-      Some("""SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys
+      Some("""SELECT o_custkey,
+             |  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys
              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
     // A2: distinct (sample_indexer.py:28-30).
@@ -229,29 +239,40 @@ object RelationalQueries {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // A5: map-of-pairs per group (EDA cells 36-37 {tag→val} dicts), emitted
-    // as parallel sorted arrays so the oracle hash is well-defined (map
-    // iteration order is not). The true MapType variant is a5_map below.
+    // as parallel sorted arrays serialized to CSV text (top-level array
+    // columns are not hashable by the driver comparator). Doubles are scaled
+    // to cent-integers so both engines format identically.
     Q("a5_group_entries",
       (s, d) => lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_list(struct(
           col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("e"))
-        .select(col("l_orderkey"), col("e.ln").as("lns"), col("e.qty").as("qtys"))
+        .select(col("l_orderkey"),
+          array_join(col("e.ln").cast("array<string>"), ",").as("lns"),
+          array_join(transform(col("e.qty"),
+            q => round(q * 100).cast("long").cast("string")), ",").as("qtys_c"))
         .orderBy("l_orderkey"),
       Some("""SELECT l_orderkey,
-             |  list(l_linenumber ORDER BY l_linenumber, l_quantity) AS lns,
-             |  list(l_quantity   ORDER BY l_linenumber, l_quantity) AS qtys
+             |  array_to_string(list(l_linenumber ORDER BY l_linenumber, l_quantity), ',') AS lns,
+             |  array_to_string(list(CAST(round(l_quantity * 100) AS BIGINT)
+             |    ORDER BY l_linenumber, l_quantity), ',') AS qtys_c
              |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
-    // A5 (true map form): map_from_entries — rows-only check (no oracle:
-    // map hashing is order-sensitive across engines).
+    // A5 (true map form): map_from_entries, serialized via to_json so the
+    // MapType column survives the driver's hash path. Entry order inside the
+    // map is pinned by sort_array before map construction; values scaled to
+    // cent-integers for identical JSON number formatting in both engines.
     Q("a5_map_from_entries",
       (s, d) => events(s, d)
         .groupBy(col("user_id"))
-        .agg(map_from_entries(sort_array(collect_list(struct(
-          col("event_id"), col("value"))))).as("event_values"))
+        .agg(to_json(map_from_entries(sort_array(collect_list(struct(
+          col("event_id"), round(col("value") * 100).cast("long").as("v")))))).as("event_values"))
         .orderBy("user_id"),
-      None),
+      Some("""SELECT user_id,
+             |  to_json(map_from_entries(list(
+             |    row(event_id, CAST(round(value * 100) AS BIGINT)) ORDER BY event_id)))
+             |    AS event_values
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // A6: rank over an aggregate (EDA cell 86 genre popularity rank).
     Q("a6_rank_agg",
