@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level dense-vector math over `array<double>` embedding columns.
+  * Pure higher-order-function expressions (codegen-friendly, no UDFs), so
+  * the same arithmetic is reproducible in the DuckDB oracle.
+  */
+object VectorFunctions {
+
+  /** Left-fold sum of an array<double>. */
+  private def arraySum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    arraySum(zip_with(a, b, (x, y) => x * y))
+
+  def l2Norm(a: Column): Column =
+    sqrt(arraySum(transform(a, x => x * x)))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Sign-bucket LSH key: one bit per probed dimension (1 when the
+    * component is positive). Coordinate hyperplanes rather than random
+    * ones, so any engine can reproduce the bucketing; at scale the probed
+    * dims and bit count grow with the collection size.
+    */
+  def signBucket(a: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex.map { case (d, i) =>
+      when(element_at(a, d + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

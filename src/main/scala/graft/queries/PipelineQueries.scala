@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard),
+  * similarity search over embeddings, text analysis (language ID, quality
+  * scoring, token counting, fingerprinting), and multimodal binary-column
+  * handling. These are the engine's "100 TB pipeline" surface; each query
+  * is phrased so the same arithmetic runs in the DuckDB oracle.
+  *
+  * Scale rules observed throughout:
+  *  - near-dup candidate generation is ALWAYS banded (groupBy band ->
+  *    within-bucket pairs), never an all-pairs crossJoin;
+  *  - per-document signatures are single-pass, shuffle-free projections;
+  *  - top-k similarity is a per-key window over bucketed candidates (or a
+  *    broadcast of the small query set), never a global sort.
+  */
+object PipelineQueries {
+  import Tables._
+
+  /** documents with tokenized text; the >=3-token filter keeps shingle and
+    * signature arrays non-empty (every synthetic doc passes, but the guard
+    * is part of the operator contract).
+    */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+
+  /** DuckDB SQL fragment: tokenized documents (mirror of `tokenized`). */
+  private val sqlTok =
+    """tok AS (
+      |  SELECT doc_id, text, lang, n_chars, string_split(lower(text), ' ') AS w
+      |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 3
+      |)""".stripMargin
+
+  /** DuckDB SQL fragment: 32-bit md5-derived hash (mirror of
+    * TextFunctions.hash32).
+    */
+  private def sqlH32(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** DuckDB SQL fragment: per-doc 3-gram shingle hashes + 16-slot minhash
+    * signature (mirror of minhashSignature(shingleHashes, 16)).
+    */
+  private val sqlSig =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    [${sqlH32("array_to_string(w[i:i+2], ' ')")} for i in range(1, len(w) - 1)] AS hs
+       |  FROM tok
+       |), sig AS (
+       |  SELECT doc_id,
+       |    [list_min([((j*2 + 3)*h + (j*7919 + 1)) % 2147483647 for h in hs]) for j in range(0, 16)]
+       |      AS sig
+       |  FROM sh
+       |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ----- deduplication -------------------------------------------------
+    // D1: exact dedup — one shuffle keyed on the content hash; min(doc_id)
+    // is the deterministic keep-first rule. At 100 TB this is the cheapest
+    // possible dedup: hash is computed map-side and the shuffle carries
+    // (hash, id) pairs only, never the text.
+    Q("d1_dedup_exact",
+      (s, d) => documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    // D2: MinHash signatures (16 permutations over 3-gram shingles) — the
+    // per-doc half of near-dup detection. Entirely map-side: no shuffle, no
+    // UDF; the signature is 16 longs regardless of document size.
+    Q("d2_minhash_sig",
+      (s, d) => tokenized(s, d)
+        .select(col("doc_id"),
+          array_join(
+            minhashSignature(shingleHashes(col("text")), 16).cast("array<string>"),
+            ",").as("sig"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $sqlTok, $sqlSig
+              |SELECT doc_id, array_to_string(sig, ',') AS sig
+              |FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // D3: LSH candidate pairs — 4 bands x 4 rows. Banding turns near-dup
+    // search into an equi-join keyed on (band_idx, band_key): docs meet only
+    // inside a bucket, so the cost is sum(bucket^2), not N^2. This is the
+    // scale path; an all-pairs crossJoin never appears.
+    Q("d3_lsh_pairs",
+      (s, d) => {
+        val sig = tokenized(s, d)
+          .select(col("doc_id"),
+            lshBands(minhashSignature(shingleHashes(col("text")), 16), 4, 4).as("bands"))
+        val bands = sig.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+        bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx")
+              && col("x.band_key") === col("y.band_key")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $sqlTok, $sqlSig, bands AS (
+              |  SELECT doc_id, bi.b AS band_idx,
+              |    array_to_string(sig[bi.b*4 + 1 : bi.b*4 + 4], '_') AS band_key
+              |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bi
+              |)
+              |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+              |FROM bands x JOIN bands y
+              |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |  AND x.doc_id < y.doc_id
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // D4: 32-bit SimHash over the token multiset — near-dup sketch whose
+    // Hamming distance approximates cosine distance of the token vectors.
+    // Map-side only, one long per doc.
+    Q("d4_simhash",
+      (s, d) => tokenized(s, d)
+        .select(col("doc_id"), simhash32(col("w")).as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $sqlTok, th AS (
+              |  SELECT doc_id, [${sqlH32("t")} for t in w] AS th FROM tok
+              |), bits AS (
+              |  SELECT doc_id,
+              |    [CASE WHEN list_sum(
+              |       [CASE WHEN (v >> b) % 2 = 1 THEN 1 ELSE -1 END for v in th]) > 0
+              |     THEN 1::BIGINT ELSE 0::BIGINT END for b in range(0, 32)] AS bits
+              |  FROM th
+              |)
+              |SELECT doc_id, list_reduce(bits, (a, b) -> a*2 + b)::BIGINT AS simhash
+              |FROM bits ORDER BY doc_id""".stripMargin)),
+
+    // D5: n-gram Jaccard verification — the exact-similarity check run on
+    // candidate pairs after banding. Phrased over adjacent doc_ids (a 1:1
+    // equi-join) so the verification arithmetic gets an oracle row without
+    // an all-pairs join.
+    Q("d5_jaccard_pairs",
+      (s, d) => {
+        val sh = tokenized(s, d)
+          .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("sh"))
+        sh.as("a")
+          .join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            round(size(array_intersect(col("a.sh"), col("b.sh")))
+              / size(array_union(col("a.sh"), col("b.sh"))), 5).as("jaccard"))
+          .orderBy("a_id")
+      },
+      Some(s"""WITH $sqlTok, s AS (
+              |  SELECT doc_id,
+              |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
+              |  FROM tok
+              |)
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |  round(len(list_intersect(a.sh, b.sh))
+              |    / len(list_distinct(a.sh || b.sh)), 5) AS jaccard
+              |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+              |ORDER BY a_id""".stripMargin)),
+
+    // ----- text analysis -------------------------------------------------
+    // T1: n-gram-lexicon language ID. Marker-token hit counts per language,
+    // argmax with a fixed tie order. Map-side projection; the lexicons are
+    // literals in the plan (at scale: a broadcast map).
+    Q("t1_langid",
+      (s, d) => {
+        val en = size(filter(col("w"), t => t.isin("the", "a", "of")))
+        val es = size(filter(col("w"), t => t.isin("el", "la", "los")))
+        val de = size(filter(col("w"), t => t.isin("der", "die", "und")))
+        tokenized(s, d)
+          .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+            when(en >= es && en >= de, "en")
+              .when(es >= de, "es").otherwise("de").as("pred_lang"),
+            col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlTok
+              |SELECT doc_id,
+              |  len(list_filter(w, t -> t IN ('the', 'a', 'of'))) AS en_hits,
+              |  len(list_filter(w, t -> t IN ('el', 'la', 'los'))) AS es_hits,
+              |  len(list_filter(w, t -> t IN ('der', 'die', 'und'))) AS de_hits,
+              |  CASE
+              |    WHEN len(list_filter(w, t -> t IN ('the', 'a', 'of')))
+              |      >= len(list_filter(w, t -> t IN ('el', 'la', 'los')))
+              |     AND len(list_filter(w, t -> t IN ('the', 'a', 'of')))
+              |      >= len(list_filter(w, t -> t IN ('der', 'die', 'und'))) THEN 'en'
+              |    WHEN len(list_filter(w, t -> t IN ('el', 'la', 'los')))
+              |      >= len(list_filter(w, t -> t IN ('der', 'die', 'und'))) THEN 'es'
+              |    ELSE 'de'
+              |  END AS pred_lang,
+              |  lang
+              |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // T2: quality scoring — length, mean token length, stopword ratio,
+    // punctuation count; ratios scaled to integers so both engines format
+    // identically. The keep/drop verdict is the filter a 100 TB corpus
+    // cleaning job applies before training.
+    Q("t2_quality",
+      (s, d) => {
+        val nTok = size(col("w"))
+        val charSum = aggregate(transform(col("w"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x)
+        val stopHits = size(filter(col("w"),
+          t => t.isin("the", "a", "of", "and", "to")))
+        val punct = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+        tokenized(s, d)
+          .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+            round(charSum * 1000 / nTok).cast("long").as("mean_tok_len_x1000"),
+            round(stopHits * lit(1000.0) / nTok).cast("long").as("stop_ratio_x1000"),
+            punct.cast("long").as("punct_chars"))
+          .withColumn("keep",
+            (col("n_tokens").between(10, 1000)
+              && col("mean_tok_len_x1000").between(2000, 12000)).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlTok
+              |SELECT doc_id, n_chars, len(w) AS n_tokens,
+              |  CAST(round(list_sum([len(t) for t in w]) * 1000 / len(w)) AS BIGINT)
+              |    AS mean_tok_len_x1000,
+              |  CAST(round(len(list_filter(w, t -> t IN ('the','a','of','and','to')))
+              |    * 1000.0 / len(w)) AS BIGINT) AS stop_ratio_x1000,
+              |  CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT)
+              |    AS punct_chars,
+              |  CAST(len(w) BETWEEN 10 AND 1000
+              |    AND CAST(round(list_sum([len(t) for t in w]) * 1000 / len(w)) AS BIGINT)
+              |      BETWEEN 2000 AND 12000 AS INT) AS keep
+              |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // T3: token counting — whitespace tokens, regex (BPE-ish pre-tokenizer)
+    // tokens, and a subword estimate (ceil(len/4) pieces per word).
+    Q("t3_token_count",
+      (s, d) => tokenized(s, d)
+        .select(col("doc_id"),
+          size(col("w")).as("ws_tokens"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"),
+          aggregate(transform(col("w"), t => ceil(length(t) / lit(4.0)).cast("long")),
+            lit(0L), (a, x) => a + x).as("subword_est"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $sqlTok
+              |SELECT doc_id, len(w) AS ws_tokens,
+              |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+              |  CAST(list_sum([ceil(len(t)/4.0)::BIGINT for t in w]) AS BIGINT) AS subword_est
+              |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // T4: order-sensitive document fingerprint (position-weighted rolling
+    // hash) — detects reordered / re-segmented copies that content-hash
+    // dedup misses. Map-side, one long per doc.
+    Q("t4_fingerprint",
+      (s, d) => tokenized(s, d)
+        .select(col("doc_id"), fingerprint(col("w")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $sqlTok
+              |SELECT doc_id,
+              |  CAST(list_sum([i * ${sqlH32("w[i]")} for i in range(1, len(w) + 1)])
+              |    % 2147483647 AS BIGINT) AS fp
+              |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // ----- similarity search over embeddings -----------------------------
+    // E1: brute-force cosine top-k — the exact baseline. The (small) query
+    // set is broadcast, so the big side streams once with no shuffle;
+    // ranking is a per-query window, never a global sort.
+    Q("e1_cosine_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"),
+            round(cosine(col("v"), col("qv")), 5).as("cos"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("cand_id")))
+            .cast("long"))
+          .filter(col("rn") <= 5)
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |), q AS (
+             |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3
+             |), p AS (
+             |  SELECT q_id, e.vec_id AS cand_id,
+             |    round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+             |      / (sqrt(list_sum([x*x for x in v])) * sqrt(list_sum([x*x for x in qv]))),
+             |      5) AS cos
+             |  FROM e CROSS JOIN q WHERE e.vec_id != q_id
+             |), r AS (
+             |  SELECT q_id, cand_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+             |  FROM p
+             |)
+             |SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 5
+             |ORDER BY q_id, rn""".stripMargin)),
+
+    // E2: LSH-bucketed ANN — the scale path. Vectors are bucketed by a sign
+    // signature on fixed hyperplanes; candidates meet only inside their
+    // bucket (equi-join on the bucket key), turning N^2 into sum(bucket^2).
+    // At 100 TB the bit count grows and multi-probe widens recall; the plan
+    // shape (bucket equi-join + per-key window) is unchanged.
+    Q("e2_ann_buckets",
+      (s, d) => {
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("bucket", signBucket(col("v"), Seq(0, 21, 42)))
+        emb.as("x")
+          .join(emb.as("y"),
+            col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
+            col("y.vec_id").as("neighbor"),
+            round(cosine(col("x.v"), col("y.v")), 5).as("cos"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("neighbor")))
+            .cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy("vec_id", "rn")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v,
+             |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN embedding[22] > 0 THEN 2 ELSE 0 END)
+             |    + (CASE WHEN embedding[43] > 0 THEN 4 ELSE 0 END) AS bucket
+             |  FROM embeddings
+             |), p AS (
+             |  SELECT x.vec_id AS vec_id, x.bucket AS bucket, y.vec_id AS neighbor,
+             |    round(list_sum([x.v[i] * y.v[i] for i in range(1, len(x.v) + 1)])
+             |      / (sqrt(list_sum([a*a for a in x.v])) * sqrt(list_sum([b*b for b in y.v]))),
+             |      5) AS cos
+             |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id != y.vec_id
+             |), r AS (
+             |  SELECT vec_id, bucket, neighbor, cos,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rn
+             |  FROM p
+             |)
+             |SELECT vec_id, bucket, neighbor, cos, rn FROM r WHERE rn <= 3
+             |ORDER BY vec_id, rn""".stripMargin)),
+
+    // ----- multimodal columns --------------------------------------------
+    // M1: binary payload + typed metadata. The payload column is real
+    // BinaryType (utf8 bytes here; image/audio bytes in production) and the
+    // "decode" stays columnar: byte length, content digest, deterministic
+    // pseudo-dimensions. The non-SQL half (batch decode via mapPartitions)
+    // lives in graft.multimodal.BinaryPipeline with its own spec.
+    Q("m1_binary_meta",
+      (s, d) => {
+        val payload = col("text").cast("binary")
+        documents(s, d)
+          .select(col("doc_id"), payload.as("payload"), col("n_chars"))
+          .select(col("doc_id"),
+            octet_length(col("payload")).cast("long").as("n_bytes"),
+            md5(col("payload")).as("digest"),
+            (hash32(col("payload").cast("string")) % 1280 + 64).as("fake_width"),
+            (hash32(reverse(col("payload").cast("string"))) % 720 + 64).as("fake_height"),
+            (col("n_chars") % 3 + 1).as("channels"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              |  md5(text) AS digest,
+              |  ${sqlH32("text")} % 1280 + 64 AS fake_width,
+              |  ${sqlH32("reverse(text)")} % 720 + 64 AS fake_height,
+              |  n_chars % 3 + 1 AS channels
+              |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
