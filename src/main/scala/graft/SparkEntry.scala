@@ -12,7 +12,9 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     graft.queries.RelationalQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++
+      graft.queries.IoQueries.all ++
+      graft.queries.MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

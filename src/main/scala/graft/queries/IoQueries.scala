@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Source/sink operators as registered round-trip queries (SURVEY.md §2.1
+  * S2/S5/S6/S7, §2.6 O7) plus the small §2 rows that need their own
+  * registered entry (P9 expr(), J6 keyed concat, A9 map-HOF argmax).
+  *
+  * Round-trip shape: write to a scratch dir under target/qtmp, read back,
+  * reduce to an aggregate that the oracle computes from the ORIGINAL table —
+  * so a lossy sink (dropped rows, mangled types) fails the hash compare.
+  * S4 (SQLite) has no JDBC driver in this offline build; its contract is the
+  * parquet-converted table documented in graft.sources.Sources.
+  */
+object IoQueries {
+  import Tables._
+
+  private def tmp(name: String) = s"/root/repo/target/qtmp/$name"
+
+  val all: Seq[Q] = Seq(
+
+    // S2: parquet sink (overwrite) + S1 re-scan. The sink is the
+    // reference's persist of the indexed train set (sample_indexer.py:51).
+    Q("s2_parquet_roundtrip",
+      (s, d) => {
+        val out = tmp("s2_orders")
+        orders(s, d).filter(col("o_totalprice") > 100000.0)
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sv"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sv
+             |FROM orders WHERE o_totalprice > 100000.0
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // S5+S6: headerless CSV sink then source with positional schema — the
+    // EDA factor-matrix CSV contract (EDA cells 23, 90). Schema is assigned
+    // by position on read, exactly like the reference's pandas `names=`.
+    Q("s5_csv_roundtrip",
+      (s, d) => {
+        val out = tmp("s5_customer")
+        customer(s, d).select("c_custkey", "c_mktsegment", "c_nationkey")
+          .write.mode("overwrite").option("header", "false").csv(out)
+        val schema = StructType(Seq(
+          StructField("ck", LongType), StructField("seg", StringType),
+          StructField("nk", LongType)))
+        s.read.schema(schema).csv(out)
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"), sum(col("nk")).as("sum_nk"))
+          .orderBy("seg")
+      },
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n, sum(c_nationkey) AS sum_nk
+             |FROM customer GROUP BY c_mktsegment ORDER BY seg""".stripMargin)),
+
+    // S7: parquet -> single-file CSV reformat (EDA cells 11-21 did this as
+    // a driver-side per-part-file pandas loop; here it is one coalesce(1)
+    // write — the scale caveat being that coalesce(1) serializes the final
+    // stage, acceptable only for export-sized data).
+    Q("s7_reformat",
+      (s, d) => {
+        val out = tmp("s7_nation")
+        nation(s, d).coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true").option("inferSchema", "true").csv(out)
+          .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+          .orderBy("nk")
+      },
+      Some("""SELECT n_nationkey AS nk, n_name FROM nation ORDER BY nk""".stripMargin)),
+
+    // O7: repartition-by-key then write — the reference computed this and
+    // DISCARDED it (sample_indexer.py:50, a no-op bug; SURVEY §7.3). Here
+    // the repartitioned frame IS what's written; PartitioningSpec asserts
+    // the file layout. The read-back aggregate proves no rows were lost.
+    Q("o7_repartition_write",
+      (s, d) => {
+        val out = tmp("o7_events")
+        events(s, d).repartition(8, col("user_id"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n FROM events
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // P9: the expr()/selectExpr SQL-text entry point (learning_curve.py:65
+    // is `expr('collect_list(track_idx) as tracks')`) — the whole query is
+    // built from SQL strings and still resolves to the same Catalyst plan
+    // a Column-DSL build would.
+    Q("p9_expr_entry",
+      (s, d) => events(s, d)
+        .selectExpr("event_type", "user_id", "value")
+        .where(expr("value >= 1.0"))
+        .groupBy(expr("event_type"))
+        .agg(expr("count(1) AS n"), expr("round(sum(value), 2) AS sv"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events WHERE value >= 1.0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // J6: keyed replacement of positional concat. The reference glues a
+    // computed column back by ROW POSITION (pd.concat(axis=1), EDA cells
+    // 102-104) — undefined in a distributed engine. The rebuild keeps the
+    // key through both branches and joins on it.
+    Q("j6_keyed_concat",
+      (s, d) => {
+        val left = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        val right = orders(s, d).select(col("o_orderkey"),
+          upper(col("o_orderstatus")).as("status_u"))
+        left.join(right, Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, upper(o_orderstatus) AS status_u
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // A9 (map-HOF form): argmax over MAP VALUES with ties kept — the
+    // reference's select_genre (EDA cell 96) done with map_from_entries /
+    // map_values / map_filter higher-order functions instead of a window.
+    // Prices scaled to cent-integers so max-equality is exact.
+    Q("a9_argmax_map",
+      (s, d) => {
+        val m = map_from_entries(sort_array(collect_list(struct(
+          col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("p")))))
+        orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(m.as("m"))
+          .select(col("o_custkey"),
+            array_join(sort_array(map_keys(
+              map_filter(col("m"), (_, v) => v === array_max(map_values(col("m"))))))
+              .cast("array<string>"), ",").as("argmax_keys"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_custkey, o_orderkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS p
+             |  FROM orders
+             |), mx AS (
+             |  SELECT o_custkey, max(p) AS mp FROM m GROUP BY o_custkey
+             |)
+             |SELECT m.o_custkey,
+             |  array_to_string(list(m.o_orderkey ORDER BY m.o_orderkey), ',') AS argmax_keys
+             |FROM m JOIN mx ON m.o_custkey = mx.o_custkey AND m.p = mx.mp
+             |GROUP BY m.o_custkey ORDER BY m.o_custkey""".stripMargin))
+  )
+}

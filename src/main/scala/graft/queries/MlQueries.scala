@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+import graft.eval.{RankingAggregator, RankingEval}
+import graft.model.{AlsConfig, AlsTrainer}
+import graft.prep.Indexing
+
+/** ML-pipeline operators as registered queries (SURVEY.md §2.9).
+  *
+  * The SQL-expressible halves (StringIndexer semantics, ranking metrics)
+  * get full DuckDB oracle rows; ALS itself is not SQL-expressible, so its
+  * queries are rows-only here and covered by golden metric tests in
+  * AlsSpec/RankingEvalSpec (the CORRECTNESS equivalent for model code).
+  */
+object MlQueries {
+  import Tables._
+
+  private def tmpDir(name: String) = s"/root/repo/target/qtmp/$name"
+
+  val all: Seq[Q] = Seq(
+
+    // M1/M2/S3: two-stage StringIndexer Pipeline — fit on events, persist,
+    // reload, transform (the reference's indexing ETL,
+    // /root/reference/ALS_model/sample_indexer.py:41-48). Oracled: index i =
+    // rank of the label by (frequency desc, label-string asc), the
+    // documented frequencyDesc order. Numeric user_id is cast to string by
+    // StringIndexer, so the oracle ties sort on the STRING form.
+    Q("m1_indexer_pipeline",
+      (s, d) => {
+        val ev = events(s, d)
+        val model = Indexing.fitAndSave(ev, "user_id", "event_type",
+          tmpDir("m1_indexer"))
+        model.transform(ev)
+          .select(col("event_id"),
+            col("user_id_idx").cast("long").as("user_idx"),
+            col("event_type_idx").cast("long").as("type_idx"))
+          .orderBy("event_id")
+      },
+      Some("""WITH uc AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS u, count(*) AS c
+             |  FROM events GROUP BY 1
+             |), ui AS (
+             |  SELECT u, row_number() OVER (ORDER BY c DESC, u) - 1 AS uidx FROM uc
+             |), ec AS (
+             |  SELECT event_type AS e, count(*) AS c FROM events GROUP BY 1
+             |), ei AS (
+             |  SELECT e, row_number() OVER (ORDER BY c DESC, e) - 1 AS eidx FROM ec
+             |)
+             |SELECT ev.event_id, ui.uidx AS user_idx, ei.eidx AS type_idx
+             |FROM events ev
+             |JOIN ui ON CAST(ev.user_id AS VARCHAR) = ui.u
+             |JOIN ei ON ev.event_type = ei.e
+             |ORDER BY ev.event_id""".stripMargin)),
+
+    // A11 (SQL form): precision@k per user over synthetic pred/truth lists —
+    // pred = top-3 orders by price, truth = status-'F' orders. Integer-scaled
+    // so both engines format identically.
+    Q("m2_precision_at_k",
+      (s, d) => {
+        val o = orders(s, d)
+        val pred = o.withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(desc("o_totalprice"), col("o_orderkey"))))
+          .filter(col("rn") <= 3)
+          .groupBy(col("o_custkey"))
+          .agg(collect_list(col("o_orderkey")).as("pred"))
+        val truth = o.filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey"))
+          .agg(collect_list(col("o_orderkey")).as("truth"))
+        pred.join(truth, Seq("o_custkey"))
+          .select(col("o_custkey"),
+            size(array_intersect(col("pred"), col("truth"))).as("hits"),
+            round(size(array_intersect(col("pred"), col("truth"))) * lit(1000.0) / 3)
+              .cast("long").as("prec_x1000"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH p AS (
+             |  SELECT o_custkey, list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey) AS allp
+             |  FROM orders GROUP BY o_custkey
+             |), pred AS (
+             |  SELECT o_custkey, allp[1:3] AS pred FROM p
+             |), truth AS (
+             |  SELECT o_custkey, list(o_orderkey) AS truth
+             |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+             |)
+             |SELECT pred.o_custkey,
+             |  len(list_intersect(pred, truth)) AS hits,
+             |  CAST(round(len(list_intersect(pred, truth)) * 1000.0 / 3) AS BIGINT)
+             |    AS prec_x1000
+             |FROM pred JOIN truth USING (o_custkey)
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // A11 (full form): MAP / P@5 / NDCG@5 through the typed
+    // RankingAggregator — the DataFrame-native replacement for the
+    // reference's RDD RankingMetrics bridge (M6). The oracle recomputes all
+    // three metrics with list arithmetic, so this row checks the Aggregator
+    // itself against an independent engine.
+    Q("m3_ranking_metrics",
+      (s, d) => {
+        val o = orders(s, d)
+        // rank order is semantic for MAP/NDCG, and collect_list has no
+        // ordering guarantee — pin it by collecting (rn, key) structs and
+        // sorting inside the agg (SURVEY §7.3 hazard 2).
+        val pred = o.withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(desc("o_totalprice"), col("o_orderkey"))))
+          .filter(col("rn") <= 5)
+          .groupBy(col("o_custkey"))
+          .agg(sort_array(collect_list(struct(col("rn"),
+            col("o_orderkey").cast("int").as("k")))).as("pr"))
+          .select(col("o_custkey"), col("pr.k").as("pred"))
+        val truth = o.filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey"))
+          .agg(collect_list(col("o_orderkey").cast("int")).as("truth"))
+        val pairs = pred.join(truth, Seq("o_custkey"))
+          .select(col("pred"), col("truth"))
+        val m = RankingEval.evaluate(pairs, 5)
+        val spark = s
+        import spark.implicits._
+        Seq((BigDecimal(m.meanAveragePrecision).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(m.precisionAtK).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(m.ndcgAtK).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          m.users))
+          .toDF("map", "p_at_5", "ndcg_at_5", "users")
+      },
+      Some("""WITH p AS (
+             |  SELECT o_custkey, list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey) AS allp
+             |  FROM orders GROUP BY o_custkey
+             |), pred AS (
+             |  SELECT o_custkey, allp[1:5] AS pred FROM p
+             |), truth AS (
+             |  SELECT o_custkey, list(o_orderkey) AS truth
+             |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+             |), per_user AS (
+             |  SELECT pred.o_custkey,
+             |    list_sum([CASE WHEN list_contains(truth, pred[i])
+             |      THEN len(list_filter(pred[1:i], x -> list_contains(truth, x))) * 1.0 / i
+             |      ELSE 0.0 END for i in range(1, len(pred) + 1)]) / len(truth) AS ap,
+             |    len(list_filter(pred[1:5], x -> list_contains(truth, x))) / 5.0 AS p5,
+             |    list_sum([CASE WHEN list_contains(truth, pred[i])
+             |      THEN 1.0 / log2(i + 1) ELSE 0.0 END
+             |      for i in range(1, least(len(pred), 5) + 1)])
+             |    / list_sum([1.0 / log2(i + 1)
+             |      for i in range(1, least(len(truth), 5) + 1)]) AS ndcg
+             |  FROM pred JOIN truth USING (o_custkey)
+             |)
+             |SELECT round(avg(ap), 6) AS map, round(avg(p5), 6) AS p_at_5,
+             |  round(avg(ndcg), 6) AS ndcg_at_5, count(*) AS users
+             |FROM per_user""".stripMargin)),
+
+    // M3/M5/O4: implicit-feedback ALS trained on (supplier, part, quantity)
+    // interactions, then top-5 recommendForUserSubset. Not SQL-expressible:
+    // rows-only here, golden-metric coverage in AlsSpec. Fixed seed keeps
+    // the driver run deterministic.
+    Q("m4_als_recommend",
+      (s, d) => {
+        val ratings = lineitem(s, d)
+          .groupBy(col("l_suppkey").cast("int").as("user_idx"),
+            col("l_partkey").cast("int").as("item_idx"))
+          .agg(sum(col("l_quantity")).cast("float").as("count"))
+        val cfg = AlsConfig(rank = 8, regParam = 0.1, alpha = 10.0, maxIter = 5,
+          userBlocks = 8, itemBlocks = 8)
+        val model = AlsTrainer.fit(ratings, cfg)
+        val users = ratings.select(col("user_idx")).distinct()
+          .filter(col("user_idx") < 10)
+        AlsTrainer.recommendLists(model, users, 5, "user_idx")
+          .select(col("user_idx"),
+            array_join(col("pred").cast("array<string>"), ",").as("pred"))
+          .orderBy("user_idx")
+      },
+      None),
+
+    // M4/A10: ALSModel.transform scores on held-out pairs + RMSE — the
+    // reference's RegressionEvaluator step (one_train.py:56-58). Rows-only
+    // (model scores aren't SQL-expressible); the metric arithmetic itself
+    // is oracled via a10_rmse.
+    Q("m5_als_rmse",
+      (s, d) => {
+        val ratings = lineitem(s, d)
+          .groupBy(col("l_suppkey").cast("int").as("user_idx"),
+            col("l_partkey").cast("int").as("item_idx"))
+          .agg(sum(col("l_quantity")).cast("float").as("count"))
+        val cfg = AlsConfig(rank = 8, regParam = 0.1, alpha = 10.0, maxIter = 5,
+          userBlocks = 8, itemBlocks = 8)
+        val model = AlsTrainer.fit(ratings, cfg)
+        val rmse = RankingEval.rmse(AlsTrainer.scores(model, ratings),
+          "count", "prediction")
+        val spark = s
+        import spark.implicits._
+        Seq(Tuple1(BigDecimal(rmse).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("rmse_2dp")
+      },
+      None)
+  )
+}
