@@ -48,7 +48,7 @@ object BinaryPipeline {
     * decode; downstream code only sees the MediaFeatures schema, so
     * swapping in a real codec changes nothing but this function.
     */
-  private[multimodal] def decodeOne(r: MediaRecord): MediaFeatures = {
+  def decodeOne(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
     var sum = 0L
     var crc = 0L

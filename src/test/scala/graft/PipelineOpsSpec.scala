@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Planted-fixture tests for the dedup / similarity / text-analysis
+  * primitives — the non-oracle half of their coverage (the oracle rows in
+  * PipelineQueries check engine-vs-engine; these check the MATH against
+  * hand-built duplicates and hand-computed values).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private lazy val docs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (2L, "the quick brown fox jumps over the lazy cat near the old river bank today"),
+      (3L, "completely different words about spark shuffles joins aggregates windows partitions buckets"),
+      (4L, "dog bank the quick brown fox jumps over the lazy near the old river today")
+    ).toDF("doc_id", "text")
+  }
+
+  private def sigOf(df: DataFrame) =
+    df.select(col("doc_id"),
+      minhashSignature(shingleHashes(col("text")), 16).as("sig"))
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val kept = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+    val dup = kept.filter(col("n") > 1).collect()
+    assert(dup.length == 1 && dup(0).getLong(1) == 0L && dup(0).getLong(2) == 2L)
+    assert(kept.count() == 4)
+  }
+
+  test("identical docs share the full minhash signature; disjoint docs do not") {
+    val sigs = sigOf(docs).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(3L))
+    // one-word edit: most signature slots still agree
+    val agree = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree >= 6, s"only $agree/16 slots agree for a 1-word edit (J~0.6 => E[agree]~10)")
+  }
+
+  test("LSH banding pairs the exact duplicate and not the disjoint doc") {
+    val bands = sigOf(docs)
+      .select(col("doc_id"),
+        posexplode(lshBands(col("sig"), 4, 4)).as(Seq("bi", "bk")))
+    val pairs = bands.as("x").join(bands.as("y"),
+      col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("3-gram jaccard matches a hand-computed set calculation") {
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = {
+      val a = shingleSet(docs.collect()(0).getString(1))
+      val c = shingleSet(docs.collect()(2).getString(1))
+      a.intersect(c).size.toDouble / a.union(c).size
+    }
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    val got = sh.as("a").join(sh.as("b"),
+      col("a.doc_id") === 0L && col("b.doc_id") === 2L)
+      .select(size(array_intersect(col("a.sh"), col("b.sh")))
+        / size(array_union(col("a.sh"), col("b.sh"))))
+      .head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("simhash: hamming(identical)=0 and edit distance orders as expected") {
+    val sims = docs.select(col("doc_id"), simhash32(tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(0L), sims(1L)) == 0)
+    assert(hamming(sims(0L), sims(2L)) < hamming(sims(0L), sims(3L)))
+  }
+
+  test("fingerprint is order-sensitive, content-hash dedup is not") {
+    val fps = docs.select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L))
+    // doc 4 is doc 0's tokens reordered — same token multiset, different order
+    assert(fps(0L) != fps(4L))
+    val h0 = docs.filter(col("doc_id") === 0).select(md5(col("text"))).head().getString(0)
+    val h4 = docs.filter(col("doc_id") === 4).select(md5(col("text"))).head().getString(0)
+    assert(h0 != h4)
+  }
+
+  test("cosine: orthogonal=0, identical=1, hand value for known vectors") {
+    val s = spark
+    import s.implicits._
+    val v = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(1.0, 1.0, 0.0)), (4L, Seq(2.0, 0.0, 0.0))
+    ).toDF("id", "v")
+    val cos = v.as("a").crossJoin(v.as("b"))
+      .select(col("a.id").as("ai"), col("b.id").as("bi"),
+        cosine(col("a.v"), col("b.v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cos((1L, 2L))) < 1e-12)
+    assert(math.abs(cos((1L, 4L)) - 1.0) < 1e-12)
+    assert(math.abs(cos((1L, 3L)) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("sign buckets partition the embeddings table (no empty universe)") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", signBucket(col("v"), Seq(0, 21, 42)))
+    val n = emb.select("bucket").distinct().count()
+    assert(n > 1 && n <= 8)
+  }
+}

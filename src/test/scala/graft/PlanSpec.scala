@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan assertions — the "would this survive 100x scale" checks
+  * (VERDICT r1: j3's year() filter silently killed parquet pushdown; these
+  * pin the fixed plans so a regression fails loudly, not slowly).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p1: filter and projection reach the parquet scan") {
+    val p = plan("p1_project_filter")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("GreaterThan(l_quantity"), "l_quantity filter not pushed")
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"))
+  }
+
+  test("j3: date-range predicate is pushed to the orders scan") {
+    val p = plan("j3_join_chain")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      "o_orderdate range not pushed to scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "range filter missing")
+  }
+
+  test("j1: dimension join is broadcast, fact side not shuffled for the join") {
+    val p = plan("j1_broadcast_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("o3: top-k lowers to TakeOrderedAndProject, not a global sort") {
+    assert(plan("o3_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("banded/bucketed similarity plans contain no cartesian product") {
+    for (q <- Seq("d3_lsh_pairs", "e2_ann_buckets")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degraded to a cartesian product")
+    }
+  }
+
+  test("group-by aggregates are partial (map-side combine before shuffle)") {
+    val p = plan("a3_group_sum")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial aggregation")
+  }
+
+  test("semi/anti joins stay joins (no collected id lists in the plan)") {
+    assert(plan("j4_anti_join").contains("LeftAnti"))
+    assert(plan("j5_semi_join").contains("LeftSemi"))
+  }
+}
