@@ -35,34 +35,52 @@ object TextFunctions {
     transform(shingles(tokens(text), 3), s => hash32(s))
 
   /** MinHash signature (k permutations) over pre-hashed shingles.
-    * Permutation k: h -> ((2k+3)*h + (7919k+1)) mod p, p = 2^31-1. The
+    * Permutation j: h -> ((2j+3)*h + (7919j+1)) mod p, p = 2^31-1. The
     * multipliers stay below 2^6 so products fit comfortably in a long.
+    *
+    * Shape matters: HOF lambdas are interpreted with no common-subexpression
+    * elimination, so a `transform(sequence(0,k), j -> min over hashes)`
+    * nesting would re-evaluate the (md5-based) hash array k times per row.
+    * Instead each shingle hash is expanded once to its k permuted values
+    * (the hash enters as a lambda VARIABLE, already computed), and the
+    * signature is a slot-wise min fold — md5 runs exactly once per shingle.
     */
-  def minhashSignature(shingleHashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleHashes,
-        h => ((j * 2 + 3) * h + (j * 7919 + 1)) % 2147483647L)))
+  def minhashSignature(shingleHashes: Column, k: Int): Column = {
+    val perShingle = transform(shingleHashes,
+      h => array((0 until k).map(j =>
+        (h * (j * 2 + 3) + (j * 7919 + 1)) % 2147483647L): _*))
+    val top = array(Seq.fill(k)(lit(2147483647L)): _*)
+    aggregate(perShingle, top, (acc, arr) => zip_with(acc, arr, (a, b) => least(a, b)))
+  }
 
   /** LSH band keys: the signature split into `bands` contiguous chunks of
     * `rows` values, each serialized to one join key. Near-duplicates agree
     * on at least one full band with high probability.
     */
   def lshBands(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => concat_ws("_", slice(sig, b * rows + 1, lit(rows)).cast("array<string>")))
+    // static array build, not transform-over-band-index: referencing `sig`
+    // inside a lambda would re-evaluate the whole signature per band. With
+    // multiple textual references to a non-cheap expression, CollapseProject
+    // keeps the signature in its own projection — evaluated once per row.
+    array((0 until bands).map(b =>
+      concat_ws("_", slice(sig, b * rows + 1, rows).cast("array<string>"))): _*)
 
   /** 32-bit SimHash over the token multiset: bit b is set when the sum of
     * (+1 / -1) votes from each token's hash bit b is positive.
     */
   def simhash32(w: Column): Column = {
-    val th = transform(w, t => hash32(t))
-    val bits = transform(sequence(lit(0), lit(31)),
-      b => when(
-        aggregate(th, lit(0L),
-          (acc, v) => acc +
-            when(call_function("shiftright", v, b) % 2 === 1, 1L).otherwise(-1L)) > 0,
-        1L).otherwise(0L))
-    aggregate(bits, lit(0L), (acc, bit) => acc * 2 + bit)
+    // Same evaluation-shape rule as minhashSignature: hash each token once
+    // (inner transform), expand to 32 +/-1 votes with the hash bound as a
+    // lambda variable, then fold vote vectors slot-wise. A
+    // `transform(0..31, b -> aggregate(hashes, ...))` nesting would md5
+    // every token 32 times per row.
+    val votes = transform(transform(w, t => hash32(t)),
+      h => array((0 until 32).map(b =>
+        when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L)): _*))
+    val sums = aggregate(votes, array(Seq.fill(32)(lit(0L)): _*),
+      (acc, arr) => zip_with(acc, arr, (a, b) => a + b))
+    aggregate(sums, lit(0L),
+      (acc, s) => acc * 2 + when(s > 0, 1L).otherwise(0L))
   }
 
   /** Order-sensitive document fingerprint: position-weighted sum of token

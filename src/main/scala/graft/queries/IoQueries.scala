@@ -87,6 +87,25 @@ object IoQueries {
       Some("""SELECT user_id, count(*) AS n FROM events
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // S4: the SQLite-metadata entry point under the offline contract — the
+    // SQLite table is converted to parquet once, then scanned like any
+    // relation (the EDA `SELECT * FROM songs` analog). The JDBC path for
+    // live SQLite is graft.sources.Sources.sqlite (needs a driver jar).
+    Q("s4_sqlite_contract",
+      (s, d) => supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, s_name, s_nationkey FROM supplier
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // P5: column drop — projection by exclusion (the reference drops
+    // __index_level_0__ / Unnamed: 0 pandas residue, EDA cells 46, 100).
+    Q("p5_column_drop",
+      (s, d) => events(s, d).drop("props", "ts")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin)),
+
     // P9: the expr()/selectExpr SQL-text entry point (learning_curve.py:65
     // is `expr('collect_list(track_idx) as tracks')`) — the whole query is
     // built from SQL strings and still resolves to the same Catalyst plan

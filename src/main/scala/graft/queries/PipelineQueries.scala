@@ -98,11 +98,16 @@ object PipelineQueries {
     // scale path; an all-pairs crossJoin never appears.
     Q("d3_lsh_pairs",
       (s, d) => {
+        // signature materialized in its own projection: lshBands references
+        // it once per band, and CollapseProject won't inline a non-cheap
+        // multi-referenced alias — so the md5 hashing runs once per doc.
         val sig = tokenized(s, d)
           .select(col("doc_id"),
-            lshBands(minhashSignature(shingleHashes(col("text")), 16), 4, 4).as("bands"))
-        val bands = sig.select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+            minhashSignature(shingleHashes(col("text")), 16).as("sig"))
+        val bands = sig
+          .select(col("doc_id"), lshBands(col("sig"), 4, 4).as("bands"))
+          .select(col("doc_id"),
+            posexplode(col("bands")).as(Seq("band_idx", "band_key")))
         bands.as("x")
           .join(bands.as("y"),
             col("x.band_idx") === col("y.band_idx")
@@ -272,13 +277,16 @@ object PipelineQueries {
     // ranking is a per-query window, never a global sort.
     Q("e1_cosine_topk",
       (s, d) => {
+        // norms are per-vector, so they are computed ONCE per row before the
+        // join — cosine(a,b) inside the join would redo both norms per pair.
         val emb = embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", l2Norm(col("v")))
         val q = emb.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
         emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("cand_id"),
-            round(cosine(col("v"), col("qv")), 5).as("cos"))
+            round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 5).as("cos"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("cand_id")))
             .cast("long"))
@@ -310,15 +318,17 @@ object PipelineQueries {
     // shape (bucket equi-join + per-key window) is unchanged.
     Q("e2_ann_buckets",
       (s, d) => {
+        // per-vector norm precomputed before the bucket join (see e1 note)
         val emb = embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("bucket", signBucket(col("v"), Seq(0, 21, 42)))
+          .withColumn("nrm", l2Norm(col("v")))
         emb.as("x")
           .join(emb.as("y"),
             col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
           .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
             col("y.vec_id").as("neighbor"),
-            round(cosine(col("x.v"), col("y.v")), 5).as("cos"))
+            round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 5).as("cos"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("neighbor")))
             .cast("long"))
