@@ -1,0 +1,71 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The metadata/genre pipeline (SURVEY.md §3.3, EDA cells 24-108),
+  * re-expressed as one distributed flow. The reference runs this in pandas
+  * on the driver: per-track {tag -> val} dicts (cells 36-37), tag popularity
+  * count+rank (cells 85-87), then `select_genre` picks the argmax-value tag
+  * breaking ties by global popularity rank (cell 96), glued back by row
+  * position (cells 102-104). Here every step is a DataFrame op and the glue
+  * is a keyed join; the same code runs at any scale.
+  *
+  * Column roles below use the synthetic schema (user ~ track, event_type ~
+  * tag, value ~ tag weight); the flow is schema-parameterized.
+  */
+object GenrePipeline {
+
+  /** Per-(key, tag) weight, scaled to cent-integers so downstream equality
+    * (argmax ties) is exact.
+    */
+  def tagScores(df: DataFrame, keyCol: String, tagCol: String,
+      valCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(tagCol))
+      .agg(round(sum(col(valCol)) * 100).cast("long").as("score_c"))
+
+  /** A5: the {tag -> score} map per key, entry order pinned. */
+  def tagMap(scores: DataFrame, keyCol: String, tagCol: String): DataFrame =
+    scores.groupBy(col(keyCol))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col(tagCol), col("score_c"))))).as("tags"))
+
+  /** A4/A6 (explode-map-keys form): global tag popularity rank — tags
+    * ranked by how many keys carry them, ties alphabetical. The rank table
+    * is dimension-sized: it broadcasts wherever it joins.
+    */
+  def tagRank(maps: DataFrame): DataFrame =
+    maps.select(explode(map_keys(col("tags"))).as("tag"))
+      .groupBy(col("tag")).agg(count(lit(1)).as("n_keys"))
+      // dimension-sized input: the single-partition window is fine here
+      .withColumn("pop_rank",
+        row_number().over(Window.orderBy(desc("n_keys"), col("tag"))).cast("long"))
+
+  /** A9 (map-HOF argmax) + the reference's tie rule: among the tags tied at
+    * the maximum score, keep the one with the best (lowest) global
+    * popularity rank (select_genre, EDA cell 96).
+    */
+  def dominantTag(maps: DataFrame, ranks: DataFrame, keyCol: String): DataFrame = {
+    val m: Column = col("tags")
+    val cands = maps
+      .select(col(keyCol),
+        explode(map_keys(map_filter(m, (_, v) => v === array_max(map_values(m)))))
+          .as("tag"),
+        array_max(map_values(m)).as("score_c"))
+    cands.join(broadcast(ranks.select(col("tag"), col("pop_rank"))), Seq("tag"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("pop_rank"), col("tag"))))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("tag").as("dom_tag"), col("score_c"), col("pop_rank"))
+  }
+
+  /** The full flow: scores -> maps -> popularity rank -> dominant tag. */
+  def dominant(df: DataFrame, keyCol: String, tagCol: String,
+      valCol: String): DataFrame = {
+    val scores = tagScores(df, keyCol, tagCol, valCol)
+    val maps = tagMap(scores, keyCol, tagCol)
+    val ranks = tagRank(maps)
+    dominantTag(maps, ranks, keyCol)
+  }
+}

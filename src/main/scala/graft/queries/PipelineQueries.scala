@@ -98,16 +98,18 @@ object PipelineQueries {
     // scale path; an all-pairs crossJoin never appears.
     Q("d3_lsh_pairs",
       (s, d) => {
-        // signature materialized in its own projection: lshBands references
-        // it once per band, and CollapseProject won't inline a non-cheap
-        // multi-referenced alias — so the md5 hashing runs once per doc.
-        val sig = tokenized(s, d)
+        // The band frame feeds BOTH sides of the self-join (a diamond), and
+        // the generate/join also push derived non-null filters that would
+        // inline the signature expression again — so the signatures are
+        // persisted: hashed once, reused by every consumer. At cluster scale
+        // this is the natural checkpoint (signatures are tiny vs the text).
+        val bands = tokenized(s, d)
           .select(col("doc_id"),
             minhashSignature(shingleHashes(col("text")), 16).as("sig"))
-        val bands = sig
           .select(col("doc_id"), lshBands(col("sig"), 4, 4).as("bands"))
           .select(col("doc_id"),
             posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+          .persist()
         bands.as("x")
           .join(bands.as("y"),
             col("x.band_idx") === col("y.band_idx")
@@ -354,6 +356,40 @@ object PipelineQueries {
              |)
              |SELECT vec_id, bucket, neighbor, cos, rn FROM r WHERE rn <= 3
              |ORDER BY vec_id, rn""".stripMargin)),
+
+    // ----- metadata/genre pipeline ---------------------------------------
+    // G1: the EDA genre flow end-to-end (graft.meta.GenrePipeline): per-key
+    // {tag -> score} maps, explode(map_keys) popularity rank, map-HOF argmax
+    // with the reference's tie rule (best global rank wins), keyed join glue.
+    Q("g1_dominant_tag",
+      (s, d) => graft.meta.GenrePipeline
+        .dominant(events(s, d), "user_id", "event_type", "value")
+        .orderBy("user_id"),
+      Some("""WITH sc AS (
+             |  SELECT user_id, event_type,
+             |    CAST(round(sum(value) * 100) AS BIGINT) AS score_c
+             |  FROM events GROUP BY 1, 2
+             |), mx AS (
+             |  SELECT user_id, max(score_c) AS m FROM sc GROUP BY 1
+             |), pop AS (
+             |  SELECT event_type, count(DISTINCT user_id) AS n_keys
+             |  FROM events GROUP BY 1
+             |), rk AS (
+             |  SELECT event_type,
+             |    row_number() OVER (ORDER BY n_keys DESC, event_type) AS pop_rank
+             |  FROM pop
+             |), cand AS (
+             |  SELECT sc.user_id, sc.event_type, sc.score_c, rk.pop_rank
+             |  FROM sc
+             |  JOIN mx ON sc.user_id = mx.user_id AND sc.score_c = mx.m
+             |  JOIN rk ON sc.event_type = rk.event_type
+             |), pick AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY pop_rank, event_type) AS rn
+             |  FROM cand
+             |)
+             |SELECT user_id, event_type AS dom_tag, score_c, pop_rank
+             |FROM pick WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
     // ----- multimodal columns --------------------------------------------
     // M1: binary payload + typed metadata. The payload column is real
