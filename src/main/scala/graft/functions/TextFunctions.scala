@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Deterministic 32-bit hash of a string, identical across engines:
-    * first 8 hex chars of md5, parsed as an unsigned int. Used instead of
-    * Spark's murmur `hash()` because the oracle engine must reproduce it.
+    * first 8 hex chars of md5 (= first 4 digest bytes big-endian), as an
+    * unsigned int. Used instead of Spark's murmur `hash()` because the
+    * oracle engine must reproduce it. Implemented as a native codegen
+    * Expression (graft.expressions.Md5Hash32) — equivalent to
+    * `conv(substring(md5(c), 1, 8), 16, 10).cast("long")` without the hex
+    * string round trip (Md5Hash32Spec asserts the equivalence).
     */
   def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.Md5Hash32(org.apache.spark.sql.GraftBridge.expression(c)))
 
   /** Whitespace tokens of lower-cased text. */
   def tokens(text: Column): Column = split(lower(text), " ")

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> catalyst Expression bridge. Spark 4 made the conversion
+  * utilities `private[sql]`; custom Expressions (graft.expressions.*) still
+  * need them, so this object re-exports the two calls from inside the sql
+  * package — the standard idiom for Spark extension libraries.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
