@@ -370,6 +370,18 @@ object RelationalQueries {
              |   FROM events) t
              |WHERE rn <= 5 ORDER BY user_id, rn""".stripMargin)),
 
+    // W3: event-time tumbling window aggregation — the batch face of the
+    // Structured Streaming surface (graft.streaming.EventStream shares this
+    // exact aggregation; EventStreamSpec checks stream==batch). events.ts is
+    // nanos-since-epoch (see Tables.eventTime).
+    Q("w3_tumbling_window",
+      (s, d) => graft.streaming.EventStream.tumblingTypeCounts(
+        events(s, d).withColumn("ts", Tables.eventTime(col("ts"))), "1 hour")
+        .orderBy("win_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
     // ----- §2.6 sorts / limits / top-k / sampling ------------------------
     // O1: global sort (param_train_1st.py:58).
     Q("o1_sort",

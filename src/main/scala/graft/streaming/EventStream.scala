@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+final case class UserEvent(user_id: Long, event_type: String,
+    ts: java.sql.Timestamp, value: Double)
+final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured Streaming surface over the `events` shape.
+  *
+  * The reference is batch-only (SURVEY.md §2.11), so this module is the
+  * forward-looking half of the engine: the SAME aggregation logic runs over
+  * a stream or a table — `tumblingTypeCounts` is used both by the streaming
+  * entry point here and by the oracled batch query (w3_tumbling_window),
+  * which is how its semantics are checked.
+  *
+  * Scale notes: watermarking bounds state (late events beyond the watermark
+  * are dropped, state for closed windows is evicted); the windowed agg is a
+  * standard partial-aggregable shuffle keyed on (window, type); the
+  * stateful per-user stream keeps one small state row per active user,
+  * sharded by the groupBy key.
+  */
+object EventStream {
+
+  /** Event-time tumbling-window counts per event type. Works identically on
+    * a streaming or batch frame with a `ts` timestamp column.
+    */
+  def tumblingTypeCounts(events: DataFrame, windowLength: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sv"))
+
+  /** Streaming variant with a watermark so window state is bounded. */
+  def streamingTypeCounts(events: DataFrame, windowLength: String,
+      watermark: String): DataFrame =
+    tumblingTypeCounts(events.withWatermark("ts", watermark), windowLength)
+
+  /** Arbitrary stateful processing (the mapGroupsWithState surface): a
+    * running per-user event count + value total, updated per micro-batch.
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserRunning(uid, acc.n_events + 1, acc.total_value + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+}

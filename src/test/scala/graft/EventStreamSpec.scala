@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventStream, UserEvent}
+
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(minute: Int) = new Timestamp(3600_000L * 24 + minute * 60_000L)
+
+  private val fixture = Seq(
+    UserEvent(1L, "click", ts(5), 1.0),
+    UserEvent(2L, "click", ts(20), 2.0),
+    UserEvent(1L, "view", ts(65), 3.0),
+    UserEvent(2L, "click", ts(70), 4.0),
+    UserEvent(1L, "click", ts(130), 5.0))
+
+  test("streaming windowed counts equal the batch aggregation (same logic)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = EventStream.streamingTypeCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val streamed = s.table("win_counts")
+        .orderBy("win_start", "event_type").collect().toSeq
+      val batch = EventStream.tumblingTypeCounts(fixture.toDF(), "1 hour")
+        .orderBy("win_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.size == 4) // (h0 click n=2), (h1 click), (h1 view), (h2 click)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = EventStream.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update").start()
+    try {
+      mem.addData(fixture.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.drop(2): _*)
+      q.processAllAvailable()
+      // last update per user reflects ALL events seen (state carried over)
+      val last = s.table("user_totals")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(last(1L) == ((3L, 9.0)))
+      assert(last(2L) == ((2L, 6.0)))
+    } finally q.stop()
+  }
+}
