@@ -357,6 +357,57 @@ object PipelineQueries {
              |SELECT vec_id, bucket, neighbor, cos, rn FROM r WHERE rn <= 3
              |ORDER BY vec_id, rn""".stripMargin)),
 
+    // E4: IVF approximate nearest neighbour — trained coarse quantizer
+    // (k-means cells) + probed-cell candidate join (graft.similarity
+    // .IvfIndex). Not SQL-expressible (model-based): rows-only here;
+    // IvfIndexSpec checks recall against brute force.
+    Q("e4_ann_ivf",
+      (s, d) => {
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val model = graft.similarity.IvfIndex.build(emb, nCells = 8)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        graft.similarity.IvfIndex.topK(model, queries, k = 5, nprobe = 2)
+          .select(col("q_id"), col("cand_id"), round(col("cos"), 5).as("cos"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("q_id", "rn")
+      },
+      None),
+
+    // E3: embedding-cosine near-duplicate detection — the dedup decision on
+    // top of the bucketed candidate generation (same bucket join as e2, so
+    // never all-pairs): pairs above the cosine threshold, keep-min-id rule.
+    Q("e3_embed_neardup",
+      (s, d) => {
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("bucket", signBucket(col("v"), Seq(0, 21, 42)))
+          .withColumn("nrm", l2Norm(col("v")))
+        emb.as("x")
+          .join(emb.as("y"),
+            col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("dup_id"),
+            round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 5).as("cos"))
+          .filter(col("cos") > 0.45)
+          .orderBy("keep_id", "dup_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v,
+             |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN embedding[22] > 0 THEN 2 ELSE 0 END)
+             |    + (CASE WHEN embedding[43] > 0 THEN 4 ELSE 0 END) AS bucket
+             |  FROM embeddings
+             |), p AS (
+             |  SELECT x.vec_id AS keep_id, y.vec_id AS dup_id,
+             |    round(list_sum([x.v[i] * y.v[i] for i in range(1, len(x.v) + 1)])
+             |      / (sqrt(list_sum([a*a for a in x.v])) * sqrt(list_sum([b*b for b in y.v]))),
+             |      5) AS cos
+             |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+             |)
+             |SELECT keep_id, dup_id, cos FROM p WHERE cos > 0.45
+             |ORDER BY keep_id, dup_id""".stripMargin)),
+
     // ----- metadata/genre pipeline ---------------------------------------
     // G1: the EDA genre flow end-to-end (graft.meta.GenrePipeline): per-key
     // {tag -> score} maps, explode(map_keys) popularity rank, map-HOF argmax

@@ -1,0 +1,71 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate nearest neighbour over an
+  * `array<double>` embedding column — the trained-quantizer counterpart to
+  * the hash-bucket LSH path (e2_ann_buckets).
+  *
+  * Build: a k-means coarse quantizer assigns every vector to its nearest
+  * centroid cell — one shuffle keyed by cell at write time. Search: a query
+  * probes only its `nprobe` closest cells (candidate join keyed on cell_id,
+  * never all-pairs), then exact cosine ranks the candidates per query.
+  * At 100 TB: cells ~ sqrt(N) so each inverted list stays executor-sized;
+  * the centroid table is model-sized and broadcasts; recall tunes with
+  * nprobe, plan shape unchanged.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: DataFrame, assigned: DataFrame)
+
+  /** Train the coarse quantizer and assign every vector to a cell.
+    * `emb` must have (vec_id, v: array<double>).
+    */
+  def build(emb: DataFrame, nCells: Int, seed: Long = 123L): Model = {
+    val withVec = emb.withColumn("fv", array_to_vector(col("v")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fv")
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell_id"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val spark = emb.sparkSession
+    val centroids = centroidFrame(spark, model.clusterCenters.map(_.toArray))
+    Model(centroids, assigned)
+  }
+
+  private def centroidFrame(spark: SparkSession,
+      centers: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "cv")
+      .withColumn("cnrm", l2Norm(col("cv")))
+  }
+
+  /** Exact-cosine top-k restricted to each query's `nprobe` nearest cells.
+    * `queries` must have (q_id, qv: array<double>).
+    */
+  def topK(model: Model, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val q = queries.withColumn("qnrm", l2Norm(col("qv")))
+    // probe selection: query x centroid table (model-sized -> broadcast)
+    val probed = q.join(broadcast(model.centroids))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("cell_id"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("csim"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("csim"), col("cell_id"))))
+      .filter(col("crank") <= nprobe)
+      .select("q_id", "qv", "qnrm", "cell_id")
+    // candidate join keyed on cell_id, then exact per-query ranking
+    probed.join(model.assigned, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("cand_id"))))
+      .filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.similarity.IvfIndex
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    .cache()
+
+  test("IVF top-k: sane shape, probed-cell pruning, recall vs brute force") {
+    val model = IvfIndex.build(emb, nCells = 8)
+    assert(model.centroids.count() == 8)
+    // every vector lands in exactly one cell
+    assert(model.assigned.count() == emb.count())
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val approx = IvfIndex.topK(model, queries, k = 5, nprobe = 3)
+      .select("q_id", "cand_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // brute-force ground truth
+    val qn = queries.withColumn("qnrm", l2Norm(col("qv")))
+    val en = emb.withColumn("nrm", l2Norm(col("v")))
+    val exact = en.join(broadcast(qn), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("cand_id"))))
+      .filter(col("rn") <= 5)
+      .select("q_id", "cand_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val recalls = exact.map { case (qid, truth) =>
+      approx.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 3 of 8 cells probed: recall must be far above the ~3/8 cell fraction
+    assert(mean >= 0.5, s"mean recall@5 = $mean")
+    assert(approx.values.forall(_.size <= 5))
+  }
+}
