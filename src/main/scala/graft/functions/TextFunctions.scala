@@ -58,6 +58,18 @@ object TextFunctions {
     aggregate(perShingle, top, (acc, arr) => zip_with(acc, arr, (a, b) => least(a, b)))
   }
 
+  /** The whole tokenize->shingle->hash->minhash pipeline as ONE native
+    * expression (graft.expressions.MinHashSig) — bit-identical to
+    * `minhashSignature(shingleHashes(text), k)` but the inner loop is
+    * compiled Scala instead of ~4k interpreted HOF evals per document.
+    * This is the production entry point; the HOF composition above stays as
+    * the reference semantics (MinHashSigSpec asserts equality).
+    */
+  def minhashSigNative(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.MinHashSig(
+        org.apache.spark.sql.GraftBridge.expression(text), k))
+
   /** LSH band keys: the signature split into `bands` contiguous chunks of
     * `rows` values, each serialized to one join key. Near-duplicates agree
     * on at least one full band with high probability.

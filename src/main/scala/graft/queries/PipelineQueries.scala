@@ -84,9 +84,8 @@ object PipelineQueries {
     Q("d2_minhash_sig",
       (s, d) => tokenized(s, d)
         .select(col("doc_id"),
-          array_join(
-            minhashSignature(shingleHashes(col("text")), 16).cast("array<string>"),
-            ",").as("sig"))
+          array_join(minhashSigNative(col("text"), 16).cast("array<string>"), ",")
+            .as("sig"))
         .orderBy("doc_id"),
       Some(s"""WITH $sqlTok, $sqlSig
               |SELECT doc_id, array_to_string(sig, ',') AS sig
@@ -104,8 +103,7 @@ object PipelineQueries {
         // persisted: hashed once, reused by every consumer. At cluster scale
         // this is the natural checkpoint (signatures are tiny vs the text).
         val bands = tokenized(s, d)
-          .select(col("doc_id"),
-            minhashSignature(shingleHashes(col("text")), 16).as("sig"))
+          .select(col("doc_id"), minhashSigNative(col("text"), 16).as("sig"))
           .select(col("doc_id"), lshBands(col("sig"), 4, 4).as("bands"))
           .select(col("doc_id"),
             posexplode(col("bands")).as(Seq("band_idx", "band_key")))

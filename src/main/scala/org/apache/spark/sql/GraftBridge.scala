@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Test access: the optimizer rules a SparkSessionExtensions would
+    * install (the builder hook itself is private[sql]).
+    */
+  def optimizerRules(ext: SparkSessionExtensions, session: SparkSession)
+      : Seq[catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import graft.plans.{GraftExtensions, RewriteMd5Hash32}
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  private def composedPlan = {
+    val s = spark
+    import s.implicits._
+    Seq("hello", "world").toDF("s")
+      .select(expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)").as("h"))
+  }
+
+  test("rule rewrites the composed md5 idiom to the native expression") {
+    val before = composedPlan.queryExecution.analyzed
+    assert(!before.toString.contains("md5_hash32"))
+    val after = RewriteMd5Hash32(before)
+    assert(after.toString.contains("md5_hash32"), after.toString)
+  }
+
+  test("rewrite preserves results exactly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("hello", "", "a longer string with spaces").toDF("s")
+    val composed = df
+      .selectExpr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) as h")
+      .collect().map(_.getLong(0)).toSeq
+    val native = df.select(graft.functions.TextFunctions.hash32(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(composed == native)
+  }
+
+  test("extension class injects the rule into a session builder") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val rules = org.apache.spark.sql.GraftBridge.optimizerRules(ext, spark)
+    assert(rules.contains(RewriteMd5Hash32))
+  }
+}
