@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (co-located) joins: both sides pre-hashed into the same bucket
+  * layout on the join key at WRITE time, so the join reads bucket i against
+  * bucket i with no shuffle exchange on either side.
+  *
+  * This is the storage-level answer to the biggest 100 TB cost: a
+  * fact-fact join (lineitem ⨝ orders) otherwise shuffles both full tables
+  * every run. Bucketing pays one shuffle once, at write, and every
+  * subsequent join/aggregation on the key is exchange-free.
+  * BucketingSpec asserts the no-Exchange plan.
+  */
+object Bucketing {
+
+  /** Persist as a bucketed, bucket-sorted table (requires saveAsTable —
+    * bucket metadata lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a managed-table location can survive a previous session whose
+    // in-memory catalog is gone; overwrite then refuses to reuse it —
+    // drop both the catalog entry and any stale directory first
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    deleteRecursively(new java.io.File(warehouse, table))
+    df.write.format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists) { f.delete(); () }
+  }
+
+  /** Join two same-bucketed tables on their bucket key. */
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key))
+}

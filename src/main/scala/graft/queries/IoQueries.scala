@@ -106,6 +106,30 @@ object IoQueries {
       Some("""SELECT event_id, user_id, event_type, value FROM events
              |ORDER BY event_id""".stripMargin)),
 
+    // Bucketed co-located fact-fact join: both sides written bucketed on
+    // the join key (one shuffle, paid once at write), then joined with NO
+    // exchange on either side (BucketingSpec pins the plan). At 100 TB this
+    // turns the recurring lineitem⨝orders shuffle into a bucket-local read.
+    Q("b1_bucketed_join",
+      (s, d) => {
+        graft.operators.Bucketing.writeBucketed(
+          lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+          "q_b_lineitem", "l_orderkey", 8)
+        graft.operators.Bucketing.writeBucketed(
+          orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          "q_b_orders", "l_orderkey", 8)
+        graft.operators.Bucketing
+          .colocatedJoin(s, "q_b_lineitem", "q_b_orders", "l_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sv"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  round(sum(l_extendedprice), 2) AS sv
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // P9: the expr()/selectExpr SQL-text entry point (learning_curve.py:65
     // is `expr('collect_list(track_idx) as tracks')`) — the whole query is
     // built from SQL strings and still resolves to the same Catalyst plan
