@@ -377,9 +377,12 @@ object RelationalQueries {
     Q("w3_tumbling_window",
       (s, d) => graft.streaming.EventStream.tumblingTypeCounts(
         events(s, d).withColumn("ts", Tables.eventTime(col("ts"))), "1 hour")
+        // epoch seconds, not raw timestamps: the comparator's datetime
+        // handling is engine-sensitive (ns vs us resolution), integers not
+        .withColumn("win_start", col("win_start").cast("long"))
         .orderBy("win_start", "event_type"),
-      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
-             |  count(*) AS n, round(sum(value), 2) AS sv
+      Some("""SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS win_start,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sv
              |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
     // ----- §2.6 sorts / limits / top-k / sampling ------------------------
