@@ -9,15 +9,23 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Left-fold sum of an array<double>. */
-  private def arraySum(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x)
-
+  /** Native compiled dot product (graft.expressions.DotProduct) —
+    * bit-identical to the HOF form `aggregate(zip_with(a,b,*), 0d, +)`
+    * without its per-element interpreter overhead.
+    */
   def dot(a: Column, b: Column): Column =
-    arraySum(zip_with(a, b, (x, y) => x * y))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
-  def l2Norm(a: Column): Column =
-    sqrt(arraySum(transform(a, x => x * x)))
+  /** Reference HOF form of `dot`, kept as the semantics baseline the
+    * native expression is tested against.
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
