@@ -160,6 +160,34 @@ object IoQueries {
       Some("""SELECT o_orderkey, o_totalprice, upper(o_orderstatus) AS status_u
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // O8: stratified (per-stratum Bernoulli) sampling — training-data
+    // curation keeps classes balanced by sampling each stratum at its own
+    // rate; map-side filter, no shuffle. Seeded but engine-specific →
+    // rows-only, like o5.
+    Q("o8_stratified_sample",
+      (s, d) => events(s, d)
+        .stat.sampleBy("event_type",
+          Map("click" -> 0.1, "view" -> 0.5, "purchase" -> 1.0,
+            "error" -> 1.0, "signup" -> 0.25),
+          42L)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      None),
+
+    // T5: sketch aggregates — HLL distinct and quantile sketches are how
+    // cardinality/distribution questions get answered at 100 TB (exact
+    // distinct of a high-cardinality key is itself a full shuffle).
+    // Sketch internals are engine-specific → rows-only; the EXACT analogs
+    // are oracled elsewhere (a2_distinct, a7_summary_stats).
+    Q("t5_approx_sketches",
+      (s, d) => events(s, d).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        round(element_at(percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+          lit(10000)), 1), 2).as("p50"),
+        round(element_at(percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+          lit(10000)), 2), 2).as("p95")),
+      None),
+
     // A9 (map-HOF form): argmax over MAP VALUES with ties kept — the
     // reference's select_genre (EDA cell 96) done with map_from_entries /
     // map_values / map_filter higher-order functions instead of a window.

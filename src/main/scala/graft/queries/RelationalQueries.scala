@@ -354,6 +354,37 @@ object RelationalQueries {
              |  round(sum(value), 2) AS sv, count(*) AS n FROM events GROUP BY event_type)
              |SELECT round(sqrt(sum(ssq - sv*sv/n) / sum(n)), 4) AS rmse FROM g""".stripMargin)),
 
+    // A12: rollup — hierarchical subtotals in one pass (groupBy + rollup
+    // lowers to a single Expand + partial aggregate; at scale this beats
+    // N separate group-bys re-reading the fact table N times).
+    Q("a12_rollup",
+      (s, d) => events(s, d)
+        .rollup(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("user_bucket"), lit(-1)).as("user_bucket"), col("n"))
+        .orderBy("event_type", "user_bucket"),
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+             |  coalesce(user_id % 10, -1) AS user_bucket, count(*) AS n
+             |FROM events GROUP BY ROLLUP (event_type, (user_id % 10))
+             |ORDER BY event_type, user_bucket""".stripMargin)),
+
+    // A13: pivot — event counts per user spread across type columns; the
+    // Spark pivot lowers to one pass of conditional aggregates (same plan
+    // the oracle states explicitly with FILTER).
+    Q("a13_pivot",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"))
+        .pivot(col("event_type"), Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  count(*) FILTER (event_type = 'click') AS click,
+             |  count(*) FILTER (event_type = 'view') AS view,
+             |  count(*) FILTER (event_type = 'purchase') AS purchase
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ----- §2.5 windows --------------------------------------------------
     // W2: per-key top-N by score (the top-500-per-user pattern, O4/W2).
     Q("w2_topk_per_key",
