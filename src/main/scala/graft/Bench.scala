@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: wall-times every registered query at SPARK_GRAFT_SF_DIR.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
-import graft.eval.{RankingAggregator, RankingEval}
+import graft.eval.RankingEval
 import graft.model.{AlsConfig, AlsTrainer}
 import graft.prep.Indexing
 
