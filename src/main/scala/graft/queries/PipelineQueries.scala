@@ -128,6 +128,44 @@ object PipelineQueries {
               |  AND x.doc_id < y.doc_id
               |ORDER BY a_id, b_id""".stripMargin)),
 
+    // D6: dedup APPLIED — the full near-dup pipeline ending in a cleaned
+    // corpus: LSH candidates -> exact-hash confirmation -> drop every
+    // pair's higher doc_id (keep-first) -> per-lang survivor counts. The
+    // drop set is a left-anti join, so the corpus is never collected.
+    Q("d6_dedup_apply",
+      (s, d) => {
+        val sig = tokenized(s, d)
+          .select(col("doc_id"), minhashSigNative(col("text"), 16).as("sig"))
+        val bands = sig
+          .select(col("doc_id"), lshBands(col("sig"), 4, 4).as("bands"))
+          .select(col("doc_id"),
+            posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+        val losers = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx")
+              && col("x.band_key") === col("y.band_key")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("y.doc_id").as("doc_id"))
+          .distinct()
+        documents(s, d)
+          .join(losers, Seq("doc_id"), "left_anti")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $sqlTok, $sqlSig, bands AS (
+              |  SELECT doc_id, bi.b AS band_idx,
+              |    array_to_string(sig[bi.b*4 + 1 : bi.b*4 + 4], '_') AS band_key
+              |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bi
+              |), losers AS (
+              |  SELECT DISTINCT y.doc_id
+              |  FROM bands x JOIN bands y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |    AND x.doc_id < y.doc_id
+              |)
+              |SELECT lang, count(*) AS n_kept FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // D4: 32-bit SimHash over the token multiset — near-dup sketch whose
     // Hamming distance approximates cosine distance of the token vectors.
     // Map-side only, one long per doc.
