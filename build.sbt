@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suites share one SparkSession (and BucketingSpec temporarily mutates
+// session conf / the catalog): run them sequentially for deterministic green.
+Test / parallelExecution := false
