@@ -100,6 +100,15 @@ object TextFunctions {
       (acc, s) => acc * 2 + when(s > 0, 1L).otherwise(0L))
   }
 
+  /** Native whole-document SimHash over the raw text column — bit-identical
+    * to `simhash32(tokens(text))` with the inner loop compiled
+    * (SimHash32ExprSpec asserts equality).
+    */
+  def simhashNative(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.SimHash32Expr(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Order-sensitive document fingerprint: position-weighted sum of token
     * hashes mod 2^31-1. Reordering any two distinct tokens changes it.
     */

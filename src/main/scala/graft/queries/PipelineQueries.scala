@@ -171,7 +171,7 @@ object PipelineQueries {
     // Map-side only, one long per doc.
     Q("d4_simhash",
       (s, d) => tokenized(s, d)
-        .select(col("doc_id"), simhash32(col("w")).as("simhash"))
+        .select(col("doc_id"), simhashNative(col("text")).as("simhash"))
         .orderBy("doc_id"),
       Some(s"""WITH $sqlTok, th AS (
               |  SELECT doc_id, [${sqlH32("t")} for t in w] AS th FROM tok
