@@ -416,6 +416,39 @@ object RelationalQueries {
              |  event_type, count(*) AS n, round(sum(value), 2) AS sv
              |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // W4: session windows — per-user sessions split at 30-minute gaps.
+    // Spark's session_window is a merging group-by (streaming-capable,
+    // state = one open session per key); the oracle derives the identical
+    // sessions with gaps-and-islands SQL (lag + running sum). Session
+    // boundary semantics: an event exactly 30 min after the previous one
+    // starts a NEW session (Spark merges only while ts < previous + gap).
+    Q("w4_session_window",
+      (s, d) => events(s, d)
+        .withColumn("ts", Tables.eventTime(col("ts")))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH x AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+             |    THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), y AS (
+             |  SELECT user_id, ts, sum(new_s) OVER (
+             |    PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x
+             |)
+             |SELECT user_id, epoch_us(min(ts)) // 1000000 AS session_start,
+             |  count(*) AS n_events
+             |FROM y GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // ----- §2.6 sorts / limits / top-k / sampling ------------------------
     // O1: global sort (param_train_1st.py:58).
     Q("o1_sort",
