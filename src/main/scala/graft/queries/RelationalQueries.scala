@@ -449,6 +449,32 @@ object RelationalQueries {
              |FROM y GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // J8: as-of join — each click joined to the user's latest purchase at
+    // or before it (graft.operators.AsOfJoin: union + running window, one
+    // shuffle, no key-local cross product). The oracle runs DuckDB's
+    // NATIVE ASOF JOIN, so this row cross-checks the composed operator
+    // against an engine-native implementation.
+    Q("j8_asof_join",
+      (s, d) => {
+        val ev = events(s, d).withColumn("ts", Tables.eventTime(col("ts")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("src_id"),
+            round(col("value"), 2).as("src_val"))
+        graft.operators.AsOfJoin
+          .asOfInner(clicks, purchases, "user_id", "ts", Seq("src_id", "src_val"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_src_id"), col("asof_src_val"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id,
+             |  p.event_id AS asof_src_id, round(p.value, 2) AS asof_src_val
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // ----- §2.6 sorts / limits / top-k / sampling ------------------------
     // O1: global sort (param_train_1st.py:58).
     Q("o1_sort",
