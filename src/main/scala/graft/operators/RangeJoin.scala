@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join: points p joined to every interval
+  * [lo, hi) containing them.
+  *
+  * Spark plans a raw inequality join as BroadcastNestedLoop (fine only
+  * while the interval side broadcasts) or a cartesian product. The scale
+  * path here: intervals are EXPLODED to the fixed-width buckets they
+  * overlap, points hash to their single bucket, and the join becomes an
+  * equi-join on the bucket id refined by the exact predicate. Each point
+  * meets only the intervals overlapping its bucket — cost is
+  * |P| + sum(interval_width/bucket_width), never |P| x |R|. A point
+  * matches each containing interval exactly once (its bucket is unique).
+  */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    val bucketed = intervals.withColumn("_b",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        // hi is exclusive: an interval ending exactly on a bucket edge
+        // does not reach into the next bucket
+        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+    points.withColumn("_b", floor(col(pointCol) / bucketWidth).cast("long"))
+      .join(bucketed, Seq("_b"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_b")
+  }
+}

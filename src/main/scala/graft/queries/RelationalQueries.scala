@@ -475,6 +475,31 @@ object RelationalQueries {
              |  ON c.user_id = p.user_id AND c.ts >= p.ts
              |ORDER BY c.event_id""".stripMargin)),
 
+    // J9: range join — events matched to (overlapping) value bands via the
+    // bucketed rewrite (graft.operators.RangeJoin): intervals explode to
+    // the buckets they cover, points equi-join their bucket, exact
+    // predicate refines. The oracle states the raw inequality join.
+    Q("j9_range_join",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          ("low", 0.0, 2.0), ("mid", 2.0, 10.0), ("high", 10.0, 30.0),
+          ("xhigh", 30.0, 1000.0), ("overlap", 5.0, 15.0)
+        ).toDF("band", "lo", "hi")
+        graft.operators.RangeJoin
+          .pointInInterval(
+            events(s, d).select(col("event_id"), col("value")),
+            bands, "value", "lo", "hi", 5.0)
+          .select(col("event_id"), col("band"))
+          .orderBy("event_id", "band")
+      },
+      Some("""WITH bands(band, lo, hi) AS (VALUES
+             |  ('low', 0.0, 2.0), ('mid', 2.0, 10.0), ('high', 10.0, 30.0),
+             |  ('xhigh', 30.0, 1000.0), ('overlap', 5.0, 15.0))
+             |SELECT event_id, band
+             |FROM events JOIN bands ON value >= lo AND value < hi
+             |ORDER BY event_id, band""".stripMargin)),
+
     // ----- §2.6 sorts / limits / top-k / sampling ------------------------
     // O1: global sort (param_train_1st.py:58).
     Q("o1_sort",
