@@ -7,6 +7,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 final case class UserEvent(user_id: Long, event_type: String,
     ts: java.sql.Timestamp, value: Double)
 final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+final case class OpenSession(start_ms: Long, last_ms: Long, n: Long, total: Double)
+final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+    n_events: Long, total_value: Double)
 
 /** Structured Streaming surface over the `events` shape.
   *
@@ -38,6 +41,56 @@ object EventStream {
   def streamingTypeCounts(events: DataFrame, windowLength: String,
       watermark: String): DataFrame =
     tumblingTypeCounts(events.withWatermark("ts", watermark), windowLength)
+
+  /** Streaming sessionization via flatMapGroupsWithState with EVENT-TIME
+    * timeout: state is the single open session per user; a batch whose
+    * events jump the gap closes sessions immediately, and an idle user's
+    * open session is closed by the watermark passing last_event + gap
+    * (state is then removed — bounded state, the session-window streaming
+    * contract). Emits each CLOSED session exactly once (Append mode).
+    */
+  def closedSessions(events: Dataset[UserEvent], gapMs: Long,
+      watermarkDelay: String): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+
+    def toClosed(uid: Long, s: OpenSession): ClosedSession =
+      ClosedSession(uid, new java.sql.Timestamp(s.start_ms), s.n, s.total)
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val closed = toClosed(uid, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last_ms < gapMs =>
+                  open = Some(OpenSession(s.start_ms, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += toClosed(uid, s)
+                  open = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_ms + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Arbitrary stateful processing (the mapGroupsWithState surface): a
     * running per-user event count + value total, updated per micro-batch.

@@ -36,6 +36,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState closes sessions on gap jump and on watermark timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = EventStream.closedSessions(mem.toDS(), gapMs = 30 * 60_000L,
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      // session A: u1 at min 0 and 5
+      mem.addData(UserEvent(1L, "click", ts(0), 1.0), UserEvent(1L, "click", ts(5), 2.0))
+      q.processAllAvailable()
+      assert(s.table("closed_sessions").count() == 0) // still open
+
+      // min 60 jumps the 30-min gap: session A closes in-batch
+      mem.addData(UserEvent(1L, "view", ts(60), 3.0))
+      q.processAllAvailable()
+      val afterJump = s.table("closed_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60_000, r.getLong(2)))
+      assert(afterJump.toSeq == Seq((1L, 24 * 60 + 0, 2L)))
+
+      // u2 far in the future advances the watermark past u1's open session
+      // (60 + 30 gap = 90 < watermark 170): event-time timeout closes it
+      mem.addData(UserEvent(2L, "click", ts(180), 9.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2L, "click", ts(181), 1.0))
+      q.processAllAvailable()
+      val users = s.table("closed_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(users.contains((1L, 1L)), s"timeout session missing: ${users.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across micro-batches") {
     val s = spark
     import s.implicits._
