@@ -47,12 +47,16 @@ object GenrePipeline {
     * popularity rank (select_genre, EDA cell 96).
     */
   def dominantTag(maps: DataFrame, ranks: DataFrame, keyCol: String): DataFrame = {
-    val m: Column = col("tags")
+    // the max is hoisted into its own column BEFORE the map_filter: HOF
+    // lambdas have no common-subexpression elimination, so referencing
+    // array_max(map_values(m)) inside the lambda would recompute it per
+    // map entry — O(n^2) per row
     val cands = maps
+      .withColumn("mx", array_max(map_values(col("tags"))))
       .select(col(keyCol),
-        explode(map_keys(map_filter(m, (_, v) => v === array_max(map_values(m)))))
+        explode(map_keys(map_filter(col("tags"), (_, v) => v === col("mx"))))
           .as("tag"),
-        array_max(map_values(m)).as("score_c"))
+        col("mx").as("score_c"))
     cands.join(broadcast(ranks.select(col("tag"), col("pop_rank"))), Seq("tag"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col("pop_rank"), col("tag"))))

@@ -35,7 +35,10 @@ object Bucketing {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    // listFiles() is null on IO errors or if the dir vanished after the
+    // isDirectory check — tolerate both, this is best-effort pre-cleaning
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     if (f.exists) { f.delete(); () }
   }
 

@@ -23,9 +23,13 @@ object RangeJoin {
     val bucketed = intervals.withColumn("_b",
       explode(sequence(
         floor(col(loCol) / bucketWidth).cast("long"),
-        // hi is exclusive: an interval ending exactly on a bucket edge
-        // does not reach into the next bucket
-        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+        // floor(hi/w) can emit one bucket the (hi-exclusive) interval never
+        // reaches when hi lies exactly on a bucket edge — the exact filter
+        // below discards it, and each point still matches each containing
+        // interval exactly once (its bucket is unique). An epsilon-nudged
+        // bound would be worse: it drops real matches within eps of hi and
+        // is a floating-point no-op once |hi| is large.
+        floor(col(hiCol) / bucketWidth).cast("long"))))
     points.withColumn("_b", floor(col(pointCol) / bucketWidth).cast("long"))
       .join(bucketed, Seq("_b"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))

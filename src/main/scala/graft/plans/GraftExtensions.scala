@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 import graft.expressions.Md5Hash32
 
 /** Optimizer rule: collapse the composed 32-bit-md5 idiom
@@ -17,11 +17,23 @@ import graft.expressions.Md5Hash32
 object RewriteMd5Hash32 extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressionsWithPruning(_ => true) {
+      // This rule runs post-analysis, so md5's argument is already wrapped
+      // in Cast(_, binary) (md5 takes binary). Strip that cast when it sits
+      // on a string — Md5Hash32 hashes the same utf8 bytes the cast would
+      // produce — and keep raw-binary children as-is (Md5Hash32 accepts
+      // both). Matching `Md5(inner)` without looking through the cast would
+      // be wrong twice over: the rewrite must only fire on the genuine
+      // composed idiom, and its output must stay type-correct without the
+      // analyzer re-checking it.
       case Cast(
-            Conv(Substring(Md5(inner), Literal(1, _), Literal(8, _)),
+            Conv(Substring(Md5(b), Literal(1, _), Literal(8, _)),
               Literal(16, _), Literal(10, _), _),
-            LongType, _, _) =>
-        Md5Hash32(inner)
+            LongType, _, _) if b.dataType == BinaryType =>
+        b match {
+          case Cast(inner, BinaryType, _, _) if inner.dataType == StringType =>
+            Md5Hash32(inner)
+          case _ => Md5Hash32(b)
+        }
     }
 }
 

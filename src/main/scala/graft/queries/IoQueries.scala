@@ -53,7 +53,10 @@ object IoQueries {
           .agg(count(lit(1)).as("n"), sum(col("nk")).as("sum_nk"))
           .orderBy("seg")
       },
-      Some("""SELECT c_mktsegment AS seg, count(*) AS n, sum(c_nationkey) AS sum_nk
+      // DuckDB sum(BIGINT) returns HUGEINT (-> float64 in the comparator's
+      // pandas frame); cast back to BIGINT to match Spark's long sum
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+             |  CAST(sum(c_nationkey) AS BIGINT) AS sum_nk
              |FROM customer GROUP BY c_mktsegment ORDER BY seg""".stripMargin)),
 
     // S7: parquet -> single-file CSV reformat (EDA cells 11-21 did this as
@@ -199,9 +202,12 @@ object IoQueries {
         orders(s, d)
           .groupBy(col("o_custkey"))
           .agg(m.as("m"))
+          // max hoisted out of the lambda: HOF lambdas have no CSE, so the
+          // inline form recomputes array_max per map entry (O(n^2) per row)
+          .withColumn("mx", array_max(map_values(col("m"))))
           .select(col("o_custkey"),
             array_join(sort_array(map_keys(
-              map_filter(col("m"), (_, v) => v === array_max(map_values(col("m"))))))
+              map_filter(col("m"), (_, v) => v === col("mx"))))
               .cast("array<string>"), ",").as("argmax_keys"))
           .orderBy("o_custkey")
       },

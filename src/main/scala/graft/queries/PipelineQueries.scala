@@ -47,6 +47,18 @@ object PipelineQueries {
   private def sqlH32(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
+  /** doc_id x (band_idx, band_key) LSH band rows, partitioned by the band
+    * key. Shared by d3/d6; see the d3 comment for why posexplode_outer +
+    * repartition (instead of persist) is the single-computation shape.
+    */
+  private def lshBandFrame(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .select(col("doc_id"), minhashSigNative(col("text"), 16).as("sig"))
+      .select(col("doc_id"), lshBands(col("sig"), 4, 4).as("bands"))
+      .select(col("doc_id"),
+        posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+      .repartition(col("band_idx"), col("band_key"))
+
   /** DuckDB SQL fragment: per-doc 3-gram shingle hashes + 16-slot minhash
     * signature (mirror of minhashSignature(shingleHashes, 16)).
     */
@@ -97,19 +109,24 @@ object PipelineQueries {
     // scale path; an all-pairs crossJoin never appears.
     Q("d3_lsh_pairs",
       (s, d) => {
-        // The band frame feeds BOTH sides of the self-join (a diamond), and
-        // the generate/join also push derived non-null filters that would
-        // inline the signature expression again — so the signatures are
-        // persisted: hashed once, reused by every consumer. At cluster scale
-        // this is the natural checkpoint (signatures are tiny vs the text).
-        val bands = tokenized(s, d)
-          .select(col("doc_id"), minhashSigNative(col("text"), 16).as("sig"))
-          .select(col("doc_id"), lshBands(col("sig"), 4, 4).as("bands"))
-          .select(col("doc_id"),
-            posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-          .persist()
+        // The band frame feeds BOTH sides of the self-join (a diamond).
+        // Three deliberate choices make the signatures get hashed exactly
+        // once with NO persist (an r2 version persisted here, which leaks
+        // cached blocks in long-lived sessions — the query can't unpersist
+        // after its caller's action):
+        //  - posexplode_OUTER: plain posexplode makes the optimizer infer a
+        //    `size(bands) > 0` filter whose pushdown re-inlines the minhash
+        //    expression 4x into the scan filter; bands is statically
+        //    length-4, so outer is semantically identical and infers nothing;
+        //  - an explicit repartition on the band key, so both join inputs
+        //    are the same shuffle subtree;
+        //  - a shuffle-hash hint: broadcasting one side of a self-join of a
+        //    corpus-derived table is wrong at scale anyway, and with both
+        //    sides shuffled AQE dedups them into ONE exchange + a
+        //    ReusedExchange (plan pinned by PlanSpec).
+        val bands = lshBandFrame(s, d)
         bands.as("x")
-          .join(bands.as("y"),
+          .join(bands.as("y").hint("shuffle_hash"),
             col("x.band_idx") === col("y.band_idx")
               && col("x.band_key") === col("y.band_key")
               && col("x.doc_id") < col("y.doc_id"))
@@ -134,14 +151,10 @@ object PipelineQueries {
     // drop set is a left-anti join, so the corpus is never collected.
     Q("d6_dedup_apply",
       (s, d) => {
-        val sig = tokenized(s, d)
-          .select(col("doc_id"), minhashSigNative(col("text"), 16).as("sig"))
-        val bands = sig
-          .select(col("doc_id"), lshBands(col("sig"), 4, 4).as("bands"))
-          .select(col("doc_id"),
-            posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+        // same single-computation diamond as d3 (see the d3 comment)
+        val bands = lshBandFrame(s, d)
         val losers = bands.as("x")
-          .join(bands.as("y"),
+          .join(bands.as("y").hint("shuffle_hash"),
             col("x.band_idx") === col("y.band_idx")
               && col("x.band_key") === col("y.band_key")
               && col("x.doc_id") < col("y.doc_id"))

@@ -17,4 +17,13 @@ object GraftBridge {
   def optimizerRules(ext: SparkSessionExtensions, session: SparkSession)
       : Seq[catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(session)
+
+  /** Test access: execute an arbitrary logical plan (e.g. one an optimizer
+    * rule just transformed) in a session that doesn't have the extension
+    * installed — the shared test session is built once, so rule EXECUTION
+    * bugs can't be reproduced through it with SQL alone.
+    */
+  def ofRows(session: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
 }

@@ -18,6 +18,38 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!before.toString.contains("md5_hash32"))
     val after = RewriteMd5Hash32(before)
     assert(after.toString.contains("md5_hash32"), after.toString)
+    // the analyzer's Cast(s AS binary) under md5 must be stripped, not fed
+    // to Md5Hash32 (r2 bug: the rewrite kept the cast and eval threw
+    // ClassCastException [B -> UTF8String on every use of the idiom)
+    assert(!after.toString.contains("md5_hash32(cast("), after.toString)
+  }
+
+  test("rewritten plan EXECUTES and matches the composed form") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("hello", "", "a longer string with spaces", "Ünïcodé ™")
+      .toDF("s")
+      .selectExpr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) as h")
+    val expected = df.collect().map(_.getLong(0)).toSeq
+    val rewritten = RewriteMd5Hash32(df.queryExecution.analyzed)
+    assert(rewritten.toString.contains("md5_hash32"), rewritten.toString)
+    val got = org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("rewritten plan executes on a raw binary column too") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("hello".getBytes("UTF-8"), "world".getBytes("UTF-8"))
+      .toDF("b")
+      .selectExpr("cast(conv(substring(md5(b), 1, 8), 16, 10) as bigint) as h")
+    val expected = df.collect().map(_.getLong(0)).toSeq
+    val rewritten = RewriteMd5Hash32(df.queryExecution.analyzed)
+    assert(rewritten.toString.contains("md5_hash32"), rewritten.toString)
+    val got = org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
   }
 
   test("rewrite preserves results exactly") {

@@ -43,6 +43,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d3: band self-join computes the signatures once (ReusedExchange), " +
+      "and the derived generate filter doesn't re-inline them") {
+    val df = SparkEntry.queries("d3_lsh_pairs")(spark, sfDir)
+    df.collect() // AQE inserts exchange reuse at runtime — read the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.contains("ReusedExchange"), "band diamond computed twice:\n" + p.take(2000))
+    assert(!p.contains("slice(minhash_sig"),
+      "minhash_sig re-inlined into a filter (posexplode_outer regressed)")
+    assert(p.contains("minhash_sig"), "native signature expression missing")
+  }
+
   test("group-by aggregates are partial (map-side combine before shuffle)") {
     val p = plan("a3_group_sum")
     assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial aggregation")
