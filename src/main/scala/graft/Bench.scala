@@ -41,17 +41,21 @@ object Bench {
     }
     // ms precision: the driver keeps only the last 2000 chars of stdout and
     // parses the JSON line out of that tail — full-precision doubles pushed
-    // the line to ~2.1k chars in round 2 and its head got truncated
-    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    // the line to ~2.1k chars in round 2 and its head got truncated. If the
+    // registry grows past what 3 decimals fits, drop to 2 (see below).
+    def fmt(v: Double, dp: Int) = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+    def qsJson(dp: Int) = results
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
     val errJson = errors.map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}"""
+    def line(dp: Int) =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qsJson(dp)},"sf":"$sfDir","errors":$errJson}"""
+    // ~75 chars of sbt "[success] ..." trailer share the 2000-char tail
+    val json = if (line(3).length <= 1900) line(3) else line(2)
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     Files.writeString(Paths.get(outFile), json + "\n")

@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.IoQueries.all ++
-      graft.queries.MlQueries.all
+      graft.queries.MlQueries.all ++
+      graft.queries.AdvancedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+
+/** Round-3 surface growth: skew-salted joins, sliding/running windows,
+  * grouping sets, exact percentiles, and the corpus-statistics operators a
+  * training-data pipeline runs after cleaning (vocabulary building, tf-idf
+  * term weighting). Same contract as every other query module: each entry
+  * is phrased so the identical arithmetic runs in the DuckDB oracle, ends
+  * in a total order, and emits integer-scaled or grain-rounded numerics.
+  */
+object AdvancedQueries {
+  import Tables._
+
+  val all: Seq[Q] = Seq(
+
+    // SK1: salted join for pathologically skewed keys
+    // (graft.operators.SkewJoin): the big side's hot keys are split across
+    // n salt sub-keys, the small side is replicated n times, and the result
+    // set is IDENTICAL to the plain join — which is exactly what the oracle
+    // checks. AQE's runtime skew split is the first line of defense; this is
+    // the plan-level fallback it can't always apply.
+    Q("sk1_skew_salted_join",
+      (s, d) => {
+        val big = lineitem(s, d).select(col("l_partkey").as("pk"),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val small = part(s, d).select(col("p_partkey").as("pk"), col("p_brand"))
+        graft.operators.SkewJoin
+          .saltedInnerJoin(big, small, "pk",
+            saltColumns = Seq("l_orderkey", "l_linenumber"), n = 4)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // W5: event-time SLIDING windows (2 h width, 1 h slide) — each event
+    // lands in width/slide = 2 windows. Spark expands via its window()
+    // generator; the oracle expands the same two epoch-aligned starts per
+    // row. Same shuffle shape as a tumbling window, x(width/slide) rows.
+    Q("w5_sliding_window",
+      (s, d) => events(s, d)
+        .withColumn("ts", Tables.eventTime(col("ts")))
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n"), col("sv"))
+        .orderBy("win_start", "event_type"),
+      Some("""WITH w AS (
+             |  SELECT unnest([
+             |      epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT - 3600,
+             |      epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT]) AS win_start,
+             |    event_type, value
+             |  FROM events
+             |)
+             |SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM w GROUP BY win_start, event_type
+             |ORDER BY win_start, event_type""".stripMargin)),
+
+    // W6: running total + lag — per-user cumulative value and
+    // previous-event value over event time. The window is PARTITIONED by
+    // user: state stays per-key and distributes, unlike a global-order
+    // window. Frame pinned to ROWS on both sides ((ts, event_id) is unique,
+    // so RANGE would be equal — but explicit is deterministic).
+    Q("w6_running_total",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("run_sv",
+            round(sum(col("value")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .withColumn("prev_v", round(lag(col("value"), 1).over(w), 2))
+          .select(col("user_id"), col("event_id"),
+            round(col("value"), 2).as("v"), col("run_sv"), col("prev_v"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, round(value, 2) AS v,
+             |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING), 2) AS run_sv,
+             |  round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+             |    AS prev_v
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // A14: CUBE (grouping sets) — segment x nation subtotals and grand
+    // total in ONE Expand+aggregate pass instead of 4 scans. Null grouping
+    // slots are labeled 'ALL' on both sides so the total order is unambiguous.
+    Q("a14_cube",
+      (s, d) => customer(s, d)
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nk"),
+          col("n"), col("bal"))
+        .orderBy("seg", "nk"),
+      Some("""SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+             |  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nk,
+             |  count(*) AS n, round(sum(c_acctbal), 2) AS bal
+             |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+             |ORDER BY seg, nk""".stripMargin)),
+
+    // A15: exact percentiles per group — Spark `percentile` and DuckDB
+    // `quantile_cont` both linearly interpolate, so the values agree at the
+    // rounding grain. The exact form is a full sort per group; t5's
+    // percentile_approx sketch is the 100 TB path (rows-only there because
+    // sketch internals are engine-specific — THIS row is its oracled twin).
+    Q("a15_percentiles",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.25)), 3).as("p25"),
+          round(percentile(col("value"), lit(0.5)), 3).as("p50"),
+          round(percentile(col("value"), lit(0.75)), 3).as("p75"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.25), 3) AS p25,
+             |  round(quantile_cont(value, 0.5), 3) AS p50,
+             |  round(quantile_cont(value, 0.75), 3) AS p75
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // T6: corpus top-k bigrams — vocabulary building, the first corpus-level
+    // statistic a tokenizer-training pipeline computes. Explode is map-side;
+    // the count is a partial-aggregated shuffle on the bigram; top-k lowers
+    // to TakeOrderedAndProject (no global sort materialization).
+    Q("t6_top_bigrams",
+      (s, d) => documents(s, d)
+        .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("bigram"))
+        .limit(20),
+      Some("""WITH tok AS (
+             |  SELECT string_split(lower(text), ' ') AS w FROM documents
+             |), b AS (
+             |  SELECT unnest([array_to_string(w[i:i+1], ' ')
+             |    for i in range(1, len(w))]) AS bigram
+             |  FROM tok
+             |)
+             |SELECT bigram, count(*) AS n FROM b
+             |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
+    // T7: tf-idf term weighting, top term per document. The document
+    // frequency table is vocabulary-sized → broadcast to the tf side; ndocs
+    // is a broadcast scalar, never a driver-side collect. idf is
+    // integer-scaled ((ndocs*10000) div df — exact in both engines, no
+    // ln() cross-engine float risk; ln-idf is a one-line swap in real use)
+    // so the oracle compare is bit-exact.
+    Q("t7_tfidf",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val ndocs = documents(s, d).agg(count(lit(1)).as("nd"))
+        tf.join(broadcast(dfreq), Seq("term"))
+          .crossJoin(broadcast(ndocs))
+          .withColumn("idf_x1e4", floor(col("nd") * 10000L / col("df")).cast("long"))
+          .withColumn("score", col("tf") * col("idf_x1e4"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(desc("score"), col("term"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+             |), dfreq AS (
+             |  SELECT term, count(*) AS df FROM tf GROUP BY term
+             |), nd AS (
+             |  SELECT count(*) AS nd FROM documents
+             |), s AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             |    tf.tf * ((nd.nd * 10000) // dfreq.df) AS score
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+             |), r AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+             |  FROM s
+             |)
+             |SELECT doc_id, term, tf, df, score FROM r WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin))
+  )
+}
