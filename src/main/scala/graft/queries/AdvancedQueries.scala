@@ -143,6 +143,49 @@ object AdvancedQueries {
              |SELECT bigram, count(*) AS n FROM b
              |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
 
+    // T8: exact edit distance on candidate pairs — the precise verification
+    // a near-dup pipeline runs AFTER banding narrowed the candidates
+    // (levenshtein is O(len^2) per pair: affordable on candidates, never on
+    // the cross product). Adjacent-id pairing gives the arithmetic an
+    // oracle row without an all-pairs join, like d5.
+    Q("t8_edit_distance",
+      (s, d) => {
+        val t = documents(s, d)
+          .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("t40"))
+        t.as("a").join(t.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            levenshtein(col("a.t40"), col("b.t40")).as("edit_dist"))
+          .orderBy("a_id")
+      },
+      Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  levenshtein(substr(lower(a.text), 1, 40),
+             |    substr(lower(b.text), 1, 40)) AS edit_dist
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |ORDER BY a_id""".stripMargin)),
+
+    // W7: quantile bucketing — ntile + percent_rank per key, the sampling
+    // primitive behind curriculum/quality-stratified training splits
+    // ("keep the top quality quartile per language"). Partitioned window:
+    // state distributes by key, no global sort.
+    Q("w7_quantile_buckets",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        events(s, d)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("bucket", ntile(4).over(w))
+          .withColumn("pr", round(percent_rank().over(w), 4))
+          .select(col("event_type"), col("event_id"),
+            round(col("value"), 2).as("v"), col("bucket"), col("pr"))
+          .orderBy("event_type", "event_id")
+      },
+      Some("""SELECT event_type, event_id, round(value, 2) AS v,
+             |  ntile(4) OVER w AS bucket,
+             |  round(percent_rank() OVER w, 4) AS pr
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+             |ORDER BY event_type, event_id""".stripMargin)),
+
     // T7: tf-idf term weighting, top term per document. The document
     // frequency table is vocabulary-sized → broadcast to the tf side; ndocs
     // is a broadcast scalar, never a driver-side collect. idf is

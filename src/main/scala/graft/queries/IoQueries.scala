@@ -74,6 +74,39 @@ object IoQueries {
       },
       Some("""SELECT n_nationkey AS nk, n_name FROM nation ORDER BY nk""".stripMargin)),
 
+    // S8: JSON lines sink + schema-inferred source — the interchange format
+    // every labeling/annotation stage in a training-data pipeline speaks.
+    // Round-trip shape like s2/s5: the read-back aggregate must match the
+    // oracle computed from the ORIGINAL table, so lossy writes fail.
+    Q("s8_json_roundtrip",
+      (s, d) => {
+        val out = tmp("s8_part")
+        part(s, d).select("p_partkey", "p_brand", "p_retailprice")
+          .write.mode("overwrite").json(out)
+        s.read.json(out)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("rp"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS rp
+             |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // S9: ORC sink + source — the other columnar format large Hadoop-era
+    // estates still carry; same round-trip contract as s2's parquet.
+    Q("s9_orc_roundtrip",
+      (s, d) => {
+        val out = tmp("s9_supplier")
+        supplier(s, d).select("s_suppkey", "s_nationkey")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("sk"))
+          .orderBy("s_nationkey")
+      },
+      // CAST: DuckDB sum(BIGINT) is HUGEINT -> float64 in the comparator
+      Some("""SELECT s_nationkey, count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS sk
+             |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // O7: repartition-by-key then write — the reference computed this and
     // DISCARDED it (sample_indexer.py:50, a no-op bug; SURVEY §7.3). Here
     // the repartitioned frame IS what's written; PartitioningSpec asserts

@@ -42,6 +42,25 @@ object EventStream {
       watermark: String): DataFrame =
     tumblingTypeCounts(events.withWatermark("ts", watermark), windowLength)
 
+  /** Streaming exact deduplication — the stream face of d1_dedup_exact:
+    * an at-least-once source (Kafka redeliveries, replayed files) becomes
+    * exactly-once downstream. dropDuplicatesWithinWatermark keeps one state
+    * row per key only until the watermark passes it (bounded state), unlike
+    * plain dropDuplicates on a stream, whose state grows forever. Batch
+    * face: dropDuplicates(keys) — the parity EventStreamSpec checks.
+    */
+  def dedupedStream(events: DataFrame, watermarkDelay: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-static enrichment: each micro-batch joins against a static
+    * dimension snapshot. The dimension is broadcast — no stream-side
+    * shuffle, no streaming state at all (unlike stream-stream joins).
+    */
+  def enrichedStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   /** Streaming sessionization via flatMapGroupsWithState with EVENT-TIME
     * timeout: state is the single open session per user; a batch whose
     * events jump the gap closes sessions immediately, and an idle user's

@@ -70,6 +70,48 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redelivered events across micro-batches " +
+      "(== batch dropDuplicates)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val keys = Seq("user_id", "event_type", "ts")
+    val mem = MemoryStream[UserEvent]
+    val q = EventStream.dedupedStream(mem.toDF(), "1 hour", keys)
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      mem.addData(fixture(1), fixture(3)) // redelivery in a later micro-batch
+      q.processAllAvailable()
+      val streamed = s.table("deduped").orderBy("ts", "user_id").collect().toSeq
+      val batch = (fixture ++ Seq(fixture(1), fixture(3))).toDF()
+        .dropDuplicates(keys).orderBy("ts", "user_id").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.size == fixture.size) // the 2 redeliveries are gone
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches each micro-batch from a broadcast dimension") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[UserEvent]
+    val q = EventStream.enrichedStream(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val tiers = s.table("enriched").select("user_id", "tier")
+        .distinct().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(tiers == Map(1L -> "gold", 2L -> "basic"))
+      assert(s.table("enriched").count() == fixture.size)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across micro-batches") {
     val s = spark
     import s.implicits._
