@@ -47,6 +47,18 @@ object PipelineQueries {
   private def sqlH32(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
+  /** Embeddings with cast vector, sign-hyperplane bucket, and norm,
+    * partitioned by bucket — the shared input of the e2/e3 self-joins (same
+    * single-computation diamond as lshBandFrame: identical shuffle subtrees
+    * on both sides dedup into one ReusedExchange).
+    */
+  private def bucketedEmbeddings(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", signBucket(col("v"), Seq(0, 21, 42)))
+      .withColumn("nrm", l2Norm(col("v")))
+      .repartition(col("bucket"))
+
   /** doc_id x (band_idx, band_key) LSH band rows, partitioned by the band
     * key. Shared by d3/d6; see the d3 comment for why posexplode_outer +
     * repartition (instead of persist) is the single-computation shape.
@@ -419,13 +431,13 @@ object PipelineQueries {
     // shape (bucket equi-join + per-key window) is unchanged.
     Q("e2_ann_buckets",
       (s, d) => {
-        // per-vector norm precomputed before the bucket join (see e1 note)
-        val emb = embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("bucket", signBucket(col("v"), Seq(0, 21, 42)))
-          .withColumn("nrm", l2Norm(col("v")))
+        // per-vector norm precomputed before the bucket join (see e1 note);
+        // repartition + shuffle-hash like d3: both sides of the self-join
+        // become ONE reused exchange (cast+norm computed once), and nothing
+        // assumes the vector table fits in a broadcast — at 100 TB it won't
+        val emb = bucketedEmbeddings(s, d)
         emb.as("x")
-          .join(emb.as("y"),
+          .join(emb.as("y").hint("shuffle_hash"),
             col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
           .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
             col("y.vec_id").as("neighbor"),
@@ -479,12 +491,10 @@ object PipelineQueries {
     // never all-pairs): pairs above the cosine threshold, keep-min-id rule.
     Q("e3_embed_neardup",
       (s, d) => {
-        val emb = embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("bucket", signBucket(col("v"), Seq(0, 21, 42)))
-          .withColumn("nrm", l2Norm(col("v")))
+        // same single-computation shuffle diamond as e2
+        val emb = bucketedEmbeddings(s, d)
         emb.as("x")
-          .join(emb.as("y"),
+          .join(emb.as("y").hint("shuffle_hash"),
             col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("dup_id"),
             round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 5).as("cos"))

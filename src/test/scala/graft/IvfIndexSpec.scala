@@ -5,11 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
-class IvfIndexSpec extends SparkSpec {
+class IvfIndexSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private lazy val emb = Tables.embeddings(spark, sfDir)
     .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     .cache()
+
+  // the session is shared across suites, and CacheManager substitutes this
+  // cached subtree into ANY later query that contains it (it changed the
+  // e2/e3 plans PlanSpec pins) — release it when this suite is done
+  override def afterAll(): Unit = { emb.unpersist(); super.afterAll() }
 
   test("IVF top-k: sane shape, probed-cell pruning, recall vs brute force") {
     val model = IvfIndex.build(emb, nCells = 8)

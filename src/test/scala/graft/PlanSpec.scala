@@ -55,6 +55,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhash_sig"), "native signature expression missing")
   }
 
+  test("e2/e3: embedding self-joins shuffle (no broadcast of the vector " +
+      "table) and compute the bucketed side once") {
+    // another suite's leftover cache of an embeddings subtree would be
+    // substituted into these plans and change AQE's choices — pin the
+    // UNCACHED plan, which is the one that exists at 100 TB
+    spark.catalog.clearCache()
+    for (q <- Seq("e2_ann_buckets", "e3_embed_neardup")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), s"$q: bucketed side computed twice")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$q: vector self-join must not assume a broadcastable side")
+    }
+  }
+
   test("group-by aggregates are partial (map-side combine before shuffle)") {
     val p = plan("a3_group_sum")
     assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial aggregation")
