@@ -123,6 +123,27 @@ object IoQueries {
       Some("""SELECT user_id, count(*) AS n FROM events
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // O9: hive-style partitioned write + partition-pruned read — THE layout
+    // decision at 100 TB: a predicate on the partition column turns into
+    // directory pruning (PartitionFilters in the scan, PlanSpec-pinned),
+    // so the 'click' aggregate below reads only events/event_type=click/
+    // files, never the other partitions. The read-back aggregate must match
+    // the oracle over the ORIGINAL table, so a lossy write fails.
+    Q("o9_partitioned_write",
+      (s, d) => {
+        val out = tmp("o9_events")
+        events(s, d).select("event_id", "user_id", "event_type", "value")
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        s.read.parquet(out)
+          .filter(col("event_type") === "click")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events WHERE event_type = 'click'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // S4: the SQLite-metadata entry point under the offline contract — the
     // SQLite table is converted to parquet once, then scanned like any
     // relation (the EDA `SELECT * FROM songs` analog). The JDBC path for

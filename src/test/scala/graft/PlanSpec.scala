@@ -71,6 +71,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("o9: partition-column predicate prunes directories, not just rows") {
+    val p = plan("o9_partitioned_write")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      "event_type predicate did not become a partition filter:\n" + p.take(1500))
+    // the predicate must NOT appear as a post-scan data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"),
+      "event_type still filtered row-by-row")
+  }
+
   test("group-by aggregates are partial (map-side combine before shuffle)") {
     val p = plan("a3_group_sum")
     assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial aggregation")
