@@ -18,6 +18,12 @@ final case class MediaFeatures(
     media_id: Long, width: Int, height: Int, channels: Int,
     byte_mean_x1000: Long, byte_crc: Long)
 
+/** One sampled frame of a media payload: 1→N expansion of a video-like
+  * record into fixed-size chunks.
+  */
+final case class MediaFrame(
+    media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
 /** Multimodal binary-column handling: treat image/audio/video as opaque
   * `binary` columns with typed metadata, and run decode / feature-extract
   * as a per-partition batch operation.
@@ -75,6 +81,49 @@ object BinaryPipeline {
     records.mapPartitions { it =>
       // production: init codec/model once per partition here
       it.map(decodeOne)
+    }
+  }
+
+  /** "Resize": rescale the decoded dimensions to fit a bounding box,
+    * aspect preserved (integer arithmetic — deterministic). In production
+    * the pixel resample happens beside the decode, inside the same
+    * per-partition batch; the plumbing — features in, features out, no
+    * payload reshuffle — is identical.
+    */
+  def resize(features: Dataset[MediaFeatures], maxW: Int, maxH: Int)
+      : Dataset[MediaFeatures] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.map { f =>
+      val num = math.min(maxW.toLong * f.height, maxH.toLong * f.width)
+      val den = f.width.toLong * f.height
+      if (num >= den) f // already fits
+      else f.copy(
+        width = math.max(1, (f.width * num / den).toInt),
+        height = math.max(1, (f.height * num / den).toInt))
+    }
+  }
+
+  /** Frame sampling: each payload splits into fixed-size frames and every
+    * `stride`-th one is emitted — the 1→N video shape. The expansion is a
+    * streamed flatMap inside the partition: no row ever holds more than one
+    * frame's bytes beyond the source record, and frames of one record stay
+    * in one task (no shuffle) until a downstream op asks for one.
+    */
+  def sampleFrames(records: Dataset[MediaRecord], frameSize: Int,
+      stride: Int): Dataset[MediaFrame] = {
+    require(frameSize > 0 && stride > 0, "frameSize and stride must be positive")
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = (r.payload.length + frameSize - 1) / frameSize
+        Iterator.range(0, nFrames, stride).map { f =>
+          val from = f * frameSize
+          val until = math.min(from + frameSize, r.payload.length)
+          MediaFrame(r.media_id, f, java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
     }
   }
 }
