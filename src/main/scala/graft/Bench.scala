@@ -39,11 +39,16 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // ms precision: the driver keeps only the last 2000 chars of stdout and
+    // ms precision, trailing zeros stripped: the driver keeps only the last
+    // 2000 chars of stdout (minus sbt's ~75-char success trailer) and
     // parses the JSON line out of that tail — full-precision doubles pushed
-    // the line to ~2.1k chars in round 2 and its head got truncated. If the
-    // registry grows past what 3 decimals fits, drop to 2 (see below).
-    def fmt(v: Double, dp: Int) = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+    // the line to ~2.1k chars in round 2 and its head got truncated. As the
+    // registry grows, precision steps down 3 -> 2 -> 1 dp until it fits.
+    def fmt(v: Double, dp: Int) = {
+      val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+      if (s == "-0") "0" else s
+    }
     def qsJson(dp: Int) = results
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -55,7 +60,7 @@ object Bench {
     def line(dp: Int) =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qsJson(dp)},"sf":"$sfDir","errors":$errJson}"""
     // ~75 chars of sbt "[success] ..." trailer share the 2000-char tail
-    val json = if (line(3).length <= 1900) line(3) else line(2)
+    val json = (3 to 1 by -1).map(line).find(_.length <= 1920).getOrElse(line(1))
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     Files.writeString(Paths.get(outFile), json + "\n")

@@ -123,6 +123,29 @@ object IoQueries {
       Some("""SELECT user_id, count(*) AS n FROM events
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // S10: parquet schema evolution — a 100 TB table is written over months
+    // and columns get added; old files must stay readable. Two disjoint key
+    // ranges are written with different schemas into one dataset dir, read
+    // back with mergeSchema: the union schema applies and pre-evolution
+    // rows surface the new column as null (the oracle states the same CASE).
+    Q("s10_schema_evolution",
+      (s, d) => {
+        val out = tmp("s10_nation")
+        val v1 = nation(s, d).filter(col("n_nationkey") < 12)
+          .select("n_nationkey", "n_name")
+        val v2 = nation(s, d).filter(col("n_nationkey") >= 12)
+          .select("n_nationkey", "n_name", "n_regionkey")
+        v1.write.mode("overwrite").parquet(out)
+        v2.write.mode("append").parquet(out)
+        s.read.option("mergeSchema", "true").parquet(out)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name,
+             |  CASE WHEN n_nationkey >= 12 THEN n_regionkey ELSE NULL END
+             |    AS n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // O9: hive-style partitioned write + partition-pruned read — THE layout
     // decision at 100 TB: a predicate on the partition column turns into
     // directory pruning (PartitionFilters in the scan, PlanSpec-pinned),
