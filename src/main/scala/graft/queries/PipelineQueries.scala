@@ -266,8 +266,16 @@ object PipelineQueries {
     // an all-pairs join.
     Q("d5_jaccard_pairs",
       (s, d) => {
-        val sh = tokenized(s, d)
+        // the two join sides key on doc_id vs doc_id+1 — different shuffle
+        // keys, so exchange reuse can't apply (unlike d3/e2). Materialize
+        // the shingle table once to storage instead: shingling runs once at
+        // write, both sides re-read files. Same shape a 100 TB pipeline
+        // uses — verification runs against a materialized signature table.
+        val dir = "/root/repo/target/qtmp/d5_shingles"
+        tokenized(s, d)
           .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("sh"))
+          .write.mode("overwrite").parquet(dir)
+        val sh = s.read.parquet(dir)
         sh.as("a")
           .join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
