@@ -88,6 +88,31 @@ object AdvancedQueries {
              |    AS prev_v
              |FROM events ORDER BY user_id, event_id""".stripMargin)),
 
+    // W8: trailing time-RANGE frame — "activity in the last hour" per
+    // event, the classic feature-engineering window. RANGE (not ROWS)
+    // semantics: the frame is defined by event-time distance, and peers
+    // with the same timestamp are all included, which both engines agree
+    // on deterministically. Partitioned by user: state distributes.
+    Q("w8_trailing_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+          .rangeBetween(-3599, Window.currentRow)
+        events(s, d)
+          .withColumn("ts_sec", expr("ts div 1000000000"))
+          .select(col("user_id"), col("event_id"), col("ts_sec"), col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sv_1h", round(sum(col("value")).over(w), 2))
+          .drop("value")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec,
+             |  count(*) OVER w AS n_1h,
+             |  round(sum(value) OVER w, 2) AS sv_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
+             |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // A14: CUBE (grouping sets) — segment x nation subtotals and grand
     // total in ONE Expand+aggregate pass instead of 4 scans. Null grouping
     // slots are labeled 'ALL' on both sides so the total order is unambiguous.
