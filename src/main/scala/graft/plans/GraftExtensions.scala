@@ -42,6 +42,9 @@ object RewriteMd5Hash32 extends Rule[LogicalPlan] {
   * `builder.withExtensions(new GraftExtensions)`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteMd5Hash32)
+    // off until spark.graft.rangeJoin.bucketWidth is set to a positive width
+    ext.injectOptimizerRule(session => new RangeJoinRule(session))
+  }
 }

@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Optimizer rule: plan a non-equi point-in-interval join as a bucketed
+  * equi-join.
+  *
+  * Spark plans `points JOIN intervals ON p >= lo AND p < hi` as a
+  * BroadcastNestedLoopJoin (only viable while one side broadcasts) or a
+  * cartesian product — O(|P| x |R|), the canonical 100 TB scale-killer.
+  * This rule rewrites the logical join into the same shape
+  * graft.operators.RangeJoin builds by hand: intervals explode to the
+  * fixed-width buckets they cover, points compute their single bucket, the
+  * join becomes an equi-join on the bucket id, and the ORIGINAL range
+  * predicate is re-applied as an exact filter above it. Each point's bucket
+  * is unique, so no duplicate pairs appear.
+  *
+  * Opt-in by conf (the bucket width is data-dependent — there is no safe
+  * blind default):
+  *
+  * {{{
+  * spark.conf.set("spark.graft.rangeJoin.bucketWidth", "100.0")
+  * }}}
+  *
+  * Guards: inner joins only; exactly one lower and one upper bound conjunct
+  * on the same numeric point attribute; no equi conjunct between the sides
+  * (those joins already hash-partition fine); fires once (the rewritten
+  * join HAS an equi conjunct, so the fixed-point optimizer batch skips it).
+  * Strict/inclusive bound variants all work because buckets only need to
+  * COVER the interval — the exact filter decides membership.
+  */
+class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  val widthConf = "spark.graft.rangeJoin.bucketWidth"
+
+  private def width: Double =
+    try session.conf.get(widthConf, "0").toDouble catch { case _: NumberFormatException => 0.0 }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = width
+    if (w <= 0) plan
+    else plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        rewrite(j, left, right, cond, hint, w).getOrElse(j)
+    }
+  }
+
+  /** cond's conjunct referencing pattern: (point side, bound side). */
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      cond: Expression, hint: JoinHint, w: Double): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (conjuncts.length != 2) return None
+
+    def fromOnly(e: Expression, side: LogicalPlan) =
+      e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+    // normalize each conjunct to (point, bound, isLower) with the point on
+    // one fixed side; `a OP b` and `b OP' a` forms both accepted
+    def asBound(e: Expression, pointSide: LogicalPlan, boundSide: LogicalPlan)
+        : Option[(Attribute, Expression, Boolean)] = e match {
+      case GreaterThanOrEqual(p: Attribute, lo) if fromOnly(p, pointSide) && fromOnly(lo, boundSide) => Some((p, lo, true))
+      case GreaterThan(p: Attribute, lo) if fromOnly(p, pointSide) && fromOnly(lo, boundSide) => Some((p, lo, true))
+      case LessThanOrEqual(lo, p: Attribute) if fromOnly(p, pointSide) && fromOnly(lo, boundSide) => Some((p, lo, true))
+      case LessThan(lo, p: Attribute) if fromOnly(p, pointSide) && fromOnly(lo, boundSide) => Some((p, lo, true))
+      case LessThan(p: Attribute, hi) if fromOnly(p, pointSide) && fromOnly(hi, boundSide) => Some((p, hi, false))
+      case LessThanOrEqual(p: Attribute, hi) if fromOnly(p, pointSide) && fromOnly(hi, boundSide) => Some((p, hi, false))
+      case GreaterThan(hi, p: Attribute) if fromOnly(p, pointSide) && fromOnly(hi, boundSide) => Some((p, hi, false))
+      case GreaterThanOrEqual(hi, p: Attribute) if fromOnly(p, pointSide) && fromOnly(hi, boundSide) => Some((p, hi, false))
+      case _ => None
+    }
+
+    def tryOrientation(pointSide: LogicalPlan, boundSide: LogicalPlan,
+        pointIsLeft: Boolean): Option[LogicalPlan] = {
+      val bounds = conjuncts.flatMap(asBound(_, pointSide, boundSide))
+      if (bounds.length != 2) return None
+      val (lowers, uppers) = bounds.partition(_._3)
+      (lowers, uppers) match {
+        case (Seq((p1, lo, _)), Seq((p2, hi, _)))
+            if p1.semanticEquals(p2) && p1.dataType.isInstanceOf[NumericType]
+              && lo.dataType.isInstanceOf[NumericType]
+              && hi.dataType.isInstanceOf[NumericType] =>
+          Some(build(j, pointSide, boundSide, pointIsLeft, p1, lo, hi, cond, hint, w))
+        case _ => None
+      }
+    }
+
+    // reject if any equi conjunct links the sides — that join is fine as-is
+    // (and this guard is what makes the rule idempotent: the rewritten join
+    // is exactly such a join)
+    val hasCrossEqui = conjuncts.exists {
+      case EqualTo(a, b) =>
+        (fromOnly(a, left) && fromOnly(b, right)) || (fromOnly(a, right) && fromOnly(b, left))
+      case EqualNullSafe(a, b) =>
+        (fromOnly(a, left) && fromOnly(b, right)) || (fromOnly(a, right) && fromOnly(b, left))
+      case _ => false
+    }
+    if (hasCrossEqui) None
+    else tryOrientation(left, right, pointIsLeft = true)
+      .orElse(tryOrientation(right, left, pointIsLeft = false))
+  }
+
+  private def bucketOf(e: Expression, w: Double): Expression =
+    Floor(Divide(Cast(e, DoubleType), Literal(w))) // LongType
+
+  private def build(j: Join, pointSide: LogicalPlan, boundSide: LogicalPlan,
+      pointIsLeft: Boolean, p: Attribute, lo: Expression, hi: Expression,
+      cond: Expression, hint: JoinHint, w: Double): LogicalPlan = {
+    val pAlias = Alias(bucketOf(p, w), "_gb_p")()
+    val newPointSide = Project(pointSide.output :+ pAlias, pointSide)
+    val seq = Sequence(bucketOf(lo, w), bucketOf(hi, w), None, None)
+    val gOut = AttributeReference("_gb_i", LongType, nullable = true)()
+    val newBoundSide =
+      Generate(Explode(seq), Nil, outer = false, None, Seq(gOut), boundSide)
+    val joinCond = EqualTo(pAlias.toAttribute, gOut)
+    val newJoin =
+      if (pointIsLeft) Join(newPointSide, newBoundSide, Inner, Some(joinCond), hint)
+      else Join(newBoundSide, newPointSide, Inner, Some(joinCond), hint)
+    // exact range predicate back on top; project away the bucket columns
+    Project(j.output, Filter(cond, newJoin))
+  }
+}

@@ -39,6 +39,36 @@ object AdvancedQueries {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // J10: the inequality join a SQL-text user writes, planned through
+    // plans/RangeJoinRule — Spark's native plan for this shape is a
+    // BroadcastNestedLoopJoin (or cartesian), O(|P| x |R|); the rule turns
+    // it into the bucketed equi-join of j9 automatically. The rewrite is
+    // applied at construction (conf set around it) so the frozen plan is
+    // what executes; the extension wiring itself is RangeJoinRuleSpec's job.
+    Q("j10_range_join_rule",
+      (s, d) => {
+        val pts = events(s, d).select(col("event_id"), col("value"))
+        val iv = region(s, d).select(col("r_regionkey"),
+          (col("r_regionkey") * 20.0).as("lo"),
+          (col("r_regionkey") * 20.0 + 30.0).as("hi"))
+        val naive = pts.join(iv,
+          col("value") >= col("lo") && col("value") < col("hi"))
+        val rule = new graft.plans.RangeJoinRule(s)
+        s.conf.set(rule.widthConf, "10.0")
+        val rewritten =
+          try rule(naive.queryExecution.analyzed)
+          finally s.conf.unset(rule.widthConf)
+        require(rewritten.toString.contains("sequence"), "range-join rule did not fire")
+        org.apache.spark.sql.GraftBridge.ofRows(s, rewritten)
+          .groupBy(col("r_regionkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT r_regionkey, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events JOIN region
+             |  ON value >= r_regionkey * 20.0 AND value < r_regionkey * 20.0 + 30.0
+             |GROUP BY r_regionkey ORDER BY r_regionkey""".stripMargin)),
+
     // W5: event-time SLIDING windows (2 h width, 1 h slide) — each event
     // lands in width/slide = 2 windows. Spark expands via its window()
     // generator; the oracle expands the same two epoch-aligned starts per

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+import graft.plans.RangeJoinRule
+
+class RangeJoinRuleSpec extends SparkSpec {
+
+  private lazy val rule = new RangeJoinRule(spark)
+
+  private def points = {
+    val s = spark
+    import s.implicits._
+    // includes exact bucket-edge values, negatives, and a far outlier
+    Seq((1L, 0.0), (2L, 9.999), (3L, 10.0), (4L, 25.0), (5L, -7.5),
+      (6L, 40.0), (7L, 1000.0)).toDF("pid", "x")
+  }
+
+  private def intervals = {
+    val s = spark
+    import s.implicits._
+    // overlapping, touching, negative, and interval ending ON a bucket edge
+    Seq((10L, 0.0, 10.0), (11L, 5.0, 26.0), (12L, -10.0, 0.0),
+      (13L, 40.0, 40.0), (14L, 30.0, 50.0)).toDF("iid", "lo", "hi")
+  }
+
+  private def sortedRows(df: DataFrame) =
+    df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+  private def withWidth[A](w: String)(f: => A): A = {
+    spark.conf.set(rule.widthConf, w)
+    try f finally spark.conf.unset(rule.widthConf)
+  }
+
+  test("inequality join rewrites to bucketed equi-join with identical results") {
+    withWidth("10.0") {
+      for ((loOp, hiOp) <- Seq[((org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+          (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)](
+        (_ >= _, _ < _), (_ > _, _ <= _), (_ >= _, _ <= _), (_ > _, _ < _))) {
+        val naive = points.join(intervals,
+          loOp(col("x"), col("lo")) && hiOp(col("x"), col("hi")))
+        val rewritten = rule(naive.queryExecution.analyzed)
+        assert(rewritten.toString.contains("sequence"),
+          "rule did not fire:\n" + rewritten)
+        val df = GraftBridge.ofRows(spark, rewritten)
+        assert(sortedRows(df) == sortedRows(naive),
+          "rewritten results differ from the naive inequality join")
+        val phys = df.queryExecution.executedPlan.toString
+        assert(!phys.contains("BroadcastNestedLoop") && !phys.contains("CartesianProduct"),
+          "rewrite still planned as a nested loop:\n" + phys.take(1000))
+      }
+    }
+  }
+
+  test("rewrite also fires when the interval side is on the left") {
+    withWidth("10.0") {
+      val naive = intervals.join(points,
+        col("x") >= col("lo") && col("x") < col("hi"))
+      val rewritten = rule(naive.queryExecution.analyzed)
+      assert(rewritten.toString.contains("sequence"), rewritten.toString)
+      assert(sortedRows(GraftBridge.ofRows(spark, rewritten)) == sortedRows(naive))
+    }
+  }
+
+  test("idempotent: the rewritten join has an equi conjunct, so a second " +
+      "pass leaves it unchanged") {
+    withWidth("10.0") {
+      val naive = points.join(intervals,
+        col("x") >= col("lo") && col("x") < col("hi"))
+      val once = rule(naive.queryExecution.analyzed)
+      val twice = rule(once)
+      assert(once.toString == twice.toString)
+    }
+  }
+
+  test("guards: no conf, equi conjunct present, or extra conjuncts -> untouched") {
+    // width unset
+    val naive = points.join(intervals,
+      col("x") >= col("lo") && col("x") < col("hi"))
+    assert(rule(naive.queryExecution.analyzed).toString
+      == naive.queryExecution.analyzed.toString)
+    withWidth("10.0") {
+      // an equi conjunct links the sides: hash join handles it already
+      val equi = points.join(intervals,
+        col("pid") === col("iid") && col("x") >= col("lo") && col("x") < col("hi"))
+      assert(rule(equi.queryExecution.analyzed).toString
+        == equi.queryExecution.analyzed.toString)
+      // three range conjuncts: out of the rule's declared scope
+      val three = points.join(intervals,
+        col("x") >= col("lo") && col("x") < col("hi") && col("x") < lit(100.0))
+      assert(rule(three.queryExecution.analyzed).toString
+        == three.queryExecution.analyzed.toString)
+    }
+  }
+
+  test("extension installs the rule") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val rules = GraftBridge.optimizerRules(ext, spark)
+    assert(rules.exists(_.isInstanceOf[RangeJoinRule]))
+  }
+}
