@@ -27,10 +27,27 @@ object AsOfJoin {
     * (inner semantics).
     */
   def asOfInner(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String]): DataFrame =
+    asOfInnerImpl(left, right, key, ts, rightCols, maxGapSeconds = None)
+
+  /** As-of join with a tolerance: the latest right row at or before the
+    * left row's time AND within `maxGapSeconds` of it (pandas merge_asof
+    * `tolerance`, inclusive). A match farther back than the gap is
+    * discarded — correct, because no closer one can exist (the window
+    * already picked the latest). `ts` must be a timestamp column.
+    */
+  def asOfInnerWithin(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightCols: Seq[String], maxGapSeconds: Double): DataFrame =
+    asOfInnerImpl(left, right, key, ts, rightCols, Some(maxGapSeconds))
+
+  private def asOfInnerImpl(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightCols: Seq[String],
+      maxGapSeconds: Option[Double]): DataFrame = {
     val lType = org.apache.spark.sql.functions.struct(
       left.columns.map(col).toIndexedSeq: _*)
-    val rStruct = struct(rightCols.map(col): _*)
+    // the matched right row's own ts rides along inside the struct so the
+    // tolerance can be checked AFTER the window picked the latest match
+    val rStruct = struct(rightCols.map(col) :+ col(ts).as("_rts"): _*)
     val rType = right.select(rStruct.as("r")).schema("r").dataType
 
     val l2 = left.select(col(key), col(ts), lit(1).as("_side"),
@@ -43,9 +60,14 @@ object AsOfJoin {
       .orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val withinGap = maxGapSeconds match {
+      case Some(g) =>
+        unix_micros(col(ts)) - unix_micros(col("_rf._rts")) <= (g * 1e6).toLong
+      case None => lit(true)
+    }
     l2.union(r2)
       .withColumn("_rf", last(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1 && col("_rf").isNotNull)
+      .filter(col("_side") === 1 && col("_rf").isNotNull && withinGap)
       .select(col("_l.*") +:
         rightCols.map(c => col(s"_rf.$c").as(s"asof_$c")): _*)
   }

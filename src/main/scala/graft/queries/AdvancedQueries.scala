@@ -69,6 +69,31 @@ object AdvancedQueries {
              |  ON value >= r_regionkey * 20.0 AND value < r_regionkey * 20.0 + 30.0
              |GROUP BY r_regionkey ORDER BY r_regionkey""".stripMargin)),
 
+    // J11: as-of join with TOLERANCE (pandas merge_asof `tolerance`) — the
+    // latest prior purchase only counts if it happened within the last
+    // hour. Discarding a too-old match is correct because the window
+    // already picked the latest one; no closer match can exist. The oracle
+    // is DuckDB's native ASOF JOIN with the same gap filter on top.
+    Q("j11_asof_tolerance",
+      (s, d) => {
+        val ev = events(s, d).withColumn("ts", Tables.eventTime(col("ts")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("src_id"))
+        graft.operators.AsOfJoin
+          .asOfInnerWithin(clicks, purchases, "user_id", "ts",
+            Seq("src_id"), maxGapSeconds = 3600.0)
+          .select(col("event_id"), col("user_id"), col("asof_src_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id, p.event_id AS asof_src_id
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |WHERE epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000::BIGINT
+             |ORDER BY c.event_id""".stripMargin)),
+
     // W5: event-time SLIDING windows (2 h width, 1 h slide) — each event
     // lands in width/slide = 2 windows. Spark expands via its window()
     // generator; the oracle expands the same two epoch-aligned starts per

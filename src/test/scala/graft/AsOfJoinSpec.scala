@@ -27,6 +27,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(1L -> 50, 2L -> 200, 3L -> 200))
   }
 
+  test("tolerance: matches at the gap bound are kept, older ones dropped") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "u1", ts(10)), // r@5, gap 5 min == tolerance -> kept (inclusive)
+      (2L, "u1", ts(30)), // latest r@20, gap 10 min > 5 -> dropped, NOT r@5
+      (3L, "u1", ts(22))  // r@20, gap 2 min -> kept
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(("u1", ts(5), 50), ("u1", ts(20), 200))
+      .toDF("user_id", "ts", "v")
+    val out = AsOfJoin
+      .asOfInnerWithin(left, right, "user_id", "ts", Seq("v"),
+        maxGapSeconds = 5 * 60.0)
+      .select("event_id", "asof_v").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 50, 3L -> 200))
+  }
+
   test("plan shape: one shuffle on the key, no cartesian/range explosion") {
     val s = spark
     import s.implicits._
