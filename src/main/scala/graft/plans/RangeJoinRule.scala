@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType, TimestampType}
 
 /** Optimizer rule: plan a non-equi point-in-interval join as a bucketed
   * equi-join.
@@ -82,9 +82,8 @@ class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
       val (lowers, uppers) = bounds.partition(_._3)
       (lowers, uppers) match {
         case (Seq((p1, lo, _)), Seq((p2, hi, _)))
-            if p1.semanticEquals(p2) && p1.dataType.isInstanceOf[NumericType]
-              && lo.dataType.isInstanceOf[NumericType]
-              && hi.dataType.isInstanceOf[NumericType] =>
+            if p1.semanticEquals(p2)
+              && sameFamily(p1.dataType, lo.dataType, hi.dataType) =>
           Some(build(j, pointSide, boundSide, pointIsLeft, p1, lo, hi, cond, hint, w))
         case _ => None
       }
@@ -105,8 +104,23 @@ class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
       .orElse(tryOrientation(right, left, pointIsLeft = false))
   }
 
-  private def bucketOf(e: Expression, w: Double): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(w))) // LongType
+  /** Numeric columns bucket in their own units; timestamp columns bucket
+    * in SECONDS (the conf width is seconds for time-range joins — the most
+    * common real shape: event time within a validity window). All three
+    * expressions must be the SAME family — mixed families would bucket the
+    * point and the bounds in different units and silently drop matches.
+    */
+  private def sameFamily(p: DataType, lo: DataType, hi: DataType): Boolean =
+    (p.isInstanceOf[NumericType] && lo.isInstanceOf[NumericType]
+      && hi.isInstanceOf[NumericType]) ||
+      (p == TimestampType && lo == TimestampType && hi == TimestampType)
+
+  private def bucketOf(e: Expression, w: Double): Expression = e.dataType match {
+    case TimestampType =>
+      // UnixMicros avoids a timestamp->double cast, which ANSI mode rejects
+      Floor(Divide(Cast(UnixMicros(e), DoubleType), Literal(w * 1e6)))
+    case _ => Floor(Divide(Cast(e, DoubleType), Literal(w))) // LongType
+  }
 
   private def build(j: Join, pointSide: LogicalPlan, boundSide: LogicalPlan,
       pointIsLeft: Boolean, p: Attribute, lo: Expression, hi: Expression,

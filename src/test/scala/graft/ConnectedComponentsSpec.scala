@@ -26,6 +26,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(one(2L) == 1L && one(4L) == 3L, one.toString)
   }
 
+  test("checkpointDir path yields identical labels (and truncates lineage)") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val dir = "/root/repo/target/qtmp/cc_spec"
+    val plain = ConnectedComponents.propagateMinLabel(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckpt = ConnectedComponents.propagateMinLabel(edges, "a", "b",
+      maxIter = 20, checkpointDir = Some(dir))
+    assert(ckpt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == plain)
+    // the returned frame reads from the last checkpoint, not the loop's
+    // join lineage — downstream actions don't replay the iterations
+    val plan = ckpt.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet") && !plan.contains("SortMergeJoin"),
+      plan.take(800))
+  }
+
   test("direction of the edge list doesn't matter") {
     val s = spark
     import s.implicits._

@@ -62,6 +62,39 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("timestamp ranges bucket in seconds (event-in-validity-window join)") {
+    withWidth("600.0") { // 10-minute buckets
+      val s = spark
+      import s.implicits._
+      def ts(m: Int) = new java.sql.Timestamp(m * 60_000L)
+      val evs = Seq((1L, ts(5)), (2L, ts(30)), (3L, ts(59)), (4L, ts(60)),
+        (5L, ts(200))).toDF("eid", "at")
+      val windows = Seq((10L, ts(0), ts(60)), (11L, ts(45), ts(90)),
+        (12L, ts(150), ts(240))).toDF("wid", "w_from", "w_to")
+      val naive = evs.join(windows,
+        col("at") >= col("w_from") && col("at") < col("w_to"))
+      val rewritten = rule(naive.queryExecution.analyzed)
+      assert(rewritten.toString.contains("sequence"), rewritten.toString)
+      assert(sortedRows(GraftBridge.ofRows(spark, rewritten)) == sortedRows(naive))
+    }
+  }
+
+  test("mixed point/bound families are left alone (units would disagree)") {
+    withWidth("10.0") {
+      val s = spark
+      import s.implicits._
+      val pts = Seq((1L, new java.sql.Timestamp(60_000L))).toDF("pid", "at")
+      val iv = Seq((10L, 0.0, 100.0)).toDF("iid", "lo", "hi")
+      // analyzer casts make this legal SQL; the rule must not bucket a
+      // timestamp point against numeric bounds
+      val naive = pts.join(iv,
+        col("at").cast("double") >= col("lo") && col("at").cast("double") < col("hi"))
+      // the point is a cast expression, not a bare attribute -> untouched
+      assert(rule(naive.queryExecution.analyzed).toString
+        == naive.queryExecution.analyzed.toString)
+    }
+  }
+
   test("idempotent: the rewritten join has an equi conjunct, so a second " +
       "pass leaves it unchanged") {
     withWidth("10.0") {
