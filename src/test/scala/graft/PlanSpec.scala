@@ -71,6 +71,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t6/t7: corpus stats keep the scale-safe shapes (top-k lowering, " +
+      "broadcast of the vocabulary side)") {
+    assert(plan("t6_top_bigrams").contains("TakeOrderedAndProject"),
+      "top-k bigrams materialized a global sort")
+    val p = plan("t7_tfidf")
+    assert(p.contains("BroadcastHashJoin"), "df/ndocs sides not broadcast")
+  }
+
   test("o9: partition-column predicate prunes directories, not just rows") {
     val p = plan("o9_partitioned_write")
     assert(p.contains("PartitionFilters: [isnotnull(event_type"),
