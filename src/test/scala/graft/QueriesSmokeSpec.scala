@@ -1,24 +1,24 @@
 package graft
 
 /** Every registered query must (a) run at sf0.001 and return a
-  * well-formed result, and (b) for the oracled ones, be DETERMINISTIC —
-  * two runs hash-identical — because the driver's correctness gate
-  * hash-compares a single run against DuckDB. Seeded-model queries
-  * (ALS / KMeans / samples) are exempted from the double-run (they are
-  * deterministic per session but expensive).
+  * well-formed result, and (b) be DETERMINISTIC — two runs identical —
+  * because the driver's correctness gate hash-compares a single run
+  * against DuckDB, and the rows-only queries (seeded samples, sketches)
+  * are graded on their recorded output too. Only the expensive model
+  * fits (ALS / KMeans / indexer) are exempted from the double-run
+  * (seed-reproducibility for those is AlsSpec/IvfIndexSpec's job).
   */
 class QueriesSmokeSpec extends SparkSpec {
 
-  private val modelBacked = Set(
-    "m4_als_recommend", "m5_als_rmse", "e4_ann_ivf", "m1_indexer_pipeline",
-    "o5_row_sample", "o6_user_sample")
+  private val expensiveFit = Set(
+    "m4_als_recommend", "m5_als_rmse", "e4_ann_ivf", "m1_indexer_pipeline")
 
-  test("all registered queries run; oracled queries are run-to-run stable") {
+  test("all registered queries run and are run-to-run stable") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
         val r1 = fn(spark, sfDir).collect().toSeq
-        if (!modelBacked(name) && SparkEntry.oracleSql.contains(name)) {
+        if (!expensiveFit(name)) {
           val r2 = fn(spark, sfDir).collect().toSeq
           if (r1 != r2) failures += s"$name: nondeterministic across runs"
         }
