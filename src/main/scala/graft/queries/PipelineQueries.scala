@@ -294,6 +294,57 @@ object PipelineQueries {
               |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
               |ORDER BY a_id""".stripMargin)),
 
+    // C1: corpus curation APPLIED end-to-end — the composition that is the
+    // engine's reason to exist: exact dedup (keep-first) -> quality gate
+    // (t2's keep rule) -> per-language top-50 by quality -> per-language
+    // budget accounting. Every stage is the operator its own query tests;
+    // this row proves they compose. Plan shape: one dedup shuffle, one
+    // window shuffle keyed by lang — no collects, no cross products.
+    Q("c1_curation_apply",
+      (s, d) => {
+        val docs = tokenized(s, d)
+        val nTok = size(col("w"))
+        val charSum = aggregate(transform(col("w"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x)
+        val scored = docs
+          .withColumn("keep_rn", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .filter(col("keep_rn") === 1) // exact dedup, keep-first
+          .withColumn("n_tokens", nTok.cast("long"))
+          .withColumn("mtl_x1000", round(charSum * 1000 / nTok).cast("long"))
+          .filter(col("n_tokens").between(10, 1000)
+            && col("mtl_x1000").between(2000, 12000)) // quality gate
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(desc("mtl_x1000"), col("doc_id"))))
+          .filter(col("rn") <= 50) // per-language budget
+        scored.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tok_budget"),
+            min(col("mtl_x1000")).as("worst_kept_mtl"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $sqlTok, dd AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY md5(text) ORDER BY doc_id) AS keep_rn
+              |  FROM tok
+              |), q AS (
+              |  SELECT doc_id, lang, len(w) AS n_tokens,
+              |    CAST(round(list_sum([len(t) for t in w]) * 1000 / len(w)) AS BIGINT)
+              |      AS mtl_x1000
+              |  FROM dd WHERE keep_rn = 1
+              |), kept AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY lang ORDER BY mtl_x1000 DESC, doc_id) AS rn
+              |  FROM q
+              |  WHERE n_tokens BETWEEN 10 AND 1000 AND mtl_x1000 BETWEEN 2000 AND 12000
+              |)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS tok_budget,
+              |  min(mtl_x1000) AS worst_kept_mtl
+              |FROM kept WHERE rn <= 50
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ----- text analysis -------------------------------------------------
     // T1: n-gram-lexicon language ID. Marker-token hit counts per language,
     // argmax with a fixed tie order. Map-side projection; the lexicons are
