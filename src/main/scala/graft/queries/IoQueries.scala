@@ -26,9 +26,9 @@ object IoQueries {
     Q("s2_parquet_roundtrip",
       (s, d) => {
         val out = tmp("s2_orders")
-        orders(s, d).filter(col("o_totalprice") > 100000.0)
-          .write.mode("overwrite").parquet(out)
-        s.read.parquet(out)
+        graft.sources.Sources.writeParquet(
+          orders(s, d).filter(col("o_totalprice") > 100000.0), out)
+        graft.sources.Sources.parquet(s, out)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sv"))
           .orderBy("o_orderstatus")
@@ -48,7 +48,7 @@ object IoQueries {
         val schema = StructType(Seq(
           StructField("ck", LongType), StructField("seg", StringType),
           StructField("nk", LongType)))
-        s.read.schema(schema).csv(out)
+        graft.sources.Sources.csv(s, out, schema)
           .groupBy(col("seg"))
           .agg(count(lit(1)).as("n"), sum(col("nk")).as("sum_nk"))
           .orderBy("seg")
@@ -66,8 +66,7 @@ object IoQueries {
     Q("s7_reformat",
       (s, d) => {
         val out = tmp("s7_nation")
-        nation(s, d).coalesce(1)
-          .write.mode("overwrite").option("header", "true").csv(out)
+        graft.sources.Sources.writeSingleCsv(nation(s, d), out)
         s.read.option("header", "true").option("inferSchema", "true").csv(out)
           .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
           .orderBy("nk")
