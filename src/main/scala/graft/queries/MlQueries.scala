@@ -200,6 +200,34 @@ object MlQueries {
         Seq(Tuple1(BigDecimal(rmse).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
           .toDF("rmse_2dp")
       },
+      None),
+
+    // Item-item similarity from the ALS item-factor matrix — "related
+    // items", the factor-geometry analysis the reference explores with
+    // UMAP (BASELINE.md §4). Reuses the cached m4/m5 model; the small
+    // query-item set broadcasts so the factor matrix streams once with no
+    // shuffle; ranking is a per-query window top-k. Rows-only (model
+    // factors aren't SQL-expressible); AlsSpec covers factor quality.
+    Q("m6_item_similarity",
+      (s, d) => {
+        import graft.functions.VectorFunctions._
+        val model = alsModel(s, d)
+        val items = model.itemFactors
+          .select(col("id").cast("long").as("item"),
+            col("features").cast("array<double>").as("v"))
+          .withColumn("nrm", l2Norm(col("v")))
+        val q = items.filter(col("item") < 5)
+          .select(col("item").as("q_item"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
+        items.join(broadcast(q), col("item") =!= col("q_item"))
+          .select(col("q_item"), col("item").as("cand_item"),
+            round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_item")).orderBy(desc("cos"), col("cand_item")))
+            .cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy("q_item", "rn")
+      },
       None)
   )
 }
