@@ -302,22 +302,14 @@ object PipelineQueries {
     // window shuffle keyed by lang — no collects, no cross products.
     Q("c1_curation_apply",
       (s, d) => {
-        val docs = tokenized(s, d)
-        val nTok = size(col("w"))
-        val charSum = aggregate(transform(col("w"), t => length(t).cast("long")),
-          lit(0L), (a, x) => a + x)
-        val scored = docs
-          .withColumn("keep_rn", row_number().over(
-            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-          .filter(col("keep_rn") === 1) // exact dedup, keep-first
-          .withColumn("n_tokens", nTok.cast("long"))
-          .withColumn("mtl_x1000", round(charSum * 1000 / nTok).cast("long"))
-          .filter(col("n_tokens").between(10, 1000)
-            && col("mtl_x1000").between(2000, 12000)) // quality gate
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("lang"))
-              .orderBy(desc("mtl_x1000"), col("doc_id"))))
-          .filter(col("rn") <= 50) // per-language budget
+        import graft.pipeline.Curation._
+        val scored = topPerKey(
+          qualityGate(
+            qualityAnnotate(
+              dedupExactKeepFirst(tokenized(s, d), "text", "doc_id"), "w"),
+            minTokens = 10, maxTokens = 1000,
+            minMtlX1000 = 2000, maxMtlX1000 = 12000),
+          "lang", Seq(desc("mtl_x1000"), col("doc_id")), n = 50)
         scored.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("tok_budget"),
