@@ -267,11 +267,13 @@ object AdvancedQueries {
              |ORDER BY event_type, event_id""".stripMargin)),
 
     // T7: tf-idf term weighting, top term per document. The document
-    // frequency table is vocabulary-sized → broadcast to the tf side; ndocs
-    // is a broadcast scalar, never a driver-side collect. idf is
-    // integer-scaled ((ndocs*10000) div df — exact in both engines, no
-    // ln() cross-engine float risk; ln-idf is a one-line swap in real use)
-    // so the oracle compare is bit-exact.
+    // frequency table is vocabulary-sized: often broadcastable, but at web
+    // scale a 10-100M-term vocabulary is NOT — so the join is left
+    // unhinted and AQE picks broadcast only when dfreq actually fits
+    // (PlanSpec confirms it does here). ndocs is a broadcast scalar, never
+    // a driver-side collect. idf is integer-scaled ((ndocs*10000) div df —
+    // exact in both engines, no ln() cross-engine float risk; ln-idf is a
+    // one-line swap in real use) so the oracle compare is bit-exact.
     Q("t7_tfidf",
       (s, d) => {
         val toks = documents(s, d)
@@ -280,7 +282,7 @@ object AdvancedQueries {
           .agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val ndocs = documents(s, d).agg(count(lit(1)).as("nd"))
-        tf.join(broadcast(dfreq), Seq("term"))
+        tf.join(dfreq, Seq("term"))
           .crossJoin(broadcast(ndocs))
           .withColumn("idf_x1e4", floor(col("nd") * 10000L / col("df")).cast("long"))
           .withColumn("score", col("tf") * col("idf_x1e4"))
