@@ -94,13 +94,16 @@ object RankingEval {
     df.groupBy(col(userCol))
       .agg(sort_array(collect_list(col(itemCol).cast("int"))).as("truth"))
 
-  /** (pred, truth) pairs from recommendations ⋈ broadcast truth — the
-    * reference's exact join shape (param_train_1st.py:60-61): the truth side
-    * (distinct evaluation users) is broadcast so the recommendation side
-    * never shuffles.
+  /** (pred, truth) pairs from recommendations ⋈ truth (the reference's
+    * join, param_train_1st.py:60-61). Deliberately UNHINTED: both sides
+    * are evaluation-subset-sized (users x top-k lists — at MSD scale 100k
+    * users x 500 ints each, hundreds of MB), so forcing a broadcast risks
+    * the driver; AQE broadcasts when the truth side actually fits and
+    * falls back to a user-keyed shuffle join of two same-sized relations
+    * when it doesn't.
     */
   def pairs(recs: DataFrame, truth: DataFrame, userCol: String): DataFrame =
-    recs.join(broadcast(truth), Seq(userCol))
+    recs.join(truth, Seq(userCol))
       .select(col("pred"), col("truth"))
 
   /** All three metrics via the typed Aggregator (one pass, partial agg). */
