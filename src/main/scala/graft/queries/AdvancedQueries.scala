@@ -69,6 +69,26 @@ object AdvancedQueries {
              |  ON value >= r_regionkey * 20.0 AND value < r_regionkey * 20.0 + 30.0
              |GROUP BY r_regionkey ORDER BY r_regionkey""".stripMargin)),
 
+    // P10: JSON column extraction — events.props is a JSON payload (the
+    // semi-structured tail every event log carries). from_json with an
+    // explicit schema parses it into a typed struct ONCE per row (versus
+    // get_json_object re-parsing per extracted path); the aggregate is
+    // oracled against DuckDB's json_extract.
+    Q("p10_json_extract",
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), "k LONG", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          min(col("k")).as("mn"), max(col("k")).as("mx"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sk,
+             |  min(json_extract(props, '$.k')::BIGINT) AS mn,
+             |  max(json_extract(props, '$.k')::BIGINT) AS mx
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // J11: as-of join with TOLERANCE (pandas merge_asof `tolerance`) — the
     // latest prior purchase only counts if it happened within the last
     // hour. Discarding a too-old match is correct because the window
