@@ -132,9 +132,14 @@ object RankingEval {
   }
 
   /** RMSE of a prediction column against a label column (A10) — expressed
-    * as sqrt(avg(err^2)), a partial-aggregable shape.
+    * as sqrt(avg(err^2)), a partial-aggregable shape. NaN when no rows are
+    * scoreable (e.g. every validation pair was cold-start-dropped) — the
+    * honest "undefined", instead of a ROW_VALUE_IS_NULL crash deep in Row
+    * accessors.
     */
-  def rmse(df: DataFrame, labelCol: String, predCol: String): Double =
-    df.select(sqrt(avg(pow(col(predCol) - col(labelCol), 2))).as("rmse"))
-      .head().getDouble(0)
+  def rmse(df: DataFrame, labelCol: String, predCol: String): Double = {
+    val row = df.select(sqrt(avg(pow(col(predCol) - col(labelCol), 2))).as("rmse"))
+      .head()
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
 }

@@ -32,15 +32,17 @@ object GenrePipeline {
         struct(col(tagCol), col("score_c"))))).as("tags"))
 
   /** A4/A6 (explode-map-keys form): global tag popularity rank — tags
-    * ranked by how many keys carry them, ties alphabetical. The rank table
-    * is dimension-sized: it broadcasts wherever it joins.
+    * ranked by how many keys carry them, ties alphabetical. The tag table
+    * is genre-sized here but VOCABULARY-sized in general (a web-scale tag
+    * set is tens of millions of rows), so the rank is computed via
+    * GlobalRank's range-partition + offset pattern, never a global
+    * `row_number` window (which Spark plans as a single partition).
     */
   def tagRank(maps: DataFrame): DataFrame =
-    maps.select(explode(map_keys(col("tags"))).as("tag"))
-      .groupBy(col("tag")).agg(count(lit(1)).as("n_keys"))
-      // dimension-sized input: the single-partition window is fine here
-      .withColumn("pop_rank",
-        row_number().over(Window.orderBy(desc("n_keys"), col("tag"))).cast("long"))
+    graft.operators.GlobalRank.withRowNumber(
+      maps.select(explode(map_keys(col("tags"))).as("tag"))
+        .groupBy(col("tag")).agg(count(lit(1)).as("n_keys")),
+      Seq(desc("n_keys"), col("tag")), "pop_rank")
 
   /** A9 (map-HOF argmax) + the reference's tie rule: among the tags tied at
     * the maximum score, keep the one with the best (lowest) global
@@ -57,7 +59,10 @@ object GenrePipeline {
         explode(map_keys(map_filter(col("tags"), (_, v) => v === col("mx"))))
           .as("tag"),
         col("mx").as("score_c"))
-    cands.join(broadcast(ranks.select(col("tag"), col("pop_rank"))), Seq("tag"))
+    // UNHINTED like t7's vocabulary join: the rank table is genre-sized
+    // here (AQE will broadcast it) but vocabulary-sized in general — a
+    // forced broadcast of a 10-100M-term rank table risks the driver
+    cands.join(ranks.select(col("tag"), col("pop_rank")), Seq("tag"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col("pop_rank"), col("tag"))))
       .filter(col("rn") === 1)

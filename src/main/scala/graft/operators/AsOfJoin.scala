@@ -43,6 +43,12 @@ object AsOfJoin {
   private def asOfInnerImpl(left: DataFrame, right: DataFrame, key: String,
       ts: String, rightCols: Seq[String],
       maxGapSeconds: Option[Double]): DataFrame = {
+    // the matched right ts is smuggled through the struct as "_rts"; a
+    // payload column with either name would make the struct carry duplicate
+    // fields and col("_rf._rts") ambiguous — corrupting the tolerance check
+    require(!rightCols.contains(ts),
+      s"rightCols must not include the ts column '$ts' (it is attached as _rts internally)")
+    require(!rightCols.contains("_rts"), "rightCols must not include the reserved name _rts")
     val lType = org.apache.spark.sql.functions.struct(
       left.columns.map(col).toIndexedSeq: _*)
     // the matched right row's own ts rides along inside the struct so the

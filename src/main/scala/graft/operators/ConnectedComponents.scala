@@ -64,6 +64,15 @@ object ConnectedComponents {
       labels = next.select(col("node"), col("comp2").as("comp"))
       i += 1
     }
+    // exiting via the iteration cap means a component wider than maxIter
+    // hops still carries split labels — silently wrong clusters. Surface it:
+    // callers that can tolerate partial labels see the warning; d7-style
+    // exact consumers should raise maxIter (rounds needed = component
+    // diameter, so the warning firing at all means unusually deep chains).
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"propagateMinLabel stopped at maxIter=$maxIter BEFORE convergence — " +
+          "labels may be partially propagated; raise maxIter")
     labels
   }
 }

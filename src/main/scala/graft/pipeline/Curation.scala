@@ -18,15 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** First helper-column name of the family `base`, `base1`, `base2`, …
+    * absent from `df` — withColumn silently REPLACES an existing column of
+    * the same name, so a fixed helper name would eat user data on frames
+    * that happen to carry it.
+    */
+  private def fresh(df: DataFrame, base: String): String =
+    (Iterator(base) ++ Iterator.from(1).map(i => s"$base$i"))
+      .find(n => !df.columns.contains(n)).get
+
   /** Keep exactly one row per distinct `textCol` value — the one with the
     * smallest `idCol`.
     */
   def dedupExactKeepFirst(docs: DataFrame, textCol: String,
-      idCol: String): DataFrame =
-    docs.withColumn("_keep_rn", row_number().over(
+      idCol: String): DataFrame = {
+    val rn = fresh(docs, "_keep_rn")
+    docs.withColumn(rn, row_number().over(
         Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))))
-      .filter(col("_keep_rn") === 1)
-      .drop("_keep_rn")
+      .filter(col(rn) === 1)
+      .drop(rn)
+  }
 
   /** Token count and mean token length (x1000, integer — exact equality
     * across engines) from a pre-tokenized array column.
@@ -51,9 +62,11 @@ object Curation {
     * total order for determinism — tie-break on a unique id).
     */
   def topPerKey(df: DataFrame, keyCol: String, ordering: Seq[Column],
-      n: Int): DataFrame =
-    df.withColumn("_top_rn", row_number().over(
+      n: Int): DataFrame = {
+    val rn = fresh(df, "_top_rn")
+    df.withColumn(rn, row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(ordering: _*)))
-      .filter(col("_top_rn") <= n)
-      .drop("_top_rn")
+      .filter(col(rn) <= n)
+      .drop(rn)
+  }
 }

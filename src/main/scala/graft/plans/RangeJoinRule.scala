@@ -34,13 +34,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType, 
   * Strict/inclusive bound variants all work because buckets only need to
   * COVER the interval — the exact filter decides membership.
   */
-class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
+class RangeJoinRule(session: SparkSession,
+    widthOverride: Option[Double] = None) extends Rule[LogicalPlan]
     with PredicateHelper {
 
   val widthConf = "spark.graft.rangeJoin.bucketWidth"
+  val maxBucketsConf = "spark.graft.rangeJoin.maxBucketsPerInterval"
 
-  private def width: Double =
-    try session.conf.get(widthConf, "0").toDouble catch { case _: NumberFormatException => 0.0 }
+  /** `widthOverride` exists for manual-application callers (j10-style
+    * `rule(plan)` at query-construction time): passing the width explicitly
+    * means they never mutate shared session conf — with the rule ALSO
+    * injected into the session optimizer via GraftExtensions, a set/unset
+    * window around construction could leak the rewrite (with an unintended
+    * width) into any concurrently-planned query.
+    */
+  private def width: Double = widthOverride.getOrElse(
+    try session.conf.get(widthConf, "0").toDouble
+    catch { case _: NumberFormatException => 0.0 })
+
+  private def maxBuckets: Long =
+    try session.conf.get(maxBucketsConf, "1000000").toLong
+    catch { case _: NumberFormatException => 1000000L }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = width
@@ -127,10 +141,24 @@ class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
       cond: Expression, hint: JoinHint, w: Double): LogicalPlan = {
     val pAlias = Alias(bucketOf(p, w), "_gb_p")()
     val newPointSide = Project(pointSide.output :+ pAlias, pointSide)
-    val seq = Sequence(bucketOf(lo, w), bucketOf(hi, w), None, None)
+    val loB = bucketOf(lo, w)
+    val hiB = bucketOf(hi, w)
+    val seq = Sequence(loB, hiB, None, None)
+    // Sequence(lo, hi) is unbounded: ONE outlier-wide interval (or a width
+    // set orders of magnitude too small for the data's unit) would expand
+    // to up to 2^31 bucket rows and OOM with no indication of why. Guard
+    // per row: exceeding the cap raises a clear, actionable error instead.
+    val cap = maxBuckets
+    val guarded = If(
+      LessThanOrEqual(Subtract(hiB, loB), Literal(cap)),
+      seq,
+      Cast(new RaiseError(Literal(
+        s"graft range-join rewrite: an interval spans more than $cap buckets " +
+          s"at bucketWidth=$w — raise the width (or $maxBucketsConf) so " +
+          "intervals cover a bounded number of buckets")), seq.dataType))
     val gOut = AttributeReference("_gb_i", LongType, nullable = true)()
     val newBoundSide =
-      Generate(Explode(seq), Nil, outer = false, None, Seq(gOut), boundSide)
+      Generate(Explode(guarded), Nil, outer = false, None, Seq(gOut), boundSide)
     val joinCond = EqualTo(pAlias.toAttribute, gOut)
     val newJoin =
       if (pointIsLeft) Join(newPointSide, newBoundSide, Inner, Some(joinCond), hint)

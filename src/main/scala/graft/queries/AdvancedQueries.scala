@@ -43,8 +43,11 @@ object AdvancedQueries {
     // plans/RangeJoinRule — Spark's native plan for this shape is a
     // BroadcastNestedLoopJoin (or cartesian), O(|P| x |R|); the rule turns
     // it into the bucketed equi-join of j9 automatically. The rewrite is
-    // applied at construction (conf set around it) so the frozen plan is
-    // what executes; the extension wiring itself is RangeJoinRuleSpec's job.
+    // applied at construction with an EXPLICIT width override — never by
+    // set/unset of session conf, which (with the rule also injected into
+    // the session optimizer by GraftExtensions) would leak the rewrite into
+    // any query planned concurrently in that window. The extension wiring
+    // itself is RangeJoinRuleSpec's job.
     Q("j10_range_join_rule",
       (s, d) => {
         val pts = events(s, d).select(col("event_id"), col("value"))
@@ -53,11 +56,8 @@ object AdvancedQueries {
           (col("r_regionkey") * 20.0 + 30.0).as("hi"))
         val naive = pts.join(iv,
           col("value") >= col("lo") && col("value") < col("hi"))
-        val rule = new graft.plans.RangeJoinRule(s)
-        s.conf.set(rule.widthConf, "10.0")
-        val rewritten =
-          try rule(naive.queryExecution.analyzed)
-          finally s.conf.unset(rule.widthConf)
+        val rule = new graft.plans.RangeJoinRule(s, widthOverride = Some(10.0))
+        val rewritten = rule(naive.queryExecution.analyzed)
         require(rewritten.toString.contains("sequence"), "range-join rule did not fire")
         org.apache.spark.sql.GraftBridge.ofRows(s, rewritten)
           .groupBy(col("r_regionkey"))
@@ -227,9 +227,14 @@ object AdvancedQueries {
     // statistic a tokenizer-training pipeline computes. Explode is map-side;
     // the count is a partial-aggregated shuffle on the bigram; top-k lowers
     // to TakeOrderedAndProject (no global sort materialization).
+    // The token array MUST be projected to its own column before shingling:
+    // inlining tokens() into the shingles transform-lambda re-tokenizes the
+    // document once per bigram (HOF lambdas get no CSE — O(tokens^2) per doc,
+    // measured 6x slower at sf0.1 and a scale-killer on long documents).
     Q("t6_top_bigrams",
       (s, d) => documents(s, d)
-        .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+        .select(tokens(col("text")).as("w"))
+        .select(explode(shingles(col("w"), 2)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("bigram"))
         .limit(20),

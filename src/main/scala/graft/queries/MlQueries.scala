@@ -39,6 +39,16 @@ object MlQueries {
     alsCache.getOrElseUpdate(s"${s.hashCode}|$d",
       AlsTrainer.fit(ratingsOf(s, d), alsCfg))
 
+  /** Force the shared m4/m5/m6 model into the cache. Bench calls this
+    * BEFORE timing starts and reports the fit as its own "_als_fit" entry,
+    * so m4/m5/m6 measure recommend/transform/similarity only — model
+    * training time (±10 s variance at sf0.1) must never be charged to
+    * whichever query happens to run first.
+    */
+  def pretrainAls(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    alsModel(s, d); ()
+  }
+
   val all: Seq[Q] = Seq(
 
     // M1/M2/S3: two-stage StringIndexer Pipeline — fit on events, persist,
@@ -227,6 +237,41 @@ object MlQueries {
             .cast("long"))
           .filter(col("rn") <= 3)
           .orderBy("q_item", "rn")
+      },
+      None),
+
+    // M7 (and the machinery shared with M8/M9): a 1-D rank sweep through
+    // graft.harness.Sweeps — the reference's driver-loop hyperparameter
+    // search (/root/reference/ALS_model/param_train_1st.py:43-52), one
+    // SweepPoint row per config. Deliberately tiny (subsampled interactions,
+    // 2 ranks, 2 iterations) so the driver run stays cheap; the harness
+    // itself is scale-agnostic (train persisted around the loop, metrics
+    // via the partial-agg RankingAggregator). Rows-only: ALS fits aren't
+    // SQL-expressible; determinism comes from the fixed seed + fixed split.
+    // fitSeconds is wall-clock and therefore EXCLUDED from the output —
+    // every emitted column is integer-scaled and run-stable.
+    Q("m7_sweep",
+      (s, d) => {
+        val ratings = ratingsOf(s, d).filter(col("user_idx") < 60)
+        // deterministic PAIR-level split (never by item: an item-disjoint
+        // validation set has no scoreable rows under coldStartStrategy=drop,
+        // so RMSE would be null)
+        val bucket = pmod(col("item_idx") * 7 + col("user_idx"), lit(5))
+        val valDf = ratings.filter(bucket === 0)
+        val train = ratings.filter(bucket =!= 0)
+        val base = alsCfg.copy(maxIter = 2, userBlocks = 4, itemBlocks = 4)
+        val points = graft.harness.Sweeps.sweep1D(train, valDf, base, k = 3,
+          ranks = Seq(2, 4))
+        val spark = s
+        import spark.implicits._
+        def x1e6(v: Double) =
+          BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        points.map(p => (p.rank, (p.regParam * 100).round, (p.alpha * 10).round,
+            x1e6(p.metrics.meanAveragePrecision), x1e6(p.metrics.precisionAtK),
+            x1e6(p.metrics.ndcgAtK), x1e6(p.rmse), p.metrics.users))
+          .toDF("rank", "reg_x100", "alpha_x10", "map_x1e6", "p_at_k_x1e6",
+            "ndcg_x1e6", "rmse_x1e6", "users")
+          .orderBy("rank")
       },
       None)
   )

@@ -521,8 +521,13 @@ object PipelineQueries {
 
     // E4: IVF approximate nearest neighbour — trained coarse quantizer
     // (k-means cells) + probed-cell candidate join (graft.similarity
-    // .IvfIndex). Not SQL-expressible (model-based): rows-only here;
-    // IvfIndexSpec checks recall against brute force.
+    // .IvfIndex). Not SQL-expressible (model-based): rows-only here, so the
+    // query output carries its OWN quality evidence — recall@5 vs the exact
+    // brute-force top-5 (e1's logic) as a per-query recall_x1000 column,
+    // stable under the fixed k-means seed. IvfIndexSpec asserts the same
+    // recall floor as a test. The exact side is affordable because the
+    // query set is tiny and broadcast; at corpus scale recall is estimated
+    // the same way on a sampled query set, never all queries.
     Q("e4_ann_ivf",
       (s, d) => {
         val emb = embeddings(s, d)
@@ -530,9 +535,26 @@ object PipelineQueries {
         val model = graft.similarity.IvfIndex.build(emb, nCells = 8)
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        graft.similarity.IvfIndex.topK(model, queries, k = 5, nprobe = 2)
+        val ivf = graft.similarity.IvfIndex.topK(model, queries, k = 5, nprobe = 2)
           .select(col("q_id"), col("cand_id"), round(col("cos"), 5).as("cos"),
             col("rn").cast("long").as("rn"))
+        val embN = emb.withColumn("nrm", l2Norm(col("v")))
+        val q = embN.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        val exact = embN.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"),
+            (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("xcos"))
+          .withColumn("xrn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(desc("xcos"), col("cand_id"))))
+          .filter(col("xrn") <= 5)
+          .select(col("q_id"), col("cand_id"))
+        val recall = ivf.select(col("q_id"), col("cand_id"))
+          .join(exact, Seq("q_id", "cand_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+          .select(col("q_id"), (col("hits") * 200L).as("recall_x1000"))
+        ivf.join(recall, Seq("q_id"), "left")
+          .select(col("q_id"), col("cand_id"), col("cos"), col("rn"),
+            coalesce(col("recall_x1000"), lit(0L)).as("recall_x1000"))
           .orderBy("q_id", "rn")
       },
       None),

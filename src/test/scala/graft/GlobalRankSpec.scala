@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.GlobalRank
+
+class GlobalRankSpec extends SparkSpec {
+
+  test("global row_number equals the naive single-partition window") {
+    val s = spark
+    import s.implicits._
+    // keys deliberately collide (ties) so the unique tie-break column does
+    // real work across range-partition boundaries
+    val df = (1 to 500).map(i => (i % 13, s"id_$i")).toDF("k", "id")
+    val got = GlobalRank.withRowNumber(df, Seq(desc("k"), col("id")), "rn")
+      .select(col("id"), col("rn"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(desc("k"), col("id"))).cast("long"))
+      .select(col("id"), col("rn"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("data path is range-partitioned, never one global sort partition") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i, s"x$i")).toDF("k", "id")
+    val p = GlobalRank.withRowNumber(df, Seq(col("k"), col("id")), "rn")
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "main data path lost its range repartition:\n" + p.take(1500))
+  }
+
+  test("reserved helper names are rejected, not silently overwritten") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, "a")).toDF("_gr_pid", "id")
+    intercept[IllegalArgumentException] {
+      GlobalRank.withRowNumber(df, Seq(col("id")), "rn")
+    }
+  }
+}
