@@ -19,10 +19,18 @@ object Tables {
 
   /** events.ts (nanos-since-epoch long) as a microsecond-precision
     * timestamp — same truncation DuckDB applies when reading nanos.
+    *
+    * The division MUST be exact integer arithmetic: Spark's `/` promotes
+    * long operands to DOUBLE, and a nanos-epoch magnitude (~1.7e18)
+    * exceeds double's 53-bit mantissa — the truncated micros came out
+    * off by up to ~hundreds of ns (caught by j12_attribution's raw
+    * gap_us oracle column). Decimal division is exact; the long cast
+    * truncates toward zero = floor for these positive epochs, matching
+    * DuckDB's nanos read.
     */
   def eventTime(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.floor(tsNanos / 1000L).cast("long"))
+      (tsNanos.cast("decimal(20,0)") / 1000L).cast("long"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -69,6 +69,37 @@ object AdvancedQueries {
              |  ON value >= r_regionkey * 20.0 AND value < r_regionkey * 20.0 + 30.0
              |GROUP BY r_regionkey ORDER BY r_regionkey""".stripMargin)),
 
+    // J12: attribution join — every purchase paired with the same user's
+    // clicks from the preceding hour. This is the BATCH face of
+    // streaming/EventStream.attributedPurchases (the stream-stream interval
+    // join): the same function body is oracled here against DuckDB and
+    // stream==batch parity-tested in EventStreamSpec. Plan shape: equi-join
+    // on user_id (hash-partitionable at any scale) + a time-range residual;
+    // per-user pair count is bounded by the attribution window.
+    Q("j12_attribution",
+      (s, d) => {
+        val ev = events(s, d).withColumn("ts", Tables.eventTime(col("ts")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        graft.streaming.EventStream
+          .attributedPurchases(clicks, purchases, "1 hour", 3600L)
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+              .as("gap_us"),
+            round(col("value"), 2).as("v"))
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+             |  round(p.value, 2) AS v
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id AND p.ts >= c.ts
+             |  AND p.ts <= c.ts + INTERVAL 1 HOUR
+             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)),
+
     // P10: JSON column extraction — events.props is a JSON payload (the
     // semi-structured tail every event log carries). from_json with an
     // explicit schema parses it into a typed struct ONCE per row (versus

@@ -61,6 +61,35 @@ object EventStream {
   def enrichedStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** Stream-STREAM inner join with an event-time interval condition — the
+    * attribution join: each purchase pairs with the same user's clicks from
+    * the preceding `attributionSeconds`. BOTH sides carry a watermark and
+    * the join condition bounds the time delta in BOTH directions; together
+    * those let the engine evict each side's buffered rows once the
+    * watermark passes their interval. An unbounded stream-stream join
+    * buffers forever — the time bound IS the scale story. (Contrast
+    * `enrichedStream`: a static dimension needs no state at all.)
+    *
+    * Inputs need (user_id, ts, event_id[, value]); output is one row per
+    * (click, purchase) pair inside the window.
+    */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame,
+      watermarkDelay: String, attributionSeconds: Long): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+        col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(p,
+        col("user_id") === col("p_user_id")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attributionSeconds SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState with EVENT-TIME
     * timeout: state is the single open session per user; a batch whose
     * events jump the gap closes sessions immediately, and an idle user's

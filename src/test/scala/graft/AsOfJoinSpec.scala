@@ -27,6 +27,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(1L -> 50, 2L -> 200, 3L -> 200))
   }
 
+  test("rightCols carrying the ts column or the reserved _rts name are rejected") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("u1", ts(10), 1L)).toDF("user_id", "ts", "event_id")
+    val right = Seq(("u1", ts(5), 50)).toDF("user_id", "ts", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfInner(left, right, "user_id", "ts", Seq("v", "ts"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfInner(left, right.withColumnRenamed("v", "_rts"),
+        "user_id", "ts", Seq("_rts"))
+    }
+  }
+
   test("tolerance: matches at the gap bound are kept, older ones dropped") {
     val s = spark
     import s.implicits._

@@ -41,6 +41,25 @@ class CurationSpec extends SparkSpec {
     assert(top == Set(1L, 2L, 4L, 5L))
   }
 
+  test("helper columns never clobber same-named user columns") {
+    val s = spark
+    import s.implicits._
+    // a frame that already carries the helper names with REAL data in them
+    val tricky = Seq(
+      (1L, "en", "same text", 100L, 200L),
+      (2L, "en", "same text", 101L, 201L),
+      (3L, "de", "other text", 102L, 202L)
+    ).toDF("doc_id", "lang", "text", "_keep_rn", "_top_rn")
+    val deduped = dedupExactKeepFirst(tricky, "text", "doc_id")
+    assert(deduped.columns.contains("_keep_rn"), "user column dropped")
+    assert(deduped.filter(col("doc_id") === 1L).select("_keep_rn").head().getLong(0) == 100L,
+      "user _keep_rn data clobbered")
+    val top = topPerKey(tricky, "lang", Seq(col("doc_id")), n = 1)
+    assert(top.columns.contains("_top_rn"), "user column dropped")
+    assert(top.filter(col("doc_id") === 1L).select("_top_rn").head().getLong(0) == 200L,
+      "user _top_rn data clobbered")
+  }
+
   test("chained stages equal the inlined c1 flow on the real table") {
     // the registered c1 query IS this composition; its DuckDB oracle row
     // protects the semantics — here we just pin the chain runs end-to-end

@@ -112,6 +112,50 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks " +
+      "(== the batch interval join)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = Seq(
+      UserEvent(1L, "click", ts(0), 10.0),   // -> purchase @15 (within 30 min)
+      UserEvent(1L, "click", ts(10), 11.0),  // -> purchase @15 too (both match)
+      UserEvent(2L, "click", ts(5), 12.0),   // no purchase for u2 in window
+      UserEvent(1L, "click", ts(100), 13.0)) // purchase @15 is BEFORE it: no pair
+    val purchases = Seq(
+      UserEvent(1L, "purchase", ts(15), 99.0),
+      UserEvent(2L, "purchase", ts(50), 42.0)) // 45 min after u2's click: outside
+    val cMem = MemoryStream[UserEvent]
+    val pMem = MemoryStream[UserEvent]
+    val cDf = cMem.toDF().withColumn("event_id",
+      concat(col("user_id"), lit("_"), col("value")))
+    val pDf = pMem.toDF().withColumn("event_id",
+      concat(col("user_id"), lit("_"), col("value")))
+    val q = EventStream.attributedPurchases(cDf, pDf, "10 minutes", 30 * 60L)
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      cMem.addData(clicks: _*)
+      pMem.addData(purchases: _*)
+      q.processAllAvailable()
+      val streamed = s.table("attributed")
+        .select("user_id", "click_id", "purchase_id")
+        .orderBy("user_id", "click_id").collect().toSeq
+      val batch = EventStream.attributedPurchases(
+          clicks.toDF().withColumn("event_id",
+            concat(col("user_id"), lit("_"), col("value"))),
+          purchases.toDF().withColumn("event_id",
+            concat(col("user_id"), lit("_"), col("value"))),
+          "10 minutes", 30 * 60L)
+        .select("user_id", "click_id", "purchase_id")
+        .orderBy("user_id", "click_id").collect().toSeq
+      assert(streamed == batch)
+      // exactly u1's two in-window clicks pair with the one purchase
+      assert(streamed.map(r => (r.getLong(0), r.getString(1))).toSet
+        == Set((1L, "1_10.0"), (1L, "1_11.0")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across micro-batches") {
     val s = spark
     import s.implicits._

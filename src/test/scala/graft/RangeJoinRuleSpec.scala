@@ -132,4 +132,37 @@ class RangeJoinRuleSpec extends SparkSpec {
     val rules = GraftBridge.optimizerRules(ext, spark)
     assert(rules.exists(_.isInstanceOf[RangeJoinRule]))
   }
+
+  test("explicit width override fires without touching session conf " +
+      "(the j10 manual-application path)") {
+    assert(spark.conf.getOption(rule.widthConf).isEmpty)
+    val overridden = new RangeJoinRule(spark, widthOverride = Some(10.0))
+    val naive = points.join(intervals,
+      col("x") >= col("lo") && col("x") < col("hi"))
+    val rewritten = overridden(naive.queryExecution.analyzed)
+    assert(rewritten.toString.contains("sequence"), "override did not fire")
+    assert(sortedRows(GraftBridge.ofRows(spark, rewritten)) == sortedRows(naive))
+    // and the conf is STILL unset — nothing leaked into the session
+    assert(spark.conf.getOption(rule.widthConf).isEmpty)
+  }
+
+  test("an interval spanning more than the bucket cap raises a clear " +
+      "error instead of exploding") {
+    spark.conf.set(rule.maxBucketsConf, "50")
+    try {
+      // width 0.1 over the [30, 50] interval = 200 buckets > cap 50
+      val overridden = new RangeJoinRule(spark, widthOverride = Some(0.1))
+      val naive = points.join(intervals,
+        col("x") >= col("lo") && col("x") < col("hi"))
+      val rewritten = overridden(naive.queryExecution.analyzed)
+      val e = intercept[Throwable] {
+        GraftBridge.ofRows(spark, rewritten).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(messages(e).exists(_.contains("graft range-join")),
+        "blowup not converted to the actionable error: " + messages(e).mkString(" | "))
+    } finally spark.conf.unset(rule.maxBucketsConf)
+  }
 }
