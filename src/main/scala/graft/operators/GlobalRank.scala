@@ -4,10 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Scalable global row_number — a dense total rank over the whole frame
-  * WITHOUT the single-partition sort that `row_number().over(Window.orderBy
-  * (...))` plans (Spark coalesces an unpartitioned window to 1 partition:
-  * fine for dimension tables, a stall at vocabulary/corpus scale).
+/** Scalable global ordered computations — row_number and running totals
+  * over the whole frame WITHOUT the single-partition sort that
+  * `row_number().over(Window.orderBy(...))` plans (Spark coalesces an
+  * unpartitioned window to 1 partition: fine for dimension tables, a
+  * stall at vocabulary/corpus scale).
   *
   * Two-phase shape (the classic sort + partition-offset pattern):
   *  1. range-repartition by the sort key — every partition holds a
@@ -29,21 +30,45 @@ import org.apache.spark.sql.functions._
 object GlobalRank {
 
   /** `df` plus `out` = the 1-based global row number under `order`. */
-  def withRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+  def withRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame =
+    twoPhase(df, order, count(lit(1)).as("_gr_n"),
+      (pid, off) => (row_number().over(Window.partitionBy(pid).orderBy(order: _*))
+        + off).cast("long"), out)
+
+  /** `df` plus `out` = the INCLUSIVE global running total of `valueCol`
+    * under `order` — the scalable prefix sum (same two-phase shape as
+    * `withRowNumber`: per-partition running sum + broadcast offsets of the
+    * preceding partitions' totals). The packing/chunking primitive: a
+    * corpus-wide token offset assigns every document its position in the
+    * concatenated training stream without ever sorting into one partition.
+    */
+  def withRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
+      out: String): DataFrame =
+    twoPhase(df, order, sum(col(valueCol)).as("_gr_n"),
+      (pid, off) => (sum(col(valueCol)).over(
+        Window.partitionBy(pid).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        + off).cast("long"), out)
+
+  /** Range-repartition by `order`, aggregate `perPartition` per partition,
+    * prefix-sum those into per-partition offsets (a ≤numShufflePartitions
+    * row table — the one place a global window is safe), broadcast them
+    * back, and let `local` combine the partitioned window with the offset.
+    */
+  private def twoPhase(df: DataFrame, order: Seq[Column],
+      perPartition: Column, local: (Column, Column) => Column,
+      out: String): DataFrame = {
     val pid = "_gr_pid"
     val off = "_gr_off"
     require(!df.columns.contains(pid) && !df.columns.contains(off),
       s"input must not carry reserved columns $pid/$off")
     val ranged = df.repartitionByRange(order: _*).withColumn(pid, spark_partition_id())
-    // offsets: #partitions rows max — the one place a global window is safe
-    val offsets = ranged.groupBy(col(pid)).agg(count(lit(1)).as("_gr_n"))
+    val offsets = ranged.groupBy(col(pid)).agg(perPartition)
       .withColumn(off,
         (sum(col("_gr_n")).over(Window.orderBy(col(pid))) - col("_gr_n")).cast("long"))
       .select(col(pid), col(off))
     ranged.join(broadcast(offsets), Seq(pid))
-      .withColumn(out,
-        (row_number().over(Window.partitionBy(col(pid)).orderBy(order: _*))
-          + col(off)).cast("long"))
+      .withColumn(out, local(col(pid), col(off)))
       .drop(pid, off)
   }
 }

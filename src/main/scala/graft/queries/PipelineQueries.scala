@@ -337,6 +337,31 @@ object PipelineQueries {
               |FROM kept WHERE rn <= 50
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // C2: deterministic train/val/test split assignment — the hash-bucket
+    // split every training pipeline runs before packing (90/5/5 here).
+    // Keyed on a salted content-independent id hash so the assignment is
+    // stable under re-runs, re-shards, and incremental appends — never
+    // rand() (irreproducible) and never modulo on the raw id (correlated
+    // with insertion order). Map-side projection: no shuffle at any scale.
+    Q("c2_split_assign",
+      (s, d) => {
+        val bucket = pmod(
+          hash32(concat(lit("split:"), col("doc_id").cast("string"))), lit(1000L))
+        documents(s, d)
+          .select(col("doc_id"), bucket.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 900, "train")
+              .when(col("bucket") < 950, "val")
+              .otherwise("test"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  ${sqlH32("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+              |  CASE WHEN ${sqlH32("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'train'
+              |       WHEN ${sqlH32("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 950 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- text analysis -------------------------------------------------
     // T1: n-gram-lexicon language ID. Marker-token hit counts per language,
     // argmax with a fixed tie order. Map-side projection; the lexicons are
@@ -434,6 +459,39 @@ object PipelineQueries {
               |  CAST(list_sum([i * ${sqlH32("w[i]")} for i in range(1, len(w) + 1)])
               |    % 2147483647 AS BIGINT) AS fp
               |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // T9: sequence packing — assign every document its position in the
+    // concatenated fixed-budget training stream (contiguous packing: docs
+    // in id order, bin = which 256-token sequence the doc STARTS in, off =
+    // where inside it). The corpus-wide token offset is the scalable prefix
+    // sum (GlobalRank.withRunningTotal: range partition + offsets), NEVER a
+    // single-partition running window — at 100 TB the token stream is
+    // trillions of tokens. The bin division is exact decimal arithmetic
+    // (same hazard as Tables.eventTime: `/` on longs promotes to double).
+    Q("t9_pack",
+      (s, d) => {
+        val budget = 256L
+        val counted = tokenized(s, d)
+          .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
+        graft.operators.GlobalRank
+          .withRunningTotal(counted, Seq(col("doc_id")), "n_tok", "cum")
+          .withColumn("start", col("cum") - col("n_tok"))
+          .select(col("doc_id"), col("n_tok"),
+            (col("start").cast("decimal(20,0)") / budget).cast("long").as("bin"),
+            pmod(col("start"), lit(budget)).as("off"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlTok, t AS (
+              |  SELECT doc_id, len(w) AS n_tok FROM tok
+              |), c AS (
+              |  SELECT doc_id, n_tok,
+              |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS strt
+              |  FROM t
+              |)
+              |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              |  strt // 256 AS bin, strt % 256 AS off
+              |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ----- similarity search over embeddings -----------------------------
     // E1: brute-force cosine top-k — the exact baseline. The (small) query

@@ -32,6 +32,21 @@ class GlobalRankSpec extends SparkSpec {
       "main data path lost its range repartition:\n" + p.take(1500))
   }
 
+  test("global running total equals the naive single-partition window") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 500).map(i => (s"id_$i", (i % 37 + 1).toLong)).toDF("id", "v")
+    val got = GlobalRank.withRunningTotal(df, Seq(col("id")), "v", "cum")
+      .select(col("id"), col("cum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select(col("id"), col("cum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("reserved helper names are rejected, not silently overwritten") {
     val s = spark
     import s.implicits._
