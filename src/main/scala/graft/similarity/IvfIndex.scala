@@ -23,6 +23,23 @@ object IvfIndex {
 
   final case class Model(centroids: DataFrame, assigned: DataFrame)
 
+  /** Persist a built index as two parquet tables — the model-registry
+    * contract: the quantizer is trained ONCE per corpus snapshot, saved,
+    * and every search job `load`s it instead of refitting (at scale the
+    * k-means fit dominates e4-style queries; a loaded index makes search
+    * cost = probe join only). The assigned table is written partitioned by
+    * cell so a probed search prunes to its nprobe cells at the file level.
+    */
+  def save(model: Model, dir: String): Unit = {
+    model.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    model.assigned.write.mode("overwrite")
+      .partitionBy("cell_id").parquet(s"$dir/assigned")
+  }
+
+  def load(spark: SparkSession, dir: String): Model = Model(
+    spark.read.parquet(s"$dir/centroids"),
+    spark.read.parquet(s"$dir/assigned"))
+
   /** Train the coarse quantizer and assign every vector to a cell.
     * `emb` must have (vec_id, v: array<double>).
     */

@@ -48,4 +48,21 @@ class IvfIndexSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(mean >= 0.5, s"mean recall@5 = $mean")
     assert(approx.values.forall(_.size <= 5))
   }
+
+  test("save/load round-trips the index and searches identically " +
+      "(cell-partitioned layout prunes probes at the file level)") {
+    val model = IvfIndex.build(emb, nCells = 8)
+    val dir = "/root/repo/target/qtmp/ivf_index"
+    IvfIndex.save(model, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.count() == 8)
+    assert(loaded.assigned.count() == emb.count())
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def rows(m: IvfIndex.Model) =
+      IvfIndex.topK(m, queries, k = 5, nprobe = 2)
+        .select("q_id", "cand_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(loaded) == rows(model), "loaded index search differs")
+  }
 }
