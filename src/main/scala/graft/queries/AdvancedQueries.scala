@@ -100,6 +100,22 @@ object AdvancedQueries {
              |  AND p.ts <= c.ts + INTERVAL 1 HOUR
              |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)),
 
+    // O10: Z-order key computation (operators/ZOrder) — the multi-column
+    // layout key. The query oracles the bit-interleaving arithmetic
+    // bit-for-bit against DuckDB (the write-side skipping effect itself is
+    // ZOrderSpec's job, measured on parquet row-group scan counts).
+    Q("o10_zorder_key",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          graft.operators.ZOrder
+            .zkey(col("user_id"), floor(col("value")).cast("long"), 16)
+            .as("zkey"))
+        .orderBy("event_id"),
+      Some(s"""SELECT event_id,
+              |  ${graft.operators.ZOrder.zkeySql("user_id",
+                   "CAST(floor(value) AS BIGINT)", 16)} AS zkey
+              |FROM events ORDER BY event_id""".stripMargin)),
+
     // P10: JSON column extraction — events.props is a JSON payload (the
     // semi-structured tail every event log carries). from_json with an
     // explicit schema parses it into a typed struct ONCE per row (versus
