@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the table-maintenance half of the layout story.
+  *
+  * Streaming sinks, per-key repartition writes, and incremental appends
+  * all leave directories of KB-scale files; at 100 TB a scan's task count
+  * (and the namenode's metadata load) is driven by file COUNT, not bytes,
+  * so periodic compaction to ~target-sized files is a first-class pipeline
+  * operation (what Delta/Iceberg expose as OPTIMIZE).
+  *
+  * The rewrite reads the directory once, repartitions to
+  * `ceil(totalBytes / targetFileBytes)` output files, and writes to a
+  * fresh directory — never in place (a failed in-place rewrite loses
+  * data; the caller swaps directories after success, which is the atomic
+  * half a real table format's manifest commit provides). An optional
+  * `sortCol` re-sorts within partitions during the rewrite so compaction
+  * also RESTORES row-group min/max locality (see DataSkippingSpec /
+  * ZOrderSpec — append streams interleave ranges, and compaction is the
+  * natural place to fix the layout back up).
+  */
+object Compaction {
+
+  /** Total bytes of data files under `dir` (non-hidden, non-metadata). */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) bytes += f.getLen
+    }
+    bytes
+  }
+
+  /** Number of data files under `dir`. */
+  def dataFiles(spark: SparkSession, dir: String): Long = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var n = 0L
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** Rewrite the parquet directory `srcDir` into `destDir` with
+    * ~`targetFileBytes` files, optionally re-sorted within partitions on
+    * `sortCols` to restore data-skipping locality. Returns the file count
+    * written.
+    */
+  def compactParquet(spark: SparkSession, srcDir: String, destDir: String,
+      targetFileBytes: Long,
+      sortCols: Seq[org.apache.spark.sql.Column] = Nil): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val bytes = dataBytes(spark, srcDir)
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(srcDir)
+    val compacted =
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+    compacted.write.mode("overwrite").parquet(destDir)
+    dataFiles(spark, destDir)
+  }
+}

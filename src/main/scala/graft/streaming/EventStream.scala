@@ -61,6 +61,33 @@ object EventStream {
   def enrichedStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** File-source incremental processing — the production shape of "run the
+    * streaming pipeline over whatever landed since last time": a parquet
+    * directory is read AS A STREAM, aggregated with the same watermarked
+    * tumbling logic as the live path, and written append-mode to a parquet
+    * sink with a checkpoint. `Trigger.AvailableNow` drains everything
+    * currently available then stops, and the checkpoint records which
+    * files were consumed — re-running after new files land processes ONLY
+    * the new ones and appends only newly-closed windows (exactly-once
+    * across runs, FileStreamSpec). At 100 TB this is how a batch cadence
+    * and a streaming cadence share one pipeline definition.
+    */
+  def processFilesOnce(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      destDir: String, checkpointDir: String, windowLength: String,
+      watermark: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(srcDir).schema
+    val q = streamingTypeCounts(
+        spark.readStream.schema(schema).parquet(srcDir), windowLength, watermark)
+      .writeStream.format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-STREAM inner join with an event-time interval condition — the
     * attribution join: each purchase pairs with the same user's clicks from
     * the preceding `attributionSeconds`. BOTH sides carry a watermark and
