@@ -21,7 +21,10 @@ import java.nio.file.{Files, Paths}
   *    fixed harness overhead (~0.2-0.9 s/query) to read real numbers net of;
   *  - "total" sums real queries only (no "_"-prefixed harness entries);
   *  - queries run in sorted name order (stable across rounds);
-  *  - a failing query records -1 and its error, never a bogus fast time;
+  *  - a query records -1 only when EVERY run failed; `errors` records any
+  *    per-run failure even when another run succeeded, so flaky queries
+  *    surface in the errors array while still reporting their best time —
+  *    a query is healthy only if it has a time AND no error entry;
   *  - the JSON line goes to stdout AND to a file (sbt [info] noise made the
   *    stdout-only line unparseable in round 1).
   */

@@ -23,32 +23,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  /** Total bytes of data files under `dir` (non-hidden, non-metadata). */
-  def dataBytes(spark: SparkSession, dir: String): Long = {
+  /** One recursive listing shared by every metric — the hidden-file rule
+    * lives in exactly one place (and on an object store each extra listing
+    * is a paid remote walk).
+    */
+  private def listData(spark: SparkSession, dir: String): (Long, Long) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(path, true)
     var bytes = 0L
+    var n = 0L
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) bytes += f.getLen
+      if (!name.startsWith("_") && !name.startsWith(".")) { bytes += f.getLen; n += 1 }
     }
-    bytes
+    (bytes, n)
   }
 
+  /** Total bytes of data files under `dir` (non-hidden, non-metadata). */
+  def dataBytes(spark: SparkSession, dir: String): Long = listData(spark, dir)._1
+
   /** Number of data files under `dir`. */
-  def dataFiles(spark: SparkSession, dir: String): Long = {
-    val path = new Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(path, true)
-    var n = 0L
-    while (it.hasNext) {
-      val name = it.next().getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
-    }
-    n
-  }
+  def dataFiles(spark: SparkSession, dir: String): Long = listData(spark, dir)._2
 
   /** Rewrite the parquet directory `srcDir` into `destDir` with
     * ~`targetFileBytes` files, optionally re-sorted within partitions on
@@ -60,7 +57,10 @@ object Compaction {
       sortCols: Seq[org.apache.spark.sql.Column] = Nil): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val bytes = dataBytes(spark, srcDir)
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // clamp BEFORE the Int narrowing: a tiny target over a huge directory
+    // must not wrap to a negative partition count
+    val nFiles = math.min(Int.MaxValue.toLong,
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
     val df = spark.read.parquet(srcDir)
     val compacted =
       if (sortCols.isEmpty) df.repartition(nFiles)

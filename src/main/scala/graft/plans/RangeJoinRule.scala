@@ -149,8 +149,16 @@ class RangeJoinRule(session: SparkSession,
     // to up to 2^31 bucket rows and OOM with no indication of why. Guard
     // per row: exceeding the cap raises a clear, actionable error instead.
     val cap = maxBuckets
+    // NULL bounds must take the sequence branch, NOT the error branch:
+    // Sequence(null, ...) is null, Explode of null emits nothing — exactly
+    // the naive join's null-comparison semantics (a null-bounded interval
+    // matches no point). If treats a null predicate as false, so without
+    // the Coalesce a single null lo/hi row would abort the whole query
+    // with a misleading over-cap error.
+    val withinCap =
+      Coalesce(Seq(LessThanOrEqual(Subtract(hiB, loB), Literal(cap)), Literal(true)))
     val guarded = If(
-      LessThanOrEqual(Subtract(hiB, loB), Literal(cap)),
+      withinCap,
       seq,
       Cast(new RaiseError(Literal(
         s"graft range-join rewrite: an interval spans more than $cap buckets " +

@@ -207,8 +207,11 @@ object MlQueries {
           "count", "prediction")
         val spark = s
         import spark.implicits._
-        Seq(Tuple1(BigDecimal(rmse).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
-          .toDF("rmse_2dp")
+        // scoring the training pairs themselves, so nothing cold-start-drops
+        // and rmse is defined; the NaN guard still protects the row shape
+        val r2 = if (rmse.isNaN) -1.0
+          else BigDecimal(rmse).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Seq(Tuple1(r2)).toDF("rmse_2dp")
       },
       None),
 
@@ -264,8 +267,12 @@ object MlQueries {
           ranks = Seq(2, 4))
         val spark = s
         import spark.implicits._
+        // NaN-safe: RankingEval.rmse returns NaN when no validation pair is
+        // scoreable — surface it as a -1 sentinel instead of letting
+        // BigDecimal(NaN) crash the whole sweep
         def x1e6(v: Double) =
-          BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          if (v.isNaN) -1L
+          else BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
         points.map(p => (p.rank, (p.regParam * 100).round, (p.alpha * 10).round,
             x1e6(p.metrics.meanAveragePrecision), x1e6(p.metrics.precisionAtK),
             x1e6(p.metrics.ndcgAtK), x1e6(p.rmse), p.metrics.users))

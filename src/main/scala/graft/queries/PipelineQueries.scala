@@ -499,20 +499,13 @@ object PipelineQueries {
     // ranking is a per-query window, never a global sort.
     Q("e1_cosine_topk",
       (s, d) => {
-        // norms are per-vector, so they are computed ONCE per row before the
-        // join — cosine(a,b) inside the join would redo both norms per pair.
         val emb = embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", l2Norm(col("v")))
         val q = emb.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-        emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("cand_id"),
-            round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 5).as("cos"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("cand_id")))
-            .cast("long"))
-          .filter(col("rn") <= 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        graft.similarity.ExactCosine.topK(emb, q, 5)
+          .select(col("q_id"), col("cand_id"), col("cos"),
+            col("rn").cast("long").as("rn"))
           .orderBy("q_id", "rn")
       },
       Some("""WITH e AS (
@@ -596,15 +589,10 @@ object PipelineQueries {
         val ivf = graft.similarity.IvfIndex.topK(model, queries, k = 5, nprobe = 2)
           .select(col("q_id"), col("cand_id"), round(col("cos"), 5).as("cos"),
             col("rn").cast("long").as("rn"))
-        val embN = emb.withColumn("nrm", l2Norm(col("v")))
-        val q = embN.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-        val exact = embN.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("cand_id"),
-            (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("xcos"))
-          .withColumn("xrn", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(desc("xcos"), col("cand_id"))))
-          .filter(col("xrn") <= 5)
+        // the recall denominator is THE shared exact-baseline definition
+        // (similarity/ExactCosine) — e1, this recall, and IvfIndexSpec can
+        // never drift onto different tie-break or norm conventions
+        val exact = graft.similarity.ExactCosine.topK(emb, queries, 5)
           .select(col("q_id"), col("cand_id"))
         val recall = ivf.select(col("q_id"), col("cand_id"))
           .join(exact, Seq("q_id", "cand_id"))

@@ -28,15 +28,8 @@ class IvfIndexSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .select("q_id", "cand_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
 
-    // brute-force ground truth
-    val qn = queries.withColumn("qnrm", l2Norm(col("qv")))
-    val en = emb.withColumn("nrm", l2Norm(col("v")))
-    val exact = en.join(broadcast(qn), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"),
-        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("cand_id"))))
-      .filter(col("rn") <= 5)
+    // brute-force ground truth — the SHARED exact-baseline definition
+    val exact = graft.similarity.ExactCosine.topK(emb, queries, 5)
       .select("q_id", "cand_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
 

@@ -146,6 +146,23 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(spark.conf.getOption(rule.widthConf).isEmpty)
   }
 
+  test("null interval bounds drop the row (naive semantics), never hit " +
+      "the bucket-cap error branch") {
+    val s = spark
+    import s.implicits._
+    val withNulls = Seq(
+      (20L, Some(0.0), Some(10.0)),
+      (21L, None: Option[Double], Some(10.0)),  // null lo
+      (22L, Some(0.0), None: Option[Double]))   // null hi
+      .toDF("iid", "lo", "hi")
+    val overridden = new RangeJoinRule(spark, widthOverride = Some(10.0))
+    val naive = points.join(withNulls,
+      col("x") >= col("lo") && col("x") < col("hi"))
+    val rewritten = overridden(naive.queryExecution.analyzed)
+    assert(rewritten.toString.contains("sequence"), "rule did not fire")
+    assert(sortedRows(GraftBridge.ofRows(spark, rewritten)) == sortedRows(naive))
+  }
+
   test("an interval spanning more than the bucket cap raises a clear " +
       "error instead of exploding") {
     spark.conf.set(rule.maxBucketsConf, "50")
