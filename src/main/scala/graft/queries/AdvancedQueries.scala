@@ -100,6 +100,38 @@ object AdvancedQueries {
              |  AND p.ts <= c.ts + INTERVAL 1 HOUR
              |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)),
 
+    // J13: NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    // join a pipeline needs when the key itself is legitimately null
+    // ("no campaign", "unknown language") and null must MATCH null
+    // instead of silently dropping those rows (plain equality never
+    // matches null). Spark plans <=> as a regular hash join — same
+    // shuffle shape as an equi-join, with null keys hashing to one
+    // partition (a skew hazard at scale if nulls dominate — then salt or
+    // split the null group; here the null group is one dim row).
+    Q("j13_nullsafe_join",
+      (s, d) => {
+        // nullif: the 'click' rows get a NULL key — the unattributed group
+        val ev = events(s, d).select(
+          when(col("event_type") === "click", lit(null).cast("string"))
+            .otherwise(col("event_type")).as("k"),
+          col("value"))
+        val dim = ev.select(col("k")).distinct()
+          .select(col("k"), concat(lit("grp_"), coalesce(col("k"), lit("none"))).as("label"))
+        ev.join(dim, ev("k") <=> dim("k"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .orderBy("label")
+      },
+      Some("""WITH ev AS (
+             |  SELECT nullif(event_type, 'click') AS k, value FROM events
+             |), dim AS (
+             |  SELECT k, 'grp_' || coalesce(k, 'none') AS label
+             |  FROM (SELECT DISTINCT k FROM ev)
+             |)
+             |SELECT label, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
+             |GROUP BY label ORDER BY label""".stripMargin)),
+
     // O10: Z-order key computation (operators/ZOrder) — the multi-column
     // layout key. The query oracles the bit-interleaving arithmetic
     // bit-for-bit against DuckDB (the write-side skipping effect itself is
