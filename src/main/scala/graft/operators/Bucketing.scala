@@ -19,6 +19,12 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
+    // single-part names only: a dotted name would back-tick-quote into one
+    // identifier (dropping nothing) while the real location is
+    // warehouse/<db>.db/<tbl>; and the stale-dir path below is the
+    // LOWERCASED name the catalog uses for the managed location
+    require(!table.contains("."),
+      s"writeBucketed takes a single-part table name, got '$table'")
     val spark = df.sparkSession
     // a managed-table location can survive a previous session whose
     // in-memory catalog is gone; overwrite then refuses to reuse it —
@@ -26,7 +32,7 @@ object Bucketing {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
-    deleteRecursively(new java.io.File(warehouse, table))
+    deleteRecursively(new java.io.File(warehouse, table.toLowerCase))
     df.write.format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)

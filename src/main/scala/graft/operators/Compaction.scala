@@ -30,13 +30,26 @@ object Compaction {
   private def listData(spark: SparkSession, dir: String): (Long, Long) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootDepth = fs.makeQualified(path).depth()
+    // hidden-ness applies to EVERY path component below the root, not just
+    // the leaf: the file streaming sink writes _spark_metadata/0, 1, … —
+    // log files whose leaf names look like data but live in a hidden dir
+    def isHidden(p: Path): Boolean = {
+      var cur = p
+      var hidden = false
+      while (cur != null && cur.depth() > rootDepth) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) hidden = true
+        cur = cur.getParent
+      }
+      hidden
+    }
     val it = fs.listFiles(path, true)
     var bytes = 0L
     var n = 0L
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) { bytes += f.getLen; n += 1 }
+      if (!isHidden(f.getPath)) { bytes += f.getLen; n += 1 }
     }
     (bytes, n)
   }

@@ -43,12 +43,18 @@ object GlobalRank {
     * concatenated training stream without ever sorting into one partition.
     */
   def withRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
-      out: String): DataFrame =
+      out: String): DataFrame = {
+    // the offsets and the output are long-typed; a fractional valueCol
+    // would be silently floor-truncated and diverge from the naive window
+    val vt = df.schema(valueCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
+      s"withRunningTotal needs an integral value column, got $valueCol: ${vt.typeName}")
     twoPhase(df, order, sum(col(valueCol)).as("_gr_n"),
       (pid, off) => (sum(col(valueCol)).over(
         Window.partitionBy(pid).orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         + off).cast("long"), out)
+  }
 
   /** Range-repartition by `order`, aggregate `perPartition` per partition,
     * prefix-sum those into per-partition offsets (a ≤numShufflePartitions

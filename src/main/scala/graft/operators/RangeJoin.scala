@@ -20,16 +20,23 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
+    require(!points.columns.contains("_b") && !intervals.columns.contains("_b"),
+      "inputs must not carry the reserved column _b")
+    val loB = floor(col(loCol) / bucketWidth).cast("long")
+    // floor(hi/w) can emit one bucket the (hi-exclusive) interval never
+    // reaches when hi lies exactly on a bucket edge — the exact filter
+    // below discards it, and each point still matches each containing
+    // interval exactly once (its bucket is unique). An epsilon-nudged
+    // bound would be worse: it drops real matches within eps of hi and
+    // is a floating-point no-op once |hi| is large.
+    val hiB = floor(col(hiCol) / bucketWidth).cast("long")
+    // inverted (lo > hi) or null-bounded intervals contain no point; they
+    // must expand to an EMPTY bucket list — sequence() with start > stop
+    // counts DOWN (step -1), which would silently explode a corrupted row
+    // into |lo-hi| buckets
     val bucketed = intervals.withColumn("_b",
-      explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        // floor(hi/w) can emit one bucket the (hi-exclusive) interval never
-        // reaches when hi lies exactly on a bucket edge — the exact filter
-        // below discards it, and each point still matches each containing
-        // interval exactly once (its bucket is unique). An epsilon-nudged
-        // bound would be worse: it drops real matches within eps of hi and
-        // is a floating-point no-op once |hi| is large.
-        floor(col(hiCol) / bucketWidth).cast("long"))))
+      explode(when(loB <= hiB, sequence(loB, hiB))
+        .otherwise(array().cast("array<long>"))))
     points.withColumn("_b", floor(col(pointCol) / bucketWidth).cast("long"))
       .join(bucketed, Seq("_b"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))

@@ -23,6 +23,10 @@ object SkewJoin {
   def saltedInnerJoin(big: DataFrame, small: DataFrame, key: String,
       saltColumns: Seq[String], n: Int): DataFrame = {
     require(n > 0, "salt fan-out must be positive")
+    // withColumn silently REPLACES an existing column — a caller's _salt
+    // data would vanish from the output with no error
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs must not carry the reserved column _salt")
     val salted = big.withColumn("_salt",
       pmod(hash(saltColumns.map(col): _*), lit(n)))
     val replicated = small.withColumn("_salt",

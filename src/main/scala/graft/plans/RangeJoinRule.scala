@@ -149,21 +149,29 @@ class RangeJoinRule(session: SparkSession,
     // to up to 2^31 bucket rows and OOM with no indication of why. Guard
     // per row: exceeding the cap raises a clear, actionable error instead.
     val cap = maxBuckets
-    // NULL bounds must take the sequence branch, NOT the error branch:
-    // Sequence(null, ...) is null, Explode of null emits nothing — exactly
-    // the naive join's null-comparison semantics (a null-bounded interval
-    // matches no point). If treats a null predicate as false, so without
-    // the Coalesce a single null lo/hi row would abort the whole query
-    // with a misleading over-cap error.
-    val withinCap =
-      Coalesce(Seq(LessThanOrEqual(Subtract(hiB, loB), Literal(cap)), Literal(true)))
+    // Two hazards live in Sequence(loB, hiB):
+    //  - INVERTED bounds (lo > hi, a corrupted row): Sequence with no step
+    //    defaults to step -1 and generates a DESCENDING array of up to
+    //    |lo-hi| elements — an uncapped explosion the cap check would wave
+    //    through (the subtraction is negative). An inverted interval
+    //    contains no point, so it gets an EMPTY bucket array.
+    //  - NULL bounds: the naive join's null comparison matches nothing, so
+    //    they also take the empty branch (the ordered-check Coalesce maps
+    //    null to false). Both cases emit zero rows from Explode — never a
+    //    misleading over-cap error, never an OOM.
+    val ordered =
+      Coalesce(Seq(LessThanOrEqual(loB, hiB), Literal(false)))
+    val emptyBuckets = Literal.create(Array.empty[Long], seq.dataType)
     val guarded = If(
-      withinCap,
-      seq,
-      Cast(new RaiseError(Literal(
-        s"graft range-join rewrite: an interval spans more than $cap buckets " +
-          s"at bucketWidth=$w — raise the width (or $maxBucketsConf) so " +
-          "intervals cover a bounded number of buckets")), seq.dataType))
+      ordered,
+      If(
+        LessThanOrEqual(Subtract(hiB, loB), Literal(cap)),
+        seq,
+        Cast(new RaiseError(Literal(
+          s"graft range-join rewrite: an interval spans more than $cap buckets " +
+            s"at bucketWidth=$w — raise the width (or $maxBucketsConf) so " +
+            "intervals cover a bounded number of buckets")), seq.dataType)),
+      emptyBuckets)
     val gOut = AttributeReference("_gb_i", LongType, nullable = true)()
     val newBoundSide =
       Generate(Explode(guarded), Nil, outer = false, None, Seq(gOut), boundSide)

@@ -149,8 +149,20 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
+                // late events (in-watermark, BEFORE the open session) must
+                // not corrupt the interval: a bare `t - last < gap` check
+                // is trivially true for any old event and would drag
+                // last_ms backwards, breaking the event-time timeout.
+                case Some(s) if t < s.start_ms - gapMs =>
+                  // beyond the gap before the session: its own session,
+                  // emitted closed immediately (single-open-session state;
+                  // an exact multi-open implementation would buffer it)
+                  closed += ClosedSession(uid, new java.sql.Timestamp(t), 1, e.value)
                 case Some(s) if t - s.last_ms < gapMs =>
-                  open = Some(OpenSession(s.start_ms, t, s.n + 1, s.total + e.value))
+                  // inside the session or within the gap on either side:
+                  // merge and WIDEN — start may move back, last never does
+                  open = Some(OpenSession(math.min(s.start_ms, t),
+                    math.max(s.last_ms, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed += toClosed(uid, s)
                   open = Some(OpenSession(t, t, 1, e.value))
@@ -169,6 +181,12 @@ object EventStream {
 
   /** Arbitrary stateful processing (the mapGroupsWithState surface): a
     * running per-user event count + value total, updated per micro-batch.
+    *
+    * State here is deliberately UNBOUNDED (NoTimeout): one row per user
+    * ever seen, which is the semantics of an all-time running total. That
+    * is only safe when the key space is bounded (registered users, not
+    * anonymous session ids) — for unbounded keys, add an event-time or
+    * processing-time timeout and eviction like `closedSessions` does.
     */
   def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
     val spark = events.sparkSession

@@ -112,6 +112,38 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late in-watermark events widen the open session instead of " +
+      "dragging last_ms backwards; far-late events become their own session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[UserEvent]
+    // generous watermark so the late events are NOT dropped, 30-min gap
+    val q = EventStream.closedSessions(mem.toDS(), gapMs = 30 * 60_000L,
+      watermarkDelay = "3 hours")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(UserEvent(1L, "click", ts(60), 1.0), UserEvent(1L, "click", ts(65), 2.0))
+      q.processAllAvailable()
+      // batch 2, out of order: min 10 is >gap before the session (own
+      // closed session); min 50 is within the gap BEFORE start (merges,
+      // start moves back to 50, last stays 65)
+      mem.addData(UserEvent(1L, "view", ts(10), 4.0), UserEvent(1L, "view", ts(50), 8.0))
+      q.processAllAvailable()
+      val early = s.table("late_sessions")
+        .collect().map(r => (r.getTimestamp(1).getTime / 60_000 - 24 * 60, r.getLong(2), r.getDouble(3)))
+      assert(early.toSet == Set((10L, 1L, 4.0)), s"got: ${early.mkString(",")}")
+      // min 120 jumps the gap from last=65: the widened session closes
+      mem.addData(UserEvent(1L, "click", ts(120), 16.0))
+      q.processAllAvailable()
+      val all = s.table("late_sessions")
+        .collect().map(r => (r.getTimestamp(1).getTime / 60_000 - 24 * 60, r.getLong(2), r.getDouble(3)))
+      assert(all.toSet == Set((10L, 1L, 4.0), (50L, 3L, 11.0)),
+        s"widened session wrong: ${all.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks " +
       "(== the batch interval join)") {
     val s = spark

@@ -163,6 +163,24 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(sortedRows(GraftBridge.ofRows(spark, rewritten)) == sortedRows(naive))
   }
 
+  test("inverted intervals (lo > hi) expand to zero buckets — never a " +
+      "descending-sequence explosion, never the cap error") {
+    val s = spark
+    import s.implicits._
+    // the inverted row spans 1e9 width: without the ordered guard,
+    // Sequence would count DOWN through 1e8 buckets for that single row
+    val inverted = Seq((30L, 0.0, 10.0), (31L, 1.0e9, 0.0)).toDF("iid", "lo", "hi")
+    spark.conf.set(rule.maxBucketsConf, "1000")
+    try {
+      val overridden = new RangeJoinRule(spark, widthOverride = Some(10.0))
+      val naive = points.join(inverted,
+        col("x") >= col("lo") && col("x") < col("hi"))
+      val rewritten = overridden(naive.queryExecution.analyzed)
+      assert(rewritten.toString.contains("sequence"), "rule did not fire")
+      assert(sortedRows(GraftBridge.ofRows(spark, rewritten)) == sortedRows(naive))
+    } finally spark.conf.unset(rule.maxBucketsConf)
+  }
+
   test("an interval spanning more than the bucket cap raises a clear " +
       "error instead of exploding") {
     spark.conf.set(rule.maxBucketsConf, "50")
