@@ -25,6 +25,10 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // null is produced for mismatched lengths and null elements even when
+  // both children are non-nullable — without this override the optimizer
+  // would constant-fold IsNotNull(dot(...)) to true and elide null guards
+  override def nullable: Boolean = true
 
   private def isDoubleArray(t: DataType) = t match {
     case ArrayType(DoubleType, _) => true
@@ -46,7 +50,14 @@ case class DotProduct(left: Expression, right: Expression)
       var s = 0.0
       var i = 0
       val n = x.numElements()
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        // a null ELEMENT nulls the whole product — the HOF form's
+        // semantics (null propagates through x*y and acc+x); getDouble
+        // on a null slot would silently read 0.0 and fabricate a value
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       s
     }
   }

@@ -46,7 +46,12 @@ object MinHashSig {
 
   def signature(text: String, k: Int): Array[Long] = {
     val sig = Array.fill(k)(P)
-    val words = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    // lowercase through UTF8String — the EXACT implementation Spark's
+    // lower() uses — not String.toLowerCase(Locale.ROOT): for non-ASCII
+    // text Spark's slow path lowercases in the JVM DEFAULT locale, so a
+    // Locale.ROOT copy here would break native==HOF bit-identity on
+    // e.g. a Turkish-locale JVM (dotted/dotless i)
+    val words = UTF8String.fromString(text).toLowerCase.toString.split(" ", -1)
     var i = 0
     while (i + 2 < words.length) {
       val shingle = new java.lang.StringBuilder(words(i))

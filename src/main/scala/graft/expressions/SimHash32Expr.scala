@@ -35,7 +35,8 @@ case class SimHash32Expr(child: Expression)
 object SimHash32Expr {
   def simhash(text: String): Long = {
     val votes = new Array[Long](32)
-    val words = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    // UTF8String lowercasing, not Locale.ROOT — see MinHashSig.signature
+    val words = UTF8String.fromString(text).toLowerCase.toString.split(" ", -1)
     var i = 0
     while (i < words.length) {
       val h = Md5Hash32.hash(UTF8String.fromString(words(i)))

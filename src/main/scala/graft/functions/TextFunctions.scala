@@ -27,12 +27,17 @@ object TextFunctions {
   def tokens(text: Column): Column = split(lower(text), " ")
 
   /** Distinct-free word n-gram shingles (duplicates kept; min-hashing is
-    * insensitive to multiplicity). Empty when the doc has < n tokens.
+    * insensitive to multiplicity). Empty when the doc has < n tokens;
+    * null when the token array is null (a null doc must stay null so the
+    * HOF pipeline agrees with the native expressions, which are
+    * null-propagating — `otherwise` would silently turn null docs into
+    * the neutral empty shingle set).
     */
   def shingles(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
+    when(w.isNull, lit(null).cast("array<string>"))
+      .when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
   /** 32-bit hashes of the 3-gram shingles of `text`. */
@@ -111,10 +116,17 @@ object TextFunctions {
 
   /** Order-sensitive document fingerprint: position-weighted sum of token
     * hashes mod 2^31-1. Reordering any two distinct tokens changes it.
+    *
+    * The mod is applied INSIDE the fold, not after the sum: the raw sum
+    * of i * hash32 (i up to n, hash up to 2^32) overflows a long around
+    * ~90k tokens — a realistic web document — which under ANSI mode is a
+    * query-killing ARITHMETIC_OVERFLOW. Per-step reduction keeps acc < P
+    * with the identical final value. The index-lambda transform also
+    * makes the empty array yield 0 (sequence(1, 0) would count DOWN and
+    * element_at would throw).
     */
   def fingerprint(w: Column): Column =
     aggregate(
-      transform(sequence(lit(1), size(w)),
-        i => i.cast("long") * hash32(call_function("element_at", w, i))),
-      lit(0L), (acc, x) => acc + x) % 2147483647L
+      transform(w, (t, i) => (i + 1).cast("long") * hash32(t)),
+      lit(0L), (acc, x) => (acc + x) % 2147483647L)
 }

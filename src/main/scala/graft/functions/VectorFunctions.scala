@@ -35,8 +35,14 @@ object VectorFunctions {
     * ones, so any engine can reproduce the bucketing; at scale the probed
     * dims and bit count grow with the collection size.
     */
-  def signBucket(a: Column, dims: Seq[Int]): Column =
+  def signBucket(a: Column, dims: Seq[Int]): Column = {
+    require(dims.nonEmpty, "signBucket needs at least one probed dimension")
+    // try_element_at: a vector shorter than the probed dimension (or a
+    // null component) contributes bit 0 instead of throwing under ANSI
+    // mode — matching the oracle engine, where an out-of-range list index
+    // is NULL and NULL > 0 is not true
     dims.zipWithIndex.map { case (d, i) =>
-      when(element_at(a, d + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(try_element_at(a, lit(d + 1)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 }

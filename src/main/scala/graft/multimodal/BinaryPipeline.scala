@@ -42,7 +42,10 @@ object BinaryPipeline {
   def mediaRecords(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
+    // a null text row has no payload — it is NOT a media record, and
+    // letting it through would deserialize null into MediaRecord's
+    // primitive n_bytes (a runtime failure that kills the decode job)
+    docs.filter(col("text").isNotNull).select(
       col("doc_id").as("media_id"),
       col("text").cast("binary").as("payload"),
       lit("application/octet-stream").as("mime"),

@@ -27,4 +27,17 @@ class DotProductSpec extends SparkSpec {
     assert(rows(0).getDouble(0) == 32.0)
     assert(rows(1).isNullAt(0)) // length mismatch -> null
   }
+
+  test("null ELEMENTS null the product like the HOF form — never read as 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(2.0), Some(3.0)))
+    ).toDF("a", "b")
+      .select(dot(col("a"), col("b")).as("native"),
+        dotHof(col("a"), col("b")).as("hof"))
+    val r = df.collect()(0)
+    assert(r.isNullAt(0), "native read a null slot as 0.0")
+    assert(r.isNullAt(1)) // the semantics baseline agrees
+  }
 }

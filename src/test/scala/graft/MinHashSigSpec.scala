@@ -21,6 +21,17 @@ class MinHashSigSpec extends SparkSpec {
     assert(MinHashSig.signature("", 4).toSeq == Seq.fill(4)(2147483647L))
   }
 
+  test("null text is null through BOTH paths (not the neutral signature)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(null: String)).toDF("text")
+      .select(minhashSigNative(col("text"), 8).as("native"),
+        minhashSignature(shingleHashes(col("text")), 8).as("hof"))
+    val r = df.collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "null doc must stay null in both the native and HOF pipelines")
+  }
+
   test("signature is insensitive to shingle multiplicity, sensitive to content") {
     val a = MinHashSig.signature("a b c a b c a b c", 16).toSeq
     val b = MinHashSig.signature("a b c", 16).toSeq

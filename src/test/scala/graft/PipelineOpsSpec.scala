@@ -96,6 +96,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(h0 != h4)
   }
 
+  test("fingerprint: empty token array is 0 (no crash), per-step mod " +
+      "equals the mathematical mod-after-sum") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("alpha")),
+      (3L, Seq("alpha", "beta"))
+    ).toDF("id", "w").select(col("id"), fingerprint(col("w")).as("fp"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 0L, "empty doc must fingerprint to 0, not crash")
+    // reference arithmetic: sum(i * hash32(token_i)) % P computed driver-side
+    def h32(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    assert(got(2L) == h32("alpha") % 2147483647L)
+    assert(got(3L) == (h32("alpha") + 2 * h32("beta")) % 2147483647L)
+  }
+
   test("cosine: orthogonal=0, identical=1, hand value for known vectors") {
     val s = spark
     import s.implicits._
