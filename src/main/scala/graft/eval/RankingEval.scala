@@ -127,8 +127,13 @@ object RankingEval {
     val rdd = pairsDf
       .select(col("pred").cast("array<int>"), col("truth").cast("array<int>"))
       .as[(Array[Int], Array[Int])].rdd
-    val m = new org.apache.spark.mllib.evaluation.RankingMetrics[Int](rdd)
-    RankingSummary(m.meanAveragePrecision, m.precisionAt(k), m.ndcgAt(k), rdd.count())
+    // each metric accessor (and the count) is its own Spark job — persist
+    // so the upstream join/collect_list pipeline executes once, not 4x
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = new org.apache.spark.mllib.evaluation.RankingMetrics[Int](rdd)
+      RankingSummary(m.meanAveragePrecision, m.precisionAt(k), m.ndcgAt(k), rdd.count())
+    } finally { rdd.unpersist(); () }
   }
 
   /** RMSE of a prediction column against a label column (A10) — expressed

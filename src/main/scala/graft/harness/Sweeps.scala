@@ -31,7 +31,7 @@ object Sweeps {
     val model = AlsTrainer.fit(train, cfg)
     val fitSec = (System.nanoTime() - t0) / 1e9
     val users = valDf.select(cfg.userCol).distinct()
-    val recs = AlsTrainer.recommendLists(model, users, k, cfg.userCol)
+    val recs = AlsTrainer.recommendLists(model, users, k)
     val truth = RankingEval.truthLists(valDf, cfg.userCol, cfg.itemCol)
     val pairs = RankingEval.pairs(recs, truth, cfg.userCol)
     val metrics = RankingEval.evaluate(pairs, k)
@@ -43,16 +43,16 @@ object Sweeps {
   /** M7: 1-D sweep — one hyperparameter varies, the rest pinned. */
   def sweep1D(train: DataFrame, valDf: DataFrame, base: AlsConfig, k: Int,
       ranks: Seq[Int]): Seq[SweepPoint] =
-    withPersisted(train) { t =>
-      ranks.map(r => fitEval(t, valDf, base.copy(rank = r), k))
+    withPersisted(train, valDf) { (t, v) =>
+      ranks.map(r => fitEval(t, v, base.copy(rank = r), k))
     }
 
   /** M8: full grid — rank x regParam x alpha (3x3x3 in the reference). */
   def grid(train: DataFrame, valDf: DataFrame, base: AlsConfig, k: Int,
       ranks: Seq[Int], regs: Seq[Double], alphas: Seq[Double]): Seq[SweepPoint] =
-    withPersisted(train) { t =>
+    withPersisted(train, valDf) { (t, v) =>
       for (r <- ranks; reg <- regs; a <- alphas)
-        yield fitEval(t, valDf, base.copy(rank = r, regParam = reg, alpha = a), k)
+        yield fitEval(t, v, base.copy(rank = r, regParam = reg, alpha = a), k)
     }
 
   /** M9: learning curve — metric (and fit time) vs training fraction.
@@ -61,16 +61,27 @@ object Sweeps {
     */
   def learningCurve(train: DataFrame, valDf: DataFrame, base: AlsConfig, k: Int,
       fractions: Seq[Double], seed: Long = 66L): Seq[SweepPoint] =
-    withPersisted(train) { t =>
+    withPersisted(train, valDf) { (t, v) =>
       fractions.map { f =>
         val sampled = if (f >= 1.0) t else t.sample(withReplacement = false, f, seed)
-        fitEval(sampled, valDf, base, k, f).copy(fraction = f)
+        fitEval(sampled, v, base, k, f)
       }
     }
 
-  private def withPersisted[T](df: DataFrame)(body: DataFrame => T): T = {
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    try body(df)
-    finally { df.unpersist(); () }
+  /** BOTH loop-invariant frames persist — validation lineage re-executes
+    * 2-3 times per config (users+recs, truth, rmse) — and both MATERIALIZE
+    * before the loop: persist is lazy, so without the count() the FIRST
+    * config's timed fit would pay the scan + cache fill and report a
+    * systematically inflated fitSeconds (the exact comparison sweeps
+    * exist to make).
+    */
+  private def withPersisted[T](train: DataFrame, valDf: DataFrame)(
+      body: (DataFrame, DataFrame) => T): T = {
+    train.persist(StorageLevel.MEMORY_AND_DISK)
+    valDf.persist(StorageLevel.MEMORY_AND_DISK)
+    train.count()
+    valDf.count()
+    try body(train, valDf)
+    finally { train.unpersist(); valDf.unpersist(); () }
   }
 }

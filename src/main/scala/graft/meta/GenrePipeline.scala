@@ -22,7 +22,10 @@ object GenrePipeline {
     */
   def tagScores(df: DataFrame, keyCol: String, tagCol: String,
       valCol: String): DataFrame =
-    df.groupBy(col(keyCol), col(tagCol))
+    // a null tag is "untagged", not a tag: it must not flow downstream,
+    // where map_from_entries would throw NULL_MAP_KEY on it at runtime
+    df.filter(col(tagCol).isNotNull)
+      .groupBy(col(keyCol), col(tagCol))
       .agg(round(sum(col(valCol)) * 100).cast("long").as("score_c"))
 
   /** A5: the {tag -> score} map per key, entry order pinned. */

@@ -49,12 +49,13 @@ object AlsTrainer {
 
   /** Top-k recommendations for a user subset (O4/M5) then the nested-field
     * projection the reference applies (P2, param_train_1st.py:57-58):
-    * array<struct<item,rating>> -> pred: array<int>.
+    * array<struct<item,rating>> -> pred: array<int>. Both column names
+    * come from the model itself — a caller-supplied name could silently
+    * disagree with the column the model was fitted on.
     */
-  def recommendLists(model: ALSModel, users: DataFrame, k: Int,
-      userCol: String): DataFrame =
+  def recommendLists(model: ALSModel, users: DataFrame, k: Int): DataFrame =
     model.recommendForUserSubset(users, k)
-      .select(col(userCol),
+      .select(col(model.getUserCol),
         col(s"recommendations.${model.getItemCol}").cast("array<int>").as("pred"))
 
   /** Predicted preference scores for held-out (user, item) pairs (M4). */

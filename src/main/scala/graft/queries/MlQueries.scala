@@ -189,7 +189,7 @@ object MlQueries {
         val model = alsModel(s, d)
         val users = ratingsOf(s, d).select(col("user_idx")).distinct()
           .filter(col("user_idx") < 10)
-        AlsTrainer.recommendLists(model, users, 5, "user_idx")
+        AlsTrainer.recommendLists(model, users, 5)
           .select(col("user_idx"),
             array_join(col("pred").cast("array<string>"), ",").as("pred"))
           .orderBy("user_idx")

@@ -29,7 +29,7 @@ class AlsSpec extends SparkSpec {
   test("implicit ALS recovers planted structure (P@3 well above chance)") {
     val model = AlsTrainer.fit(ratings, cfg)
     val users = ratings.select("user_idx").distinct()
-    val recs = AlsTrainer.recommendLists(model, users, 3, "user_idx")
+    val recs = AlsTrainer.recommendLists(model, users, 3)
     val truth = RankingEval.truthLists(
       ratings.filter("count > 1"), "user_idx", "item_idx")
     val pairs = RankingEval.pairs(recs, truth, "user_idx")
@@ -44,7 +44,7 @@ class AlsSpec extends SparkSpec {
   test("Aggregator and mllib agree on ALS outputs; same seed reproduces") {
     val model = AlsTrainer.fit(ratings, cfg)
     val users = ratings.select("user_idx").distinct()
-    val recs = AlsTrainer.recommendLists(model, users, 3, "user_idx").cache()
+    val recs = AlsTrainer.recommendLists(model, users, 3).cache()
     val truth = RankingEval.truthLists(
       ratings.filter("count > 1"), "user_idx", "item_idx")
     val pairs = RankingEval.pairs(recs, truth, "user_idx").cache()
@@ -54,7 +54,7 @@ class AlsSpec extends SparkSpec {
     assert(math.abs(ours.meanAveragePrecision - ref.meanAveragePrecision) < 1e-12)
 
     val model2 = AlsTrainer.fit(ratings, cfg)
-    val recs2 = AlsTrainer.recommendLists(model2, users, 3, "user_idx")
+    val recs2 = AlsTrainer.recommendLists(model2, users, 3)
     assert(recs.orderBy("user_idx").collect().toSeq
       == recs2.orderBy("user_idx").collect().toSeq)
   }

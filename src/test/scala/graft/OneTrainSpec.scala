@@ -41,7 +41,7 @@ class OneTrainSpec extends SparkSpec {
 
     // M5/O4 -> P2 -> A1 -> J1 -> A11
     val users = valIdx.select("user_idx").distinct()
-    val recs = AlsTrainer.recommendLists(model, users, 20, "user_idx")
+    val recs = AlsTrainer.recommendLists(model, users, 20)
     val truth = RankingEval.truthLists(valIdx, "user_idx", "item_idx")
     val pairs = RankingEval.pairs(recs, truth, "user_idx").cache()
 
