@@ -26,6 +26,15 @@ object TextFunctions {
   /** Whitespace tokens of lower-cased text. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** Unicode NFC canonical normalization (graft.expressions.NormalizeNFC) —
+    * run BEFORE hashing/shingling so precomposed and decomposed spellings
+    * of the same character dedup together.
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.NormalizeNFC(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Distinct-free word n-gram shingles (duplicates kept; min-hashing is
     * insensitive to multiplicity). Empty when the doc has < n tokens;
     * null when the token array is null (a null doc must stay null so the

@@ -493,6 +493,63 @@ object PipelineQueries {
               |  strt // 256 AS bin, strt % 256 AS off
               |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // T10: Unicode NFC normalization — precomposed vs decomposed spellings
+    // of the same character must hash identically before any dedup stage.
+    // A decomposed suffix (e + combining acute, U+0301) is appended so the
+    // normalizer provably does work on every row: Spark's native
+    // NormalizeNFC expression and DuckDB's nfc_normalize must then produce
+    // byte-identical strings (compared via md5 + length). Map-side only.
+    Q("t10_nfc_normalize",
+      (s, d) => {
+        // decomposed on purpose: 'e' + COMBINING ACUTE (U+0301), the form
+        // NFC must compose into the single code point U+00E9
+        val suffixed = concat(col("text"), lit(" e\u0301cole"))
+        documents(s, d)
+          .select(col("doc_id"),
+            md5(nfc(suffixed)).as("nfc_md5"),
+            length(nfc(suffixed)).cast("long").as("nfc_len"),
+            (length(suffixed) - length(nfc(suffixed))).cast("long")
+              .as("chars_composed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(nfc_normalize(text || ' e' || chr(769) || 'cole')) AS nfc_md5,
+             |  length(nfc_normalize(text || ' e' || chr(769) || 'cole')) AS nfc_len,
+             |  length(text || ' e' || chr(769) || 'cole')
+             |    - length(nfc_normalize(text || ' e' || chr(769) || 'cole'))
+             |    AS chars_composed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // T11: PII redaction — regex masking of emails and phone-shaped digit
+    // runs, the pre-training scrub every text pipeline runs. A synthetic
+    // PII suffix is appended so the redaction provably fires on every row.
+    // Conservative character-class patterns only (no lookaround, no \d
+    // shorthand) so the Java and RE2 engines match identically; Spark's
+    // regexp_replace is global by default, DuckDB needs the 'g' flag.
+    Q("t11_pii_redact",
+      (s, d) => {
+        val withPii = concat(col("text"),
+          lit(" contact bob.smith@example.com or 555-123-4567 now"))
+        val redacted = regexp_replace(
+          regexp_replace(withPii,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+          "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]", "<PHONE>")
+        documents(s, d)
+          .select(col("doc_id"), md5(redacted).as("redacted_md5"),
+            length(redacted).cast("long").as("redacted_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, regexp_replace(
+             |    regexp_replace(text || ' contact bob.smith@example.com or 555-123-4567 now',
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+             |    '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS red
+             |  FROM documents
+             |)
+             |SELECT doc_id, md5(red) AS redacted_md5,
+             |  length(red) AS redacted_len
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // ----- similarity search over embeddings -----------------------------
     // E1: brute-force cosine top-k — the exact baseline. The (small) query
     // set is broadcast, so the big side streams once with no shuffle;
