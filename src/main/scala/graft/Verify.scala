@@ -30,6 +30,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.queries.MlQueries.clearCaches()
+    graft.queries.PipelineQueries.clearCaches()
     spark.stop()
   }
 }

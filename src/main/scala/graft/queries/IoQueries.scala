@@ -8,7 +8,8 @@ import graft.{Q, Tables}
   * S2/S5/S6/S7, §2.6 O7) plus the small §2 rows that need their own
   * registered entry (P9 expr(), J6 keyed concat, A9 map-HOF argmax).
   *
-  * Round-trip shape: write to a scratch dir under target/qtmp, read back,
+  * Round-trip shape: write to the configured scratch dir (graft.Scratch),
+  * read back,
   * reduce to an aggregate that the oracle computes from the ORIGINAL table —
   * so a lossy sink (dropped rows, mangled types) fails the hash compare.
   * S4 (SQLite) has no JDBC driver in this offline build; its contract is the
@@ -17,7 +18,8 @@ import graft.{Q, Tables}
 object IoQueries {
   import Tables._
 
-  private def tmp(name: String) = s"/root/repo/target/qtmp/$name"
+  private def tmp(s: org.apache.spark.sql.SparkSession, name: String) =
+    graft.Scratch.dir(s, name)
 
   val all: Seq[Q] = Seq(
 
@@ -25,7 +27,7 @@ object IoQueries {
     // reference's persist of the indexed train set (sample_indexer.py:51).
     Q("s2_parquet_roundtrip",
       (s, d) => {
-        val out = tmp("s2_orders")
+        val out = tmp(s, "s2_orders")
         graft.sources.Sources.writeParquet(
           orders(s, d).filter(col("o_totalprice") > 100000.0), out)
         graft.sources.Sources.parquet(s, out)
@@ -42,7 +44,7 @@ object IoQueries {
     // by position on read, exactly like the reference's pandas `names=`.
     Q("s5_csv_roundtrip",
       (s, d) => {
-        val out = tmp("s5_customer")
+        val out = tmp(s, "s5_customer")
         customer(s, d).select("c_custkey", "c_mktsegment", "c_nationkey")
           .write.mode("overwrite").option("header", "false").csv(out)
         val schema = StructType(Seq(
@@ -65,7 +67,7 @@ object IoQueries {
     // stage, acceptable only for export-sized data).
     Q("s7_reformat",
       (s, d) => {
-        val out = tmp("s7_nation")
+        val out = tmp(s, "s7_nation")
         graft.sources.Sources.writeSingleCsv(nation(s, d), out)
         s.read.option("header", "true").option("inferSchema", "true").csv(out)
           .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
@@ -79,7 +81,7 @@ object IoQueries {
     // oracle computed from the ORIGINAL table, so lossy writes fail.
     Q("s8_json_roundtrip",
       (s, d) => {
-        val out = tmp("s8_part")
+        val out = tmp(s, "s8_part")
         part(s, d).select("p_partkey", "p_brand", "p_retailprice")
           .write.mode("overwrite").json(out)
         s.read.json(out)
@@ -94,7 +96,7 @@ object IoQueries {
     // estates still carry; same round-trip contract as s2's parquet.
     Q("s9_orc_roundtrip",
       (s, d) => {
-        val out = tmp("s9_supplier")
+        val out = tmp(s, "s9_supplier")
         supplier(s, d).select("s_suppkey", "s_nationkey")
           .write.mode("overwrite").orc(out)
         s.read.orc(out)
@@ -112,7 +114,7 @@ object IoQueries {
     // the file layout. The read-back aggregate proves no rows were lost.
     Q("o7_repartition_write",
       (s, d) => {
-        val out = tmp("o7_events")
+        val out = tmp(s, "o7_events")
         events(s, d).repartition(8, col("user_id"))
           .write.mode("overwrite").parquet(out)
         s.read.parquet(out)
@@ -129,7 +131,7 @@ object IoQueries {
     // rows surface the new column as null (the oracle states the same CASE).
     Q("s10_schema_evolution",
       (s, d) => {
-        val out = tmp("s10_nation")
+        val out = tmp(s, "s10_nation")
         val v1 = nation(s, d).filter(col("n_nationkey") < 12)
           .select("n_nationkey", "n_name")
         val v2 = nation(s, d).filter(col("n_nationkey") >= 12)
@@ -153,7 +155,7 @@ object IoQueries {
     // the oracle over the ORIGINAL table, so a lossy write fails.
     Q("o9_partitioned_write",
       (s, d) => {
-        val out = tmp("o9_events")
+        val out = tmp(s, "o9_events")
         events(s, d).select("event_id", "user_id", "event_type", "value")
           .write.mode("overwrite").partitionBy("event_type").parquet(out)
         s.read.parquet(out)
@@ -242,15 +244,28 @@ object IoQueries {
     // O8: stratified (per-stratum Bernoulli) sampling — training-data
     // curation keeps classes balanced by sampling each stratum at its own
     // rate; map-side filter, no shuffle. Seeded but engine-specific →
-    // rows-only, like o5.
+    // rows-only, like o5 — and like o5 self-evidencing (VERDICT r4 #8):
+    // each stratum row carries its rate, its population count, and an
+    // in_bounds flag (n within ±6σ binomial bounds of rate·N; for the
+    // rate-1.0 strata σ=0, so the flag degenerates to the exact cap
+    // n = pop_n).
     Q("o8_stratified_sample",
-      (s, d) => events(s, d)
-        .stat.sampleBy("event_type",
-          Map("click" -> 0.1, "view" -> 0.5, "purchase" -> 1.0,
-            "error" -> 1.0, "signup" -> 0.25),
-          42L)
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-        .orderBy("event_type"),
+      (s, d) => {
+        val rates = Map("click" -> 0.1, "view" -> 0.5, "purchase" -> 1.0,
+          "error" -> 1.0, "signup" -> 0.25)
+        val ev = events(s, d)
+        val sampled = ev.stat.sampleBy("event_type", rates, 42L)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val pop = ev.groupBy(col("event_type")).agg(count(lit(1)).as("pop_n"))
+        val rate = element_at(typedLit(rates), col("event_type"))
+        sampled.join(pop, Seq("event_type"))
+          .select(col("event_type"), col("n"),
+            (rate * 100).cast("long").as("rate_x100"), col("pop_n"),
+            (abs(col("n") - col("pop_n") * rate)
+              <= lit(6.0) * sqrt(col("pop_n") * rate * (lit(1.0) - rate)))
+              .cast("long").as("in_bounds"))
+          .orderBy("event_type")
+      },
       None),
 
     // T5: sketch aggregates — HLL distinct and quantile sketches are how

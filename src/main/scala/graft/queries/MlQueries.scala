@@ -17,14 +17,21 @@ import graft.prep.Indexing
 object MlQueries {
   import Tables._
 
-  private def tmpDir(name: String) = s"/root/repo/target/qtmp/$name"
-
   /** m4 and m5 evaluate the SAME trained model (recommend vs transform).
     * A fitted model is an artifact, not a query: train once per (session,
     * sf dir) and reuse — exactly what a model registry does in production.
+    * Bounded (VERDICT r4 #7): a long-lived session otherwise accumulates
+    * one ALSModel per (session, sfDir); past the cap the cache resets —
+    * the rare extra refit is cheaper than unbounded model retention.
     */
+  private val MaxCachedModels = 4
   private val alsCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.recommendation.ALSModel]
+
+  /** Drop every cached model — harness teardown (Bench/Verify) calls this
+    * so repeated in-process runs never pin stale models.
+    */
+  def clearCaches(): Unit = alsCache.clear()
 
   private def ratingsOf(s: org.apache.spark.sql.SparkSession, d: String) =
     lineitem(s, d)
@@ -35,9 +42,12 @@ object MlQueries {
   private val alsCfg = AlsConfig(rank = 8, regParam = 0.1, alpha = 10.0,
     maxIter = 5, userBlocks = 8, itemBlocks = 8)
 
-  private def alsModel(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def alsModel(s: org.apache.spark.sql.SparkSession, d: String) = {
+    if (alsCache.size >= MaxCachedModels
+        && !alsCache.contains(s"${s.hashCode}|$d")) alsCache.clear()
     alsCache.getOrElseUpdate(s"${s.hashCode}|$d",
       AlsTrainer.fit(ratingsOf(s, d), alsCfg))
+  }
 
   /** Force the shared m4/m5/m6 model into the cache. Bench calls this
     * BEFORE timing starts and reports the fit as its own "_als_fit" entry,
@@ -61,7 +71,7 @@ object MlQueries {
       (s, d) => {
         val ev = events(s, d)
         val model = Indexing.fitAndSave(ev, "user_id", "event_type",
-          tmpDir("m1_indexer"))
+          graft.Scratch.dir(s, "m1_indexer"))
         model.transform(ev)
           .select(col("event_id"),
             col("user_id_idx").cast("long").as("user_idx"),
@@ -267,19 +277,76 @@ object MlQueries {
           ranks = Seq(2, 4))
         val spark = s
         import spark.implicits._
-        // NaN-safe: RankingEval.rmse returns NaN when no validation pair is
-        // scoreable — surface it as a -1 sentinel instead of letting
-        // BigDecimal(NaN) crash the whole sweep
-        def x1e6(v: Double) =
-          if (v.isNaN) -1L
-          else BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
         points.map(p => (p.rank, (p.regParam * 100).round, (p.alpha * 10).round,
-            x1e6(p.metrics.meanAveragePrecision), x1e6(p.metrics.precisionAtK),
-            x1e6(p.metrics.ndcgAtK), x1e6(p.rmse), p.metrics.users))
+            sweepX1e6(p.metrics.meanAveragePrecision),
+            sweepX1e6(p.metrics.precisionAtK), sweepX1e6(p.metrics.ndcgAtK),
+            sweepX1e6(p.rmse), p.metrics.users))
           .toDF("rank", "reg_x100", "alpha_x10", "map_x1e6", "p_at_k_x1e6",
             "ndcg_x1e6", "rmse_x1e6", "users")
           .orderBy("rank")
       },
+      None),
+
+    // M8: full grid search — rank x regParam x alpha, the reference's 3x3x3
+    // driver loop (/root/reference/ALS_model/param_train_2nd.py:43-53),
+    // miniaturized to 2x2x1 so the driver run stays cheap. Same determinism
+    // contract as m7: fixed seed, fixed pair-level split, fitSeconds
+    // excluded, every emitted column integer-scaled. Rows-only by design.
+    Q("m8_grid",
+      (s, d) => {
+        val ratings = ratingsOf(s, d).filter(col("user_idx") < 50)
+        val bucket = pmod(col("item_idx") * 7 + col("user_idx"), lit(5))
+        val valDf = ratings.filter(bucket === 0)
+        val train = ratings.filter(bucket =!= 0)
+        val base = alsCfg.copy(maxIter = 1, userBlocks = 4, itemBlocks = 4)
+        val points = graft.harness.Sweeps.grid(train, valDf, base, k = 3,
+          ranks = Seq(2, 4), regs = Seq(0.05, 0.1), alphas = Seq(10.0))
+        val spark = s
+        import spark.implicits._
+        points.map(p => (p.rank, (p.regParam * 100).round, (p.alpha * 10).round,
+            sweepX1e6(p.metrics.meanAveragePrecision),
+            sweepX1e6(p.metrics.precisionAtK), sweepX1e6(p.metrics.ndcgAtK),
+            sweepX1e6(p.rmse), p.metrics.users))
+          .toDF("rank", "reg_x100", "alpha_x10", "map_x1e6", "p_at_k_x1e6",
+            "ndcg_x1e6", "rmse_x1e6", "users")
+          .orderBy("rank", "reg_x100", "alpha_x10")
+      },
+      None),
+
+    // M9: learning curve — ranking metrics vs training fraction, the
+    // reference's fraction loop (/root/reference/ALS_model/learning_curve.py:
+    // 46-111 and the timing extension als_model_extension_2.py:37-79).
+    // fitSeconds is measured by the harness but EXCLUDED from the output
+    // (wall-clock is never run-stable); the seeded Bernoulli sample keeps
+    // the f<1 rows deterministic. Rows-only by design.
+    Q("m9_curve",
+      (s, d) => {
+        val ratings = ratingsOf(s, d).filter(col("user_idx") < 50)
+        val bucket = pmod(col("item_idx") * 7 + col("user_idx"), lit(5))
+        val valDf = ratings.filter(bucket === 0)
+        val train = ratings.filter(bucket =!= 0)
+        val base = alsCfg.copy(rank = 2, maxIter = 2, userBlocks = 4,
+          itemBlocks = 4)
+        val points = graft.harness.Sweeps.learningCurve(train, valDf, base,
+          k = 3, fractions = Seq(0.5, 1.0))
+        val spark = s
+        import spark.implicits._
+        points.map(p => ((p.fraction * 100).round,
+            sweepX1e6(p.metrics.meanAveragePrecision),
+            sweepX1e6(p.metrics.precisionAtK), sweepX1e6(p.metrics.ndcgAtK),
+            sweepX1e6(p.rmse), p.metrics.users))
+          .toDF("frac_x100", "map_x1e6", "p_at_k_x1e6", "ndcg_x1e6",
+            "rmse_x1e6", "users")
+          .orderBy("frac_x100")
+      },
       None)
   )
+
+  /** NaN-safe integer scaling shared by the sweep queries (m7/m8/m9):
+    * RankingEval.rmse returns NaN when no validation pair is scoreable —
+    * surfaced as a -1 sentinel instead of letting BigDecimal(NaN) throw.
+    */
+  private def sweepX1e6(v: Double): Long =
+    if (v.isNaN) -1L
+    else BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 }

@@ -52,6 +52,39 @@ object PipelineQueries {
     * single-computation diamond as lshBandFrame: identical shuffle subtrees
     * on both sides dedup into one ReusedExchange).
     */
+  /** Embeddings in IVF shape: (vec_id, v: array<double>). Shared by e4's
+    * index build, its probe side, and its exact-recall baseline.
+    */
+  private def ivfEmb(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** An IVF index is an artifact, not a query (VERDICT r4 #4): the k-means
+    * quantizer is trained ONCE per (session, sf dir) and every e4 execution
+    * reuses it — the same registry contract as MlQueries.alsCache, with the
+    * same bound. IvfIndex.save/load is the cross-job form of this cache;
+    * in-process the fitted Model is enough.
+    */
+  private val MaxCachedIndexes = 4
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.similarity.IvfIndex.Model]
+
+  private def ivfModel(s: SparkSession, d: String): graft.similarity.IvfIndex.Model = {
+    if (ivfCache.size >= MaxCachedIndexes
+        && !ivfCache.contains(s"${s.hashCode}|$d")) ivfCache.clear()
+    ivfCache.getOrElseUpdate(s"${s.hashCode}|$d",
+      graft.similarity.IvfIndex.build(ivfEmb(s, d), nCells = 8))
+  }
+
+  /** Force the e4 index into the cache — Bench calls this before timing and
+    * reports the build as its own "_ivf_build" entry, so e4 measures the
+    * probe join + recall check only.
+    */
+  def pretrainIvf(s: SparkSession, d: String): Unit = { ivfModel(s, d); () }
+
+  /** Harness teardown hook (see MlQueries.clearCaches). */
+  def clearCaches(): Unit = ivfCache.clear()
+
   private def bucketedEmbeddings(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -213,7 +246,7 @@ object PipelineQueries {
         //    rounds 1..i-1 — O(i^2) -> O(i). Together: ~17 s -> ~4 s at
         //    sf0.1. This is the production shape for iterating over derived
         //    edges at any scale.
-        val scratch = s"/root/repo/target/qtmp/d7"
+        val scratch = graft.Scratch.dir(s, "d7")
         pairs.write.mode("overwrite").parquet(s"$scratch/pairs")
         graft.operators.ConnectedComponents
           .propagateMinLabel(s.read.parquet(s"$scratch/pairs"), "a_id", "b_id",
@@ -271,7 +304,7 @@ object PipelineQueries {
         // the shingle table once to storage instead: shingling runs once at
         // write, both sides re-read files. Same shape a 100 TB pipeline
         // uses — verification runs against a materialized signature table.
-        val dir = "/root/repo/target/qtmp/d5_shingles"
+        val dir = graft.Scratch.dir(s, "d5_shingles")
         tokenized(s, d)
           .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("sh"))
           .write.mode("overwrite").parquet(dir)
@@ -638,9 +671,8 @@ object PipelineQueries {
     // the same way on a sampled query set, never all queries.
     Q("e4_ann_ivf",
       (s, d) => {
-        val emb = embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val model = graft.similarity.IvfIndex.build(emb, nCells = 8)
+        val emb = ivfEmb(s, d)
+        val model = ivfModel(s, d)
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val ivf = graft.similarity.IvfIndex.topK(model, queries, k = 5, nprobe = 2)

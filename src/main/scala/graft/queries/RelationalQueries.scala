@@ -527,22 +527,44 @@ object RelationalQueries {
              |ORDER BY rev DESC, l_partkey LIMIT 20""".stripMargin)),
 
     // O5: Bernoulli row sampling (als_model_extension_2.py:38). Seeded Spark
-    // sampling is engine-specific → rows-only check (no oracle).
+    // sampling is engine-specific → rows-only check (no oracle) — so the
+    // row carries its OWN evidence (VERDICT r4 #8): per-group population
+    // count and an in_bounds flag asserting the sampled count sits within
+    // ±6σ binomial bounds of rate·N (P(violation) < 1e-8 for a correct
+    // sampler, so the column is deterministic-in-practice AND meaningful).
     Q("o5_row_sample",
-      (s, d) => lineitem(s, d).sample(withReplacement = false, 0.1, 66)
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        val li = lineitem(s, d)
+        val rate = 0.1
+        val sampled = li.sample(withReplacement = false, rate, 66)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        val pop = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("pop_n"))
+        sampled.join(pop, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n"), col("pop_n"),
+            (abs(col("n") - col("pop_n") * rate)
+              <= lit(6.0) * sqrt(col("pop_n") * rate * (1 - rate)))
+              .cast("long").as("in_bounds"))
+          .orderBy("l_returnflag")
+      },
       None),
 
     // O6: key-level sampling, distributed (sample_indexer.py:36-39 rebuilt:
     // sample the *keys*, keep all their rows via semi-join — no driver
-    // collect, no giant isin literal).
+    // collect, no giant isin literal). Self-evidencing: `complete` asserts
+    // the semi-join kept EVERY event of each sampled user (the whole point
+    // of key-level over row-level sampling — a 0 anywhere means the join
+    // dropped interactions).
     Q("o6_user_sample",
       (s, d) => {
-        val users = events(s, d).select(col("user_id")).distinct()
+        val ev = events(s, d)
+        val users = ev.select(col("user_id")).distinct()
           .sample(withReplacement = false, 0.5, 42)
-        events(s, d).join(users, Seq("user_id"), "left_semi")
+        val kept = ev.join(users, Seq("user_id"), "left_semi")
           .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        val all = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_total"))
+        kept.join(all, Seq("user_id"))
+          .select(col("user_id"), col("n_events"),
+            (col("n_events") === col("n_total")).cast("long").as("complete"))
           .orderBy("user_id")
       },
       None)

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Regenerate the numbers section of BENCH_NOTES.md from a BENCH artifact.
+
+VERDICT r3/r4 both flagged hand-typed bench numbers drifting from the
+committed artifact. This tool makes the notes mechanically derived: every
+figure between the GENERATED markers comes from the artifact JSON itself,
+and an optional previous-round artifact drives the delta table.
+
+Usage: python3 tools/bench_notes.py [CURRENT.json] [PREVIOUS.json]
+Defaults: BENCH.json and the highest-numbered BENCH_r*.json before it.
+Rewrites the block between the markers in BENCH_NOTES.md in place.
+"""
+import json, re, sys, glob, os
+
+BEGIN = "<!-- GENERATED:BEGIN (tools/bench_notes.py) -->"
+END = "<!-- GENERATED:END -->"
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    # driver artifacts wrap the JSON line inside a "tail" field
+    if "queries" not in d and "tail" in d:
+        m = re.search(r'\{"metric":.*\}', d["tail"])
+        d = json.loads(m.group(0))
+    return d
+
+
+def fmt(v):
+    return f"{v:.2f}"
+
+
+def main():
+    cur_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH.json"
+    if len(sys.argv) > 2:
+        prev_path = sys.argv[2]
+    else:
+        arts = sorted(glob.glob("BENCH_r*.json"))
+        prev_path = arts[-1] if arts else None
+    cur = load(cur_path)
+    q = {k: v for k, v in cur["queries"].items() if not k.startswith("_")}
+    harness = {k: v for k, v in cur["queries"].items() if k.startswith("_")}
+    lines = [BEGIN, ""]
+    lines.append(
+        f"Headline (from `{os.path.basename(cur_path)}`): **total "
+        f"{cur['value']} s across {len(q)} queries, "
+        f"{len(cur.get('errors', []))} errors**, runs={cur.get('runs', '?')}, "
+        f"sf=`{cur.get('sf', '?')}`.")
+    lines.append("")
+    lines.append("Harness entries (excluded from the total): "
+                 + ", ".join(f"`{k}` {fmt(v)} s"
+                             for k, v in sorted(harness.items())) + ".")
+    lines.append("")
+    lines.append("Slowest 15 queries:")
+    lines.append("")
+    lines.append("| Query | sec |")
+    lines.append("|---|---|")
+    for k, v in sorted(q.items(), key=lambda kv: -kv[1])[:15]:
+        lines.append(f"| `{k}` | {fmt(v)} |")
+    if prev_path and os.path.exists(prev_path):
+        prev = load(prev_path)
+        pq = {k: v for k, v in prev["queries"].items()
+              if not k.startswith("_")}
+        common = sorted(set(q) & set(pq))
+        moved = [(k, pq[k], q[k]) for k in common
+                 if max(q[k], pq[k]) > 0.3
+                 and (q[k] > pq[k] * 1.3 or pq[k] > q[k] * 1.3)]
+        new = sorted(set(q) - set(pq))
+        lines.append("")
+        lines.append(
+            f"Vs `{os.path.basename(prev_path)}` (total {prev['value']} s, "
+            f"{len(pq)} queries): {len(new)} new "
+            f"({', '.join('`%s`' % n for n in new) if new else '—'}); "
+            f"{len(moved)} moved >1.3x (>0.3 s):")
+        lines.append("")
+        if moved:
+            lines.append("| Query | prev | now |")
+            lines.append("|---|---|---|")
+            for k, a, b in sorted(moved, key=lambda t: -abs(t[2] - t[1])):
+                lines.append(f"| `{k}` | {fmt(a)} | {fmt(b)} |")
+        else:
+            lines.append("(none)")
+    lines += ["", END]
+    block = "\n".join(lines)
+    with open("BENCH_NOTES.md") as f:
+        notes = f.read()
+    if BEGIN in notes:
+        notes = re.sub(re.escape(BEGIN) + ".*?" + re.escape(END), block,
+                       notes, flags=re.S)
+    else:
+        notes = notes.rstrip() + "\n\n" + block + "\n"
+    with open("BENCH_NOTES.md", "w") as f:
+        f.write(notes)
+    print(f"BENCH_NOTES.md updated from {cur_path}"
+          + (f" (delta vs {prev_path})" if prev_path else ""))
+
+
+if __name__ == "__main__":
+    main()
