@@ -583,6 +583,114 @@ object PipelineQueries {
              |  length(red) AS redacted_len
              |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // T12: repetition signals (the Gopher-rule family): per document, the
+    // share of tokens taken by the single most frequent token and the share
+    // of bigrams taken by the most frequent bigram — high values mark
+    // boilerplate / degenerate text that quality-gates drop before training.
+    // Shape: explode -> two-level groupBy (map-side partial agg both times),
+    // never a per-doc O(tokens^2) HOF scan; shuffles carry (doc_id, gram)
+    // pairs only, so the plan survives a 100 TB corpus.
+    Q("t12_repetition",
+      (s, d) => {
+        val base = tokenized(s, d)
+          .select(col("doc_id"), col("w"), shingles(col("w"), 2).as("bg"))
+        val counts = base.select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(col("bg")).cast("long").as("n_bigrams"))
+        def topShare(grams: DataFrame, n: String) = grams
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as(n))
+        val topTok = topShare(
+          base.select(col("doc_id"), explode(col("w")).as("g")), "top_tok_n")
+        val topBg = topShare(
+          base.select(col("doc_id"), explode(col("bg")).as("g")), "top_bg_n")
+        counts.join(topTok, Seq("doc_id")).join(topBg, Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("top_tok_n") * 1000.0 / col("n_tokens")).cast("long")
+              .as("top_token_x1000"),
+            round(col("top_bg_n") * 1000.0 / col("n_bigrams")).cast("long")
+              .as("top_bigram_x1000"))
+          .withColumn("keep",
+            (col("top_token_x1000") <= 200 && col("top_bigram_x1000") <= 200)
+              .cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlTok, bg AS (
+              |  SELECT doc_id, w,
+              |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS bg
+              |  FROM tok
+              |), tt AS (
+              |  SELECT doc_id, max(c) AS top_tok_n FROM (
+              |    SELECT doc_id, t, count(*) AS c
+              |    FROM (SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY doc_id, t
+              |  ) GROUP BY doc_id
+              |), tb AS (
+              |  SELECT doc_id, max(c) AS top_bg_n FROM (
+              |    SELECT doc_id, b, count(*) AS c
+              |    FROM (SELECT doc_id, unnest(bg) AS b FROM bg) GROUP BY doc_id, b
+              |  ) GROUP BY doc_id
+              |)
+              |SELECT tok.doc_id, len(w) AS n_tokens,
+              |  CAST(round(top_tok_n * 1000.0 / len(w)) AS BIGINT) AS top_token_x1000,
+              |  CAST(round(top_bg_n * 1000.0 / (len(w) - 1)) AS BIGINT) AS top_bigram_x1000,
+              |  CAST(CAST(round(top_tok_n * 1000.0 / len(w)) AS BIGINT) <= 200
+              |    AND CAST(round(top_bg_n * 1000.0 / (len(w) - 1)) AS BIGINT) <= 200
+              |    AS INT) AS keep
+              |FROM tok JOIN tt USING (doc_id) JOIN tb USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // C3: benchmark decontamination — before training, drop (or flag) any
+    // document whose distinct 3-gram shingles overlap a held-out benchmark
+    // set too heavily (the n-gram-overlap rule GPT-3/PaLM-style pipelines
+    // apply). Held-out set here: doc_id % 20 == 0. Shape: both sides
+    // explode to (gram, doc) rows and equi-join on the gram — the benchmark
+    // gram set is corpus-derived, so nothing assumes it broadcasts (AQE may
+    // choose to when it is actually small); counting hits is a map-side
+    // partial agg on doc_id. At 100 TB grams would be 64-bit hashes rather
+    // than strings — the join key shrinks, the plan is unchanged (strings
+    // kept here so the DuckDB oracle states the identical computation).
+    Q("c3_decontaminate",
+      (s, d) => {
+        val sh = tokenized(s, d)
+          .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("sh"))
+        val bench = sh.filter(col("doc_id") % 20 === 0)
+          .select(explode(col("sh")).as("g")).distinct()
+        val train = sh.filter(col("doc_id") % 20 =!= 0)
+        val hits = train.select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(bench, Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        train.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sh"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)) * 1000.0 / col("n_sh"))
+              .cast("long").as("overlap_x1000"))
+          .withColumn("contaminated",
+            (col("overlap_x1000") >= 200).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlTok, s AS (
+              |  SELECT doc_id,
+              |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
+              |  FROM tok
+              |), bench AS (
+              |  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 20 = 0
+              |), train AS (
+              |  SELECT * FROM s WHERE doc_id % 20 <> 0
+              |), hits AS (
+              |  SELECT tr.doc_id, count(*) AS n_hits
+              |  FROM (SELECT doc_id, unnest(sh) AS g FROM train) tr
+              |  JOIN bench USING (g) GROUP BY tr.doc_id
+              |)
+              |SELECT t.doc_id, len(t.sh) AS n_sh,
+              |  coalesce(h.n_hits, 0) AS n_hits,
+              |  CAST(round(coalesce(h.n_hits, 0) * 1000.0 / len(t.sh)) AS BIGINT)
+              |    AS overlap_x1000,
+              |  CAST(CAST(round(coalesce(h.n_hits, 0) * 1000.0 / len(t.sh)) AS BIGINT)
+              |    >= 200 AS INT) AS contaminated
+              |FROM train t LEFT JOIN hits h USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ----- similarity search over embeddings -----------------------------
     // E1: brute-force cosine top-k — the exact baseline. The (small) query
     // set is broadcast, so the big side streams once with no shuffle;
