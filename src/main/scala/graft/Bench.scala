@@ -55,7 +55,10 @@ object Bench {
       try timed(graft.queries.PipelineQueries.pretrainIvf(spark, sfDir))
       catch { case _: Throwable => -1.0 }
 
+    // Optional args = query-name filter (dev loop: time one query without
+    // the full suite). The driver passes no args → full suite, unchanged.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val best = scala.collection.mutable.Map.empty[String, Double]
     def record(name: String, sec: Double): Unit =
