@@ -66,12 +66,22 @@ def main():
                  if max(q[k], pq[k]) > 0.3
                  and (q[k] > pq[k] * 1.3 or pq[k] > q[k] * 1.3)]
         new = sorted(set(q) - set(pq))
+        # driver artifacts keep only the slowest ~40 queries plus an
+        # _other_Nq aggregate — absent-from-prev then does NOT mean new
+        truncated = any(k.startswith("_other_") for k in prev["queries"])
         lines.append("")
-        lines.append(
-            f"Vs `{os.path.basename(prev_path)}` (total {prev['value']} s, "
-            f"{len(pq)} queries): {len(new)} new "
-            f"({', '.join('`%s`' % n for n in new) if new else '—'}); "
-            f"{len(moved)} moved >1.3x (>0.3 s):")
+        if truncated:
+            lines.append(
+                f"Vs `{os.path.basename(prev_path)}` (total {prev['value']} s;"
+                f" artifact truncated to its {len(pq)} slowest queries, so"
+                f" only those can be compared): {len(moved)} moved >1.3x"
+                f" (>0.3 s):")
+        else:
+            lines.append(
+                f"Vs `{os.path.basename(prev_path)}` (total {prev['value']} s, "
+                f"{len(pq)} queries): {len(new)} new "
+                f"({', '.join('`%s`' % n for n in new) if new else '—'}); "
+                f"{len(moved)} moved >1.3x (>0.3 s):")
         lines.append("")
         if moved:
             lines.append("| Query | prev | now |")
