@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Production-parameter-scale evidence for the similarity operators. The
+  * registered queries run MinHash at 16 permutations / 4 bands and ANN at
+  * 3 hyperplanes — sized for the tiny fixtures. This suite runs the SAME
+  * code at production parameters (k=128 / 16 bands x 8 rows; 8 hyperplanes
+  * = 256 cells) and asserts what should change (candidate volume shrinks,
+  * precision rises) and what must not (true duplicates still collide, the
+  * join stays an equi-join — no cartesian, plan shape identical).
+  */
+class SimilarityScaleSpec extends SparkSpec {
+
+  /** 200 deterministic docs: a 15-word shared prefix (pairwise shingle
+    * Jaccard ~0.3 — the regime where banding parameters matter) plus 15
+    * hash-derived unique words, and one planted verbatim copy of doc 0.
+    */
+  private lazy val corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val prefix = "the quick brown fox jumps over a lazy dog near an old river bank today"
+    val docs = (0 until 200).map { i =>
+      val unique = (0 until 15)
+        .map(j => s"w${math.abs((i + "_" + j).hashCode) % 100000}")
+      (i.toLong, s"$prefix ${unique.mkString(" ")}")
+    }
+    (docs :+ (1000L, docs.head._2)).toDF("doc_id", "text")
+  }
+
+  private def candidatePairs(k: Int, bands: Int, rows: Int): DataFrame = {
+    val banded = corpus
+      .select(col("doc_id"), minhashSigNative(col("text"), k).as("sig"))
+      .select(col("doc_id"), posexplode(lshBands(col("sig"), bands, rows))
+        .as(Seq("bi", "bk")))
+    banded.as("x").join(banded.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  test("16x8 banding at k=128 keeps the true dup and sheds ~0.3-Jaccard noise") {
+    val toy = candidatePairs(16, 4, 4)
+    val prod = candidatePairs(128, 16, 8)
+    assert(!toy.queryExecution.executedPlan.toString.contains("Cartesian"))
+    assert(!prod.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val toyPairs = toy.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prodPairs = prod.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the verbatim copy (J=1) collides on every band at any parameter scale
+    assert(toyPairs.contains((0L, 1000L)), s"toy params lost the true dup")
+    assert(prodPairs.contains((0L, 1000L)), s"prod params lost the true dup")
+    // the ~0.3-Jaccard background floods 4x4 banding and is exactly what
+    // 16x8 exists to suppress: candidate volume must shrink sharply
+    assert(toyPairs.size > 50,
+      s"fixture regression: expected a flooded toy candidate set, got ${toyPairs.size}")
+    assert(prodPairs.size < toyPairs.size / 3,
+      s"prod banding should shed candidates: ${prodPairs.size} vs ${toyPairs.size}")
+  }
+
+  test("minhash native expression == HOF composition at k=128") {
+    val both = corpus.limit(20).select(
+      minhashSigNative(col("text"), 128).as("native"),
+      minhashSignature(shingleHashes(col("text")), 128).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("8 hyperplanes (256 cells) shrink ANN candidate volume; exact copies still collide") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val withCopy = emb.unionByName(
+      emb.filter(col("vec_id") === 0).select(lit(99999L).as("vec_id"), col("v")))
+    val toyDims = Seq(0, 21, 42)
+    val prodDims = Seq(0, 8, 16, 24, 32, 40, 48, 56)
+    def volume(dims: Seq[Int]): Long = withCopy
+      .groupBy(signBucket(col("v"), dims).as("b")).count()
+      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+      .head.getLong(0)
+    val toyVol = volume(toyDims)
+    val prodVol = volume(prodDims)
+    assert(prodVol < toyVol / 4,
+      s"256 cells should cut the bucket-join volume: $prodVol vs $toyVol")
+    // the planted identical vector lands in its twin's cell at any depth
+    val cells = withCopy.filter(col("vec_id").isin(0L, 99999L))
+      .select(signBucket(col("v"), prodDims)).distinct().count()
+    assert(cells == 1L)
+  }
+}
