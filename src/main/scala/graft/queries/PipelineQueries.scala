@@ -224,6 +224,61 @@ object PipelineQueries {
               |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // D8: INCREMENTAL dedup — the ingest shape: a new batch is deduped
+    // against the persisted ledger of everything already accepted, without
+    // ever reprocessing the historical corpus. The ledger (content hash ->
+    // first doc_id) is materialized once (in production it's a bucketed
+    // table keyed by hash, so the probe join is exchange-free on the
+    // ledger side); the batch resolves in two steps that both shuffle on
+    // the hash only: a left join against the ledger (dup_of_corpus), then
+    // a keep-first window inside the batch (dup_in_batch vs new). The
+    // batch here plants both dup kinds by re-labeling corpus/batch rows —
+    // the oracle states the identical construction.
+    Q("d8_incremental_dedup",
+      (s, d) => {
+        val docs = documents(s, d)
+        val store = graft.Scratch.dir(s, "d8_ledger")
+        docs.filter(col("doc_id") < 400)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("first_id"))
+          .write.mode("overwrite").parquet(store)
+        val ledger = s.read.parquet(store)
+        val batch = docs.filter(col("doc_id") >= 400)
+          .unionByName(docs.filter(col("doc_id").between(100, 119))
+            .withColumn("doc_id", col("doc_id") + 10000))
+          .unionByName(docs.filter(col("doc_id").between(450, 454))
+            .withColumn("doc_id", col("doc_id") + 20000))
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        batch.join(ledger, Seq("h"), "left")
+          .withColumn("rn",
+            row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+          .select(col("doc_id"),
+            when(col("first_id").isNotNull, "dup_of_corpus")
+              .when(col("rn") > 1, "dup_in_batch")
+              .otherwise("new").as("status"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT md5(text) AS h, min(doc_id) AS first_id
+             |  FROM documents WHERE doc_id < 400 GROUP BY md5(text)
+             |), batch AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400
+             |  UNION ALL
+             |  SELECT doc_id + 10000, md5(text) FROM documents
+             |  WHERE doc_id BETWEEN 100 AND 119
+             |  UNION ALL
+             |  SELECT doc_id + 20000, md5(text) FROM documents
+             |  WHERE doc_id BETWEEN 450 AND 454
+             |), r AS (
+             |  SELECT b.doc_id, c.first_id,
+             |    row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+             |  FROM batch b LEFT JOIN corpus c USING (h)
+             |)
+             |SELECT doc_id,
+             |  CASE WHEN first_id IS NOT NULL THEN 'dup_of_corpus'
+             |       WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // D7: near-dup CLUSTERS — LSH emits pairs, but the keep/drop decision
     // needs components (a–b and b–c collapse to one survivor even though
     // (a, c) was never a candidate pair). Iterative min-label propagation
