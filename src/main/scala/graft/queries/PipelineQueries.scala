@@ -907,6 +907,56 @@ object PipelineQueries {
       },
       None),
 
+    // E5: int8 vector quantization — the memory lever every vector store
+    // pulls at scale (4x smaller than float32, 8x than float64; the probe
+    // join in e2/e4 then streams a quarter of the bytes). Symmetric
+    // per-vector scheme: scale = max|x|/127, q_i = round(x_i/scale) — all
+    // deterministic arithmetic, so unlike learned codebooks the whole row
+    // is oracled. cos_recon measures reconstruction quality in-row
+    // (cosine between the original and the dequantized vector; the scale
+    // cancels algebraically, so it is computed scale-free). Map-side only:
+    // one projection, no shuffle until the ORDER BY.
+    Q("e5_quantize",
+      (s, d) => {
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // scale projected to its own column FIRST: referenced inside the
+        // quantize lambda it would re-scan the vector per element (no CSE
+        // inside HOF lambdas)
+        val scaled = emb.select(col("vec_id"), col("v"),
+          (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"))
+        val q = scaled.select(col("vec_id"), col("v"), col("scale"),
+          transform(col("v"), x => round(x / col("scale")).cast("long")).as("qv"))
+        q.select(col("vec_id"),
+            round(col("scale") * 1e9).cast("long").as("scale_x1e9"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+            array_max(transform(col("qv"), x => abs(x))).as("q_max_abs"),
+            round(dot(col("qv").cast("array<double>"), col("v"))
+              / (l2Norm(col("v")) * l2Norm(col("qv").cast("array<double>"))), 5)
+              .as("cos_recon"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |), s AS (
+             |  SELECT vec_id, v,
+             |    list_max([abs(x) for x in v]) / 127.0 AS scale
+             |  FROM e
+             |), q AS (
+             |  SELECT vec_id, v, scale,
+             |    [CAST(round(x / scale) AS BIGINT) for x in v] AS qv
+             |  FROM s
+             |)
+             |SELECT vec_id,
+             |  CAST(round(scale * 1e9) AS BIGINT) AS scale_x1e9,
+             |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |  CAST(list_max([abs(x) for x in qv]) AS BIGINT) AS q_max_abs,
+             |  round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+             |    / (sqrt(list_sum([x*x for x in v]))
+             |       * sqrt(list_sum([CAST(y AS DOUBLE)*y for y in qv]))), 5)
+             |    AS cos_recon
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     // E3: embedding-cosine near-duplicate detection — the dedup decision on
     // top of the bucketed candidate generation (same bucket join as e2, so
     // never all-pairs): pairs above the cosine threshold, keep-min-id rule.
