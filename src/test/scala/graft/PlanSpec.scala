@@ -97,4 +97,25 @@ class PlanSpec extends SparkSpec {
     assert(plan("j4_anti_join").contains("LeftAnti"))
     assert(plan("j5_semi_join").contains("LeftSemi"))
   }
+
+  test("round-7 curation queries keep equi-join / partial-agg shapes") {
+    // c3: exploded-gram joins are equi-joins, never all-pairs
+    val c3 = plan("c3_decontaminate")
+    assert(!c3.contains("CartesianProduct"), "c3 degraded to a cartesian")
+    // t12: both gram counts partial-aggregate before their shuffles
+    val t12 = plan("t12_repetition")
+    assert("HashAggregate".r.findAllIn(t12).length >= 4,
+      "t12 lost map-side combine on a gram count")
+    // d8: ledger probe is an equi-join, batch keep-first stays a window
+    // partitioned by the hash (no single-partition window)
+    val d8 = plan("d8_incremental_dedup")
+    assert(!d8.contains("CartesianProduct"))
+    assert(!d8.contains("SinglePartition"), "d8 window lost its hash partitioning")
+    // c4/e5 are pure map-side projections until their final tiny agg/sort:
+    // no join operator may appear at all
+    for (q <- Seq("c4_mixture_sample", "e5_quantize")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew an unexpected join")
+    }
+  }
 }
