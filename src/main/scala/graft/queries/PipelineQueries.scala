@@ -925,6 +925,10 @@ object PipelineQueries {
         // inside HOF lambdas)
         val scaled = emb.select(col("vec_id"), col("v"),
           (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"))
+          // an all-zero vector has no scale: round(0/0) would NaN-crash the
+          // ANSI long cast in BOTH engines. Zero vectors are unquantizable
+          // by this scheme — dropped, as the oracle's WHERE states.
+          .filter(col("scale") > 0)
         val q = scaled.select(col("vec_id"), col("v"), col("scale"),
           transform(col("v"), x => round(x / col("scale")).cast("long")).as("qv"))
         q.select(col("vec_id"),
@@ -942,6 +946,7 @@ object PipelineQueries {
              |  SELECT vec_id, v,
              |    list_max([abs(x) for x in v]) / 127.0 AS scale
              |  FROM e
+             |  WHERE list_max([abs(x) for x in v]) / 127.0 > 0
              |), q AS (
              |  SELECT vec_id, v, scale,
              |    [CAST(round(x / scale) AS BIGINT) for x in v] AS qv
