@@ -168,6 +168,36 @@ object IoQueries {
              |FROM events WHERE event_type = 'click'
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // O11: small-file compaction (operators/Compaction — the OPTIMIZE-style
+    // table maintenance a 100 TB estate runs continuously: scan task count
+    // and namenode load are driven by file COUNT, not bytes). A 64-file
+    // directory is planted, compacted to ~target-size files with a
+    // locality-restoring sort, and the single output row carries its own
+    // evidence: file counts are engine-specific (no oracle) but
+    // files_reduced and rows_equal must both be 1 — a 0 means the rewrite
+    // dropped data or never compacted.
+    Q("o11_compaction",
+      (s, d) => {
+        val src = tmp(s, "o11_small")
+        val dst = tmp(s, "o11_compact")
+        events(s, d).select("event_id", "user_id", "event_type", "value")
+          .repartition(64).write.mode("overwrite").parquet(src)
+        val before = graft.operators.Compaction.dataFiles(s, src)
+        val after = graft.operators.Compaction.compactParquet(
+          s, src, dst, targetFileBytes = 512L * 1024 * 1024,
+          sortCols = Seq(col("user_id")))
+        val rowsBefore = s.read.parquet(src).count()
+        val rowsAfter = s.read.parquet(dst).count()
+        val spark = s
+        import spark.implicits._
+        Seq((before, after, rowsBefore, rowsAfter,
+            (if (after < before) 1L else 0L),
+            (if (rowsBefore == rowsAfter) 1L else 0L)))
+          .toDF("files_before", "files_after", "rows_before", "rows_after",
+            "files_reduced", "rows_equal")
+      },
+      None),
+
     // S4: the SQLite-metadata entry point under the offline contract — the
     // SQLite table is converted to parquet once, then scanned like any
     // relation (the EDA `SELECT * FROM songs` analog). The JDBC path for
