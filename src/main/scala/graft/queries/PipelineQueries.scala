@@ -1052,6 +1052,41 @@ object PipelineQueries {
               |  ${sqlH32("text")} % 1280 + 64 AS fake_width,
               |  ${sqlH32("reverse(text)")} % 720 + 64 AS fake_height,
               |  n_chars % 3 + 1 AS channels
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // M2 (multimodal): frame sampling registered end-to-end — the 1→N
+    // video shape through graft.multimodal.BinaryPipeline.sampleFrames
+    // (every stride-th fixed-size byte frame of the payload, streamed
+    // flatMap inside the partition, no shuffle of payload bytes). The
+    // oracle engine cannot slice BLOBs, so the query restricts to payloads
+    // where bytes == chars — asserted in BOTH engines via octet_length =
+    // length — where char substrings ARE the byte frames and the per-frame
+    // md5 digests must agree exactly.
+    Q("m2_frame_sample",
+      (s, d) => {
+        val ascii = documents(s, d)
+          .filter(octet_length(col("text")) === length(col("text")))
+        val frames = graft.multimodal.BinaryPipeline.sampleFrames(
+          graft.multimodal.BinaryPipeline.mediaRecords(ascii),
+          frameSize = 64, stride = 2)
+        frames.select(col("media_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            md5(col("frame_bytes")).as("frame_md5"),
+            octet_length(col("frame_bytes")).cast("long").as("frame_len"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS media_id, text FROM documents
+             |  WHERE octet_length(encode(text)) = length(text)
+             |), idx AS (
+             |  SELECT media_id, text,
+             |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS frame_idx
+             |  FROM a
+             |)
+             |SELECT media_id, frame_idx,
+             |  md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5,
+             |  CAST(length(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT)
+             |    AS frame_len
+             |FROM idx ORDER BY media_id, frame_idx""".stripMargin))
   )
 }
