@@ -45,20 +45,33 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    // Model/index artifacts are built once, outside the query loops (the
-    // TrieMap caches make every later m4/m5/m6/e4 construction reuse them):
-    // ALS fit -> "_als_fit", IVF quantizer build -> "_ivf_build".
-    val fitSec =
-      try timed(graft.queries.MlQueries.pretrainAls(spark, sfDir))
-      catch { case _: Throwable => -1.0 }
-    val ivfSec =
-      try timed(graft.queries.PipelineQueries.pretrainIvf(spark, sfDir))
-      catch { case _: Throwable => -1.0 }
-
     // Optional args = query-name filter (dev loop: time one query without
     // the full suite). The driver passes no args → full suite, unchanged.
+    // A misspelled name must fail loudly — matching nothing would record a
+    // spotless empty artifact.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val selected = names.map(_._1).toSet
+
+    // Model/index artifacts are built once, outside the query loops (the
+    // TrieMap caches make every later m4/m5/m6/e4 construction reuse them):
+    // ALS fit -> "_als_fit", IVF quantizer build -> "_ivf_build". Skipped
+    // when the name filter selects no query that uses them — a filtered
+    // 0.6 s query must not pay ~9 s of pretraining.
+    val needsAls = selected.exists(Set("m4_als_recommend", "m5_als_rmse",
+      "m6_item_similarity"))
+    val needsIvf = selected.contains("e4_ann_ivf")
+    val fitSec =
+      if (!needsAls) -1.0
+      else try timed(graft.queries.MlQueries.pretrainAls(spark, sfDir))
+      catch { case _: Throwable => -1.0 }
+    val ivfSec =
+      if (!needsIvf) -1.0
+      else try timed(graft.queries.PipelineQueries.pretrainIvf(spark, sfDir))
+      catch { case _: Throwable => -1.0 }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val best = scala.collection.mutable.Map.empty[String, Double]
     def record(name: String, sec: Double): Unit =
@@ -79,8 +92,8 @@ object Bench {
         record(name, sec)
       }
     }
-    record("_als_fit", fitSec)
-    record("_ivf_build", ivfSec)
+    if (needsAls) record("_als_fit", fitSec)
+    if (needsIvf) record("_ivf_build", ivfSec)
     val results = best.toSeq.sortBy(_._1)
 
     // ms precision, trailing zeros stripped: the driver keeps only the last
@@ -120,7 +133,11 @@ object Bench {
     // ~75 chars of sbt "[success] ..." trailer share the 2000-char tail
     val json = (3 to 1 by -1).map(line).find(_.length <= 1880).getOrElse(topLine)
     println(json)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // A name-filtered run must never clobber the full-suite artifact that
+    // tools/bench_notes.py reads — partial results default to their own
+    // file unless an output path was explicitly given.
+    val defaultOut = if (args.isEmpty) "BENCH.json" else "BENCH_partial.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     Files.writeString(Paths.get(outFile), line(3) + "\n")
     graft.queries.MlQueries.clearCaches()
     graft.queries.PipelineQueries.clearCaches()

@@ -288,10 +288,13 @@ object IoQueries {
           .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         val pop = ev.groupBy(col("event_type")).agg(count(lit(1)).as("pop_n"))
         val rate = element_at(typedLit(rates), col("event_type"))
-        sampled.join(pop, Seq("event_type"))
-          .select(col("event_type"), col("n"),
-            (rate * 100).cast("long").as("rate_x100"), col("pop_n"),
-            (abs(col("n") - col("pop_n") * rate)
+        // fail CLOSED (see o5): population base + left join, so a stratum
+        // the sampler lost entirely still shows n=0 / in_bounds=0.
+        // rate_x100 rounds — a bare cast truncates 0.29*100=28.999... to 28
+        pop.join(sampled, Seq("event_type"), "left")
+          .select(col("event_type"), coalesce(col("n"), lit(0L)).as("n"),
+            round(rate * 100).cast("long").as("rate_x100"), col("pop_n"),
+            (abs(coalesce(col("n"), lit(0L)) - col("pop_n") * rate)
               <= lit(6.0) * sqrt(col("pop_n") * rate * (lit(1.0) - rate)))
               .cast("long").as("in_bounds"))
           .orderBy("event_type")

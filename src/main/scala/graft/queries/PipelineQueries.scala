@@ -918,8 +918,7 @@ object PipelineQueries {
     // one projection, no shuffle until the ORDER BY.
     Q("e5_quantize",
       (s, d) => {
-        val emb = embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val emb = ivfEmb(s, d)
         // scale projected to its own column FIRST: referenced inside the
         // quantize lambda it would re-scan the vector per element (no CSE
         // inside HOF lambdas)

@@ -539,9 +539,14 @@ object RelationalQueries {
         val sampled = li.sample(withReplacement = false, rate, 66)
           .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
         val pop = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("pop_n"))
-        sampled.join(pop, Seq("l_returnflag"))
-          .select(col("l_returnflag"), col("n"), col("pop_n"),
-            (abs(col("n") - col("pop_n") * rate)
+        // evidence must fail CLOSED: the population side is the base and
+        // the sampled counts left-join onto it, so a group the sampler
+        // lost entirely still emits its row — with n=0 and in_bounds=0 —
+        // instead of silently vanishing from the output
+        pop.join(sampled, Seq("l_returnflag"), "left")
+          .select(col("l_returnflag"),
+            coalesce(col("n"), lit(0L)).as("n"), col("pop_n"),
+            (abs(coalesce(col("n"), lit(0L)) - col("pop_n") * rate)
               <= lit(6.0) * sqrt(col("pop_n") * rate * (1 - rate)))
               .cast("long").as("in_bounds"))
           .orderBy("l_returnflag")
@@ -562,9 +567,14 @@ object RelationalQueries {
         val kept = ev.join(users, Seq("user_id"), "left_semi")
           .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
         val all = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_total"))
-        kept.join(all, Seq("user_id"))
-          .select(col("user_id"), col("n_events"),
-            (col("n_events") === col("n_total")).cast("long").as("complete"))
+        // fail CLOSED: the sampled key set is the base — a sampled user
+        // whose events the semi-join lost entirely still emits a row with
+        // n_events=0 / complete=0 rather than disappearing
+        users.join(kept, Seq("user_id"), "left").join(all, Seq("user_id"))
+          .select(col("user_id"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            (coalesce(col("n_events"), lit(0L)) === col("n_total"))
+              .cast("long").as("complete"))
           .orderBy("user_id")
       },
       None)

@@ -22,8 +22,16 @@ def load(path):
     # driver artifacts wrap the JSON line inside a "tail" field
     if "queries" not in d and "tail" in d:
         m = re.search(r'\{"metric":.*\}', d["tail"])
+        if m is None:
+            sys.exit(f"{path}: no metric JSON line in the artifact tail "
+                     "(crashed or truncated bench run?)")
         d = json.loads(m.group(0))
     return d
+
+
+def round_no(path):
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else -1
 
 
 def fmt(v):
@@ -35,7 +43,13 @@ def main():
     if len(sys.argv) > 2:
         prev_path = sys.argv[2]
     else:
-        arts = sorted(glob.glob("BENCH_r*.json"))
+        # numeric round order (lexicographic misorders r100 vs r11), and
+        # never the current artifact itself: when CURRENT is BENCH_rN, prev
+        # is the highest round strictly below N, as the docstring promises
+        cur_no = round_no(cur_path)
+        arts = sorted(glob.glob("BENCH_r*.json"), key=round_no)
+        if cur_no >= 0:
+            arts = [a for a in arts if round_no(a) < cur_no]
         prev_path = arts[-1] if arts else None
     cur = load(cur_path)
     q = {k: v for k, v in cur["queries"].items() if not k.startswith("_")}
