@@ -49,6 +49,16 @@ object TextFunctions {
           i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Native compiled form of `shingles(tokens(text), n)` — one eval per
+    * row, immune to the lambda re-inlining hazard (see ShinglesExpr).
+    * The HOF composition above stays as the reference semantics
+    * (ShinglesExprSpec asserts equality).
+    */
+  def shinglesNative(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.ShinglesExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), n))
+
   /** 32-bit hashes of the 3-gram shingles of `text`. */
   def shingleHashes(text: Column): Column =
     transform(shingles(tokens(text), 3), s => hash32(s))

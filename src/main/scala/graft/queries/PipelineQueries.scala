@@ -361,7 +361,8 @@ object PipelineQueries {
         // uses — verification runs against a materialized signature table.
         val dir = graft.Scratch.dir(s, "d5_shingles")
         tokenized(s, d)
-          .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("sh"))
+          .select(col("doc_id"),
+            array_distinct(shinglesNative(col("text"), 3)).as("sh"))
           .write.mode("overwrite").parquet(dir)
         val sh = s.read.parquet(dir)
         sh.as("a")
@@ -656,7 +657,8 @@ object PipelineQueries {
         // only shape that survives a 100 TB corpus.
         val dir = graft.Scratch.dir(s, "t12_grams")
         tokenized(s, d)
-          .select(col("doc_id"), col("w"), shingles(col("w"), 2).as("bg"))
+          .select(col("doc_id"), col("w"),
+            shinglesNative(col("text"), 2).as("bg"))
           .write.mode("overwrite").parquet(dir)
         val base = s.read.parquet(dir)
         val counts = base.select(col("doc_id"),
@@ -722,7 +724,8 @@ object PipelineQueries {
         // lambda) per branch.
         val dir = graft.Scratch.dir(s, "c3_shingles")
         tokenized(s, d)
-          .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("sh"))
+          .select(col("doc_id"),
+            array_distinct(shinglesNative(col("text"), 3)).as("sh"))
           .write.mode("overwrite").parquet(dir)
         val sh = s.read.parquet(dir)
         val bench = sh.filter(col("doc_id") % 20 === 0)
