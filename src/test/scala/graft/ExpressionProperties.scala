@@ -56,4 +56,14 @@ class ExpressionProperties extends AnyFunSuite {
       expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)").as("composed"))
     assert(both.filter(not(col("native") <=> col("composed"))).isEmpty)
   }
+
+  test("shingles native == composed HOF form on 300 random documents, n=1..4") {
+    for (n <- 1 to 4) {
+      val both = corpus.select(
+        shinglesNative(col("text"), n).as("native"),
+        shingles(tokens(col("text")), n).as("composed"))
+      assert(both.filter(not(col("native") <=> col("composed"))).isEmpty,
+        s"shingles mismatch at n=$n")
+    }
+  }
 }
