@@ -63,7 +63,8 @@ object Bench {
     // 0.6 s query must not pay ~9 s of pretraining.
     val needsAls = selected.exists(Set("m4_als_recommend", "m5_als_rmse",
       "m6_item_similarity"))
-    val needsIvf = selected.contains("e4_ann_ivf")
+    val needsIvf = selected.exists(Set("e4_ann_ivf", "e6_semdedup"))
+    val needsQc = selected.contains("c5_quality_classifier")
     val fitSec =
       if (!needsAls) -1.0
       else try timed(graft.queries.MlQueries.pretrainAls(spark, sfDir))
@@ -71,6 +72,10 @@ object Bench {
     val ivfSec =
       if (!needsIvf) -1.0
       else try timed(graft.queries.PipelineQueries.pretrainIvf(spark, sfDir))
+      catch { case _: Throwable => -1.0 }
+    val qcSec =
+      if (!needsQc) -1.0
+      else try timed(graft.queries.MlQueries.pretrainQuality(spark, sfDir))
       catch { case _: Throwable => -1.0 }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val best = scala.collection.mutable.Map.empty[String, Double]
@@ -94,6 +99,7 @@ object Bench {
     }
     if (needsAls) record("_als_fit", fitSec)
     if (needsIvf) record("_ivf_build", ivfSec)
+    if (needsQc) record("_qc_fit", qcSec)
     val results = best.toSeq.sortBy(_._1)
 
     // ms precision, trailing zeros stripped: the driver keeps only the last

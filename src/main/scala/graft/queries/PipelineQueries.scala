@@ -279,6 +279,46 @@ object PipelineQueries {
              |       WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status
              |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // D9: exact duplicated-SPAN detection — the span-level complement of
+    // document-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better": verbatim k-token spans repeated across
+    // documents are the memorization hazard even when no whole document
+    // duplicates). Suffix arrays don't distribute; the standard scalable
+    // form is anchor k-grams: explode every k-token span, aggregate by span,
+    // keep spans seen in >= 2 distinct documents. Plan shape: one explode ->
+    // one hash aggregate; count(*) is map-side partial, count(distinct
+    // doc_id) expands to the usual two-level aggregate — both shuffle
+    // (span, doc_id) only, never document text. At 100 TB the shuffle key
+    // narrows to xxhash64(span) and span text is recovered by a follow-up
+    // semi-join against the (re-exploded) hit documents; at oracle scale the
+    // span rides the shuffle directly so DuckDB can replay the exact
+    // arithmetic. Spans shorter than k tokens vanish identically on both
+    // sides (empty shingle array / empty comprehension range).
+    Q("d9_span_dedup",
+      (s, d) => {
+        val k = 8
+        tokenized(s, d)
+          .select(col("doc_id"),
+            explode(shinglesNative(col("text"), k)).as("span"))
+          .groupBy("span")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("span")
+      },
+      Some(s"""WITH $sqlTok, sp AS (
+              |  SELECT doc_id,
+              |    unnest([array_to_string(w[i:i+7], ' ')
+              |            for i in range(1, len(w) - 6)]) AS span
+              |  FROM tok
+              |)
+              |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+              |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+              |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+              |ORDER BY span""".stripMargin)),
+
     // D7: near-dup CLUSTERS — LSH emits pairs, but the keep/drop decision
     // needs components (a–b and b–c collapse to one survivor even though
     // (a, c) was never a candidate pair). Iterative min-label propagation
@@ -963,6 +1003,65 @@ object PipelineQueries {
              |       * sqrt(list_sum([CAST(y AS DOUBLE)*y for y in qv]))), 5)
              |    AS cos_recon
              |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // E6: SemDeDup — semantic dedup via cluster-then-compare (Abbas et al.
+    // 2023, arXiv:2303.09540): k-means partitions the corpus, pairwise
+    // cosine runs WITHIN cells only (sum of cell^2, never N^2), and within
+    // a duplicate pair the member MORE similar to its centroid is dropped
+    // (the paper's keep-the-outlier rule — survivors preserve diversity).
+    // The quantizer is e4's cached IVF model reused verbatim — one trained
+    // artifact serving both ANN search and semantic dedup is exactly the
+    // registry contract; the planted batch is routed to cells by
+    // IvfIndex.assign (map-side, no refit), the incremental-ingest shape.
+    //
+    // The synthetic embeddings have no natural near-dups (max pairwise
+    // cosine ~0.51), so the query plants them the way d8 plants exact text
+    // dups: vec_id < 25 re-enters at id+10000 scaled by 1.02 with one
+    // nudged coordinate — cosine ~1 with its source, unchanged vs everyone
+    // else. Ground truth is therefore known in-query: a flagged pair is
+    // TRUE iff its ids differ by exactly 10000, surfaced per-row as
+    // `planted` (precision evidence) — SemdedupSpec asserts the recall
+    // side. k-means output is engine-specific -> rows-only by design.
+    Q("e6_semdedup",
+      (s, d) => {
+        val base = ivfEmb(s, d)
+        val planted = base.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 10000L).as("vec_id"),
+            transform(col("v"),
+              (x, i) => when(i === 0, x * 1.02 + 0.01).otherwise(x * 1.02))
+              .as("v"))
+        val corpus = base.unionByName(planted)
+        val assigned = graft.similarity.IvfIndex
+          .assign(ivfModel(s, d), corpus)
+          .repartition(col("cell_id"))
+        val pairs = assigned.as("x")
+          .join(assigned.as("y").hint("shuffle_hash"),
+            col("x.cell_id") === col("y.cell_id")
+              && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+            col("x.cell_id").as("cell_id"),
+            (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+              .as("cos"),
+            col("x.csim").as("a_csim"), col("y.csim").as("b_csim"))
+          .filter(col("cos") >= 0.8)
+        pairs
+          .select(
+            when(struct(col("a_csim"), col("a_id"))
+                   > struct(col("b_csim"), col("b_id")), col("a_id"))
+              .otherwise(col("b_id")).as("drop_id"),
+            when(struct(col("a_csim"), col("a_id"))
+                   > struct(col("b_csim"), col("b_id")), col("b_id"))
+              .otherwise(col("a_id")).as("kept_id"),
+            col("cell_id"), col("cos"),
+            (col("b_id") - col("a_id") === 10000L).cast("int").as("planted"))
+          .groupBy(col("drop_id"))
+          .agg(min(col("kept_id")).as("kept_id"),
+            max(col("cell_id")).cast("long").as("cell_id"),
+            round(max(col("cos")) * 100000).cast("long").as("cos_x100000"),
+            min(col("planted")).cast("long").as("planted"))
+          .orderBy("drop_id")
+      },
+      None),
 
     // E3: embedding-cosine near-duplicate detection — the dedup decision on
     // top of the bucketed candidate generation (same bucket join as e2, so

@@ -63,6 +63,34 @@ object IvfIndex {
       .withColumn("cnrm", l2Norm(col("cv")))
   }
 
+  /** Assign a NEW batch of vectors to an already-trained quantizer's cells
+    * — the incremental-ingest half of the registry contract: the k-means
+    * fit happens once per corpus snapshot (`build`), and every later batch
+    * (new crawl shard, planted-dup audit set, query log) is routed to cells
+    * without refitting. Nearest centroid by squared euclidean distance,
+    * which is what the k-means transform itself uses; ||x||^2 is constant
+    * per vector so argmin needs only ||c||^2 - 2x.c.
+    *
+    * Plan shape: broadcast the model-sized centroid table, then min_by per
+    * vec_id. The broadcast join expands each row x nCells, but partial
+    * aggregation collapses the expansion back to one row per vec_id
+    * map-side (the join is broadcast, so all nCells copies of a vector sit
+    * in its own partition) — the exchange carries N rows, not N x nCells.
+    * At 100 TB this is the only shape that works: assignment must stay a
+    * map-side pass over the corpus.
+    */
+  def assign(model: Model, emb: DataFrame): DataFrame = {
+    val d2 = col("cnrm") * col("cnrm") - lit(2.0) * dot(col("v"), col("cv"))
+    emb.join(broadcast(model.centroids))
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(col("v"), col("cell_id"),
+          (dot(col("v"), col("cv")) / (l2Norm(col("v")) * col("cnrm"))).as("csim")),
+        struct(d2.as("d2"), col("cell_id"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.cell_id").as("cell_id"),
+        col("m.csim").as("csim"), l2Norm(col("m.v")).as("nrm"))
+  }
+
   /** Exact-cosine top-k restricted to each query's `nprobe` nearest cells.
     * `queries` must have (q_id, qv: array<double>).
     */
