@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
-import graft.expressions.Md5Hash32
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+import graft.expressions.{DotProduct, Md5Hash32, MinHashSig, NormalizeNFC, ShinglesExpr, SimHash32Expr}
 
 /** Optimizer rule: collapse the composed 32-bit-md5 idiom
   * `cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint)` into the native
@@ -42,9 +43,63 @@ object RewriteMd5Hash32 extends Rule[LogicalPlan] {
   * `builder.withExtensions(new GraftExtensions)`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteMd5Hash32)
     // off until spark.graft.rangeJoin.bucketWidth is set to a positive width
     ext.injectOptimizerRule(session => new RangeJoinRule(session))
+    // the native text/vector expressions as SQL functions — the full
+    // pipeline surface is reachable from SQL text (P9 entry point), not
+    // just the Scala column API
+    sqlFunctions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        builder))
+    }
   }
+}
+
+object GraftExtensions {
+
+  /** Second argument of a two-arg SQL call must be an integer literal —
+    * the native expressions take their width as a constructor parameter
+    * (compile-time shape), matching how Spark's own `array_repeat`-style
+    * functions reject non-foldable counts.
+    */
+  private def intLit(name: String, e: Expression): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$name requires an integer literal, got $other")
+  }
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n,
+      s"$name expects $n argument(s), got ${args.length}")
+
+  val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_md5_hash32", "graft_md5_hash32(str) - first 32 bits of md5 as bigint",
+      args => { arity("graft_md5_hash32", 1, args); Md5Hash32(args.head) }),
+    ("graft_shingles", "graft_shingles(str, n) - word n-gram shingles of lowercased tokens",
+      args => { arity("graft_shingles", 2, args)
+        ShinglesExpr(args.head, intLit("graft_shingles", args(1))) }),
+    ("graft_minhash_sig", "graft_minhash_sig(str, k) - k-permutation MinHash signature",
+      args => { arity("graft_minhash_sig", 2, args)
+        MinHashSig(args.head, intLit("graft_minhash_sig", args(1))) }),
+    ("graft_simhash32", "graft_simhash32(str) - 32-bit SimHash of token hashes",
+      args => { arity("graft_simhash32", 1, args); SimHash32Expr(args.head) }),
+    ("graft_nfc", "graft_nfc(str) - Unicode NFC canonical normalization",
+      args => { arity("graft_nfc", 1, args); NormalizeNFC(args.head) }),
+    ("graft_dot", "graft_dot(a, b) - dot product of two double arrays",
+      args => { arity("graft_dot", 2, args); DotProduct(args.head, args(1)) }))
+
+  /** Register every graft SQL function on a live session — for sessions
+    * that were built without `spark.sql.extensions` (attached notebooks,
+    * shared test sessions). Idempotent: re-registration overwrites.
+    */
+  def registerAll(session: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (name, usage, builder) =>
+      org.apache.spark.sql.GraftBridge
+        .registerFunction(session, name, usage, builder)
+    }
 }

@@ -839,6 +839,101 @@ object PipelineQueries {
               |    AS chars_kept
               |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // C6: per-domain cap — the over-representation guard every web-scale
+    // corpus applies (no single domain/source may contribute more than 15
+    // documents — the synthetic sources carry 25 each, so the cap binds; survivors are the best-quality ones, tie-broken stably).
+    // One shuffle keyed on source, per-key rank window — topPerKey's shape,
+    // never a global sort. Quality key = type/token ratio (the repetition
+    // signal, x1000 integer so both engines rank identical values).
+    Q("c6_domain_cap",
+      (s, d) => {
+        val cap = 15
+        val ttr = round(size(array_distinct(col("w"))) * lit(1000.0)
+          / size(col("w"))).cast("long")
+        documents(s, d)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), col("source"), ttr.as("ttr_x1000"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(desc("ttr_x1000"), col("doc_id"))))
+          .filter(col("rk") <= cap)
+          .select(col("doc_id"), col("source"), col("ttr_x1000"),
+            col("rk").cast("long").as("rk"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""WITH $sqlTok, sc AS (
+              |  SELECT t.doc_id, d.source,
+              |    CAST(round(len(list_distinct(w)) * 1000.0 / len(w)) AS BIGINT)
+              |      AS ttr_x1000
+              |  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+              |), rk AS (
+              |  SELECT doc_id, source, ttr_x1000,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY ttr_x1000 DESC, doc_id) AS rk
+              |  FROM sc
+              |)
+              |SELECT doc_id, source, ttr_x1000, rk FROM rk WHERE rk <= 15
+              |ORDER BY source, rk""".stripMargin)),
+
+    // C7: deterministic epoch shuffle — training-order randomization that
+    // is reproducible across reruns and engines: order by md5(epoch ||
+    // doc_id). At scale this is a range-partitioned sort on the hash (no
+    // single-partition window, same machinery as t9's GlobalRank); the
+    // registered query takes the first 50 of epoch 3's order so the row
+    // set stays driver-comparable. Two epochs of the same corpus share no
+    // order (the salt changes every hash) — which is the whole point.
+    Q("c7_epoch_shuffle",
+      (s, d) => {
+        val key = md5(concat(lit("epoch3:"), col("doc_id").cast("string")))
+        documents(s, d)
+          .select(col("doc_id"), key.as("shuffle_key"))
+          .orderBy(col("shuffle_key"))
+          .limit(50)
+          .withColumn("pos",
+            row_number().over(Window.orderBy(col("shuffle_key"))).cast("long"))
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+             |  FROM documents
+             |), t AS (
+             |  SELECT doc_id, shuffle_key FROM k ORDER BY shuffle_key LIMIT 50
+             |)
+             |SELECT doc_id, shuffle_key,
+             |  row_number() OVER (ORDER BY shuffle_key) AS pos
+             |FROM t ORDER BY shuffle_key""".stripMargin)),
+
+    // T13: sliding-window chunking — the doc -> fixed-length training
+    // sequence split every pretraining pipeline runs (context 32 tokens,
+    // stride 24, so consecutive chunks overlap by 8). Map-side explode of
+    // chunk starts; the only shuffle is the output ORDER BY. Chunk content
+    // crosses the comparator as md5(joined tokens) — frame digests, not
+    // megabytes of text (the m2_frame_sample convention).
+    Q("t13_chunk",
+      (s, d) => {
+        val size_ = 32
+        val stride = 24
+        tokenized(s, d)
+          .select(col("doc_id"), col("w"),
+            posexplode(sequence(lit(0), size(col("w")) - 1, lit(stride)))
+              .as(Seq("chunk_idx", "start")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            slice(col("w"), col("start") + 1, lit(size_)).as("cw"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("cw")).cast("long").as("chunk_tokens"),
+            md5(array_join(col("cw"), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH $sqlTok, st AS (
+              |  SELECT doc_id, w,
+              |    unnest(range(0, len(w), 24)) AS start
+              |  FROM tok
+              |)
+              |SELECT doc_id, start // 24 AS chunk_idx,
+              |  CAST(len(w[start + 1 : start + 32]) AS BIGINT) AS chunk_tokens,
+              |  md5(array_to_string(w[start + 1 : start + 32], ' ')) AS chunk_md5
+              |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ----- similarity search over embeddings -----------------------------
     // E1: brute-force cosine top-k — the exact baseline. The (small) query
     // set is broadcast, so the big side streams once with no shuffle;

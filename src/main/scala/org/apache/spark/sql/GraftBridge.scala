@@ -26,4 +26,18 @@ object GraftBridge {
   def ofRows(session: SparkSession,
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
+  /** Register a SQL function on an ALREADY-RUNNING session — the runtime
+    * counterpart of SparkSessionExtensions.injectFunction for sessions
+    * built before the extension existed (tests share one session; a
+    * notebook attaches to a live cluster session the same way).
+    */
+  def registerFunction(session: SparkSession, name: String, usage: String,
+      builder: Seq[Expression] => Expression): Unit =
+    session.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(
+        catalyst.FunctionIdentifier(name),
+        new catalyst.expressions.ExpressionInfo(
+          classOf[GraftBridge.type].getName, name, usage),
+        builder)
 }

@@ -70,4 +70,41 @@ class GraftExtensionsSpec extends SparkSpec {
     val rules = org.apache.spark.sql.GraftBridge.optimizerRules(ext, spark)
     assert(rules.contains(RewriteMd5Hash32))
   }
+
+  test("SQL functions: every native expression is callable from SQL text " +
+      "and matches its column-API twin") {
+    GraftExtensions.registerAll(spark)
+    val s = spark
+    import s.implicits._
+    Seq("The quick Brown fox jumps over the lazy dog").toDF("t")
+      .createOrReplaceTempView("ext_t")
+    import graft.functions.TextFunctions
+    val viaSql = spark.sql(
+      """SELECT graft_md5_hash32(t) AS h,
+        |  graft_shingles(t, 3) AS sh,
+        |  graft_minhash_sig(t, 4) AS sig,
+        |  graft_simhash32(t) AS sim,
+        |  graft_nfc(t) AS n,
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |FROM ext_t""".stripMargin).collect()(0)
+    val viaCols = spark.table("ext_t").select(
+      TextFunctions.hash32(col("t")).as("h"),
+      TextFunctions.shinglesNative(col("t"), 3).as("sh"),
+      TextFunctions.minhashSigNative(col("t"), 4).as("sig"),
+      TextFunctions.simhashNative(col("t")).as("sim"),
+      TextFunctions.nfc(col("t")).as("n"),
+      graft.functions.VectorFunctions.dot(
+        array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dp"))
+      .collect()(0)
+    assert(viaSql.toSeq == viaCols.toSeq,
+      s"SQL surface diverged from column API:\n  sql: $viaSql\n  col: $viaCols")
+  }
+
+  test("SQL functions reject a non-literal width argument") {
+    GraftExtensions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b c', 1 + 1)").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
