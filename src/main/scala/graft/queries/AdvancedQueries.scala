@@ -416,6 +416,50 @@ object AdvancedQueries {
              |  FROM s
              |)
              |SELECT doc_id, term, tf, df, score FROM r WHERE rn = 1
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // T14: unigram-LM surprisal filter — the CCNet/C4 perplexity gate's
+    // shape: fit a unigram LM on the corpus itself (one aggregate), score
+    // every document by mean token surprisal, keep the low-surprisal head.
+    // Real pipelines use float log-probs from a trained LM; this query uses
+    // the integer FREQUENCY CLASS floor(log2(total/cnt)) — computed as
+    // length(bin(total div cnt)) - 1, bit-exact in both engines (the same
+    // no-ln() discipline as t7's integer idf; a float KenLM score is a
+    // one-line swap). Plan: vocabulary aggregate partial-combines map-side;
+    // the corpus-total is a broadcast scalar, never a collect; the
+    // token->vocab join is unhinted so AQE broadcasts only when the
+    // vocabulary actually fits (t7's rule — a web-scale vocab does not).
+    Q("t14_unigram_surprisal",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum(col("cnt")).cast("long").as("total"))
+        toks.join(vocab, Seq("term"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            (length(bin(expr("total div cnt"))) - 1).cast("long").as("cls"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("cls")).as("scls"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("scls * 1000 div n_tokens").as("mean_surprisal_x1000"),
+            (expr("scls * 1000 div n_tokens") <= 4100L).cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents
+             |), vocab AS (
+             |  SELECT term, count(*) AS cnt FROM tok GROUP BY term
+             |), tot AS (
+             |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+             |), sc AS (
+             |  SELECT t.doc_id, length(bin(tot.total // v.cnt)) - 1 AS cls
+             |  FROM tok t JOIN vocab v USING (term) CROSS JOIN tot
+             |)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(cls) * 1000 // count(*) AS BIGINT) AS mean_surprisal_x1000,
+             |  CAST(sum(cls) * 1000 // count(*) <= 4100 AS INT) AS keep
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

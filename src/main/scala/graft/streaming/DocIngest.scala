@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming corpus ingest with ledger dedup — the streaming face of
+  * d8_incremental_dedup: document files land in a directory; each
+  * micro-batch is content-hashed, deduped within the batch (keep-first by
+  * doc_id), anti-joined against the persisted content-hash ledger, and the
+  * survivors are appended to the corpus while their hashes are appended to
+  * the ledger. `Trigger.AvailableNow` + checkpoint = "process whatever
+  * landed since last run, each file exactly once" — the same batch/stream
+  * dual cadence as EventStream.processFilesOnce.
+  *
+  * Scale notes:
+  *  - the ledger join ships (hash, doc_id) only, never document text, and
+  *    it is a plain anti equi-join — at 100 TB the ledger is bucketed by
+  *    hash so the probe co-locates (d8's batch face documents this);
+  *  - corpus is written BEFORE the ledger: a crash between the two writes
+  *    re-delivers the batch and re-appends duplicates (at-least-once),
+  *    which curation tolerates — the reverse order would mark hashes as
+  *    seen with no document behind them and silently LOSE data. A
+  *    transactional table format collapses the two writes into one commit;
+  *    plain parquet keeps the failure mode explicit instead.
+  */
+object DocIngest {
+
+  def ingestOnce(spark: SparkSession, srcDir: String, corpusDir: String,
+      ledgerDir: String, checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val hashed = batch.withColumn("h", md5(col("text")))
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+          .filter(col("_rn") === 1).drop("_rn")
+        val ledger = scala.util.Try(s.read.parquet(ledgerDir)).toOption
+        val fresh = ledger match {
+          case Some(l) => hashed.join(l.select("h"), Seq("h"), "left_anti")
+          case None => hashed
+        }
+        fresh.cache()
+        try {
+          fresh.drop("h").write.mode("append").parquet(corpusDir)
+          fresh.select("h").write.mode("append").parquet(ledgerDir)
+        } finally fresh.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

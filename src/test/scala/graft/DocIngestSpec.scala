@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** streaming.DocIngest — incremental corpus ingest with ledger dedup:
+  * each run drains only newly-landed files (checkpoint), dedups within
+  * the batch and against everything ever ingested, and grows the ledger
+  * alongside the corpus.
+  */
+class DocIngestSpec extends SparkSpec {
+
+  test("ingest runs dedup within batch, against ledger, and drain-once") {
+    val root = Files.createTempDirectory("doc_ingest").toString
+    val (src, corpus, ledger, ckpt) =
+      (s"$root/src", s"$root/corpus", s"$root/ledger", s"$root/ckpt")
+    val s = spark
+    import s.implicits._
+
+    // batch 1: docs 0-9, with 9 a within-batch copy of 0's text
+    Seq.tabulate(10)(i =>
+        (i.toLong, if (i == 9) "text 0" else s"text $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+      .repartition(2).write.mode("append").parquet(src)
+    streaming.DocIngest.ingestOnce(spark, src, corpus, ledger, ckpt)
+    val after1 = spark.read.parquet(corpus)
+    assert(after1.count() == 9, "within-batch dup not dropped")
+    assert(after1.filter(col("doc_id") === 9).count() == 0,
+      "keep-first rule dropped the wrong copy")
+    assert(spark.read.parquet(ledger).distinct().count() == 9)
+
+    // batch 2: two redeliveries of old content under new ids + two new docs
+    Seq((100L, "text 3", "srcX"), (101L, "text 7", "srcX"),
+        (102L, "genuinely new", "srcX"), (103L, "also new", "srcX"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(src)
+    streaming.DocIngest.ingestOnce(spark, src, corpus, ledger, ckpt)
+    val after2 = spark.read.parquet(corpus)
+    assert(after2.count() == 11, s"expected 9+2, got ${after2.count()}")
+    assert(after2.filter(col("doc_id").isin(100L, 101L)).count() == 0,
+      "ledger dedup failed: redelivered content re-ingested")
+    assert(after2.filter(col("doc_id").isin(102L, 103L)).count() == 2)
+
+    // run 3 with nothing new: checkpoint must make it a no-op
+    streaming.DocIngest.ingestOnce(spark, src, corpus, ledger, ckpt)
+    assert(spark.read.parquet(corpus).count() == 11,
+      "re-run without new files re-ingested old batches")
+  }
+}

@@ -118,4 +118,40 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q grew an unexpected join")
     }
   }
+
+  test("span/semantic dedup and chunking keep their scale shapes") {
+    // d9: explode -> aggregate; the span aggregate partial-combines
+    // map-side and there is no join at all
+    val d9 = plan("d9_span_dedup")
+    assert(!d9.contains("Join"), "d9 grew an unexpected join")
+    assert("HashAggregate".r.findAllIn(d9).length >= 2,
+      "d9 lost map-side partial aggregation")
+    // e6: the within-cell pair join is a shuffled equi-join on cell_id,
+    // never a cartesian. (The centroid routing IS a BroadcastNestedLoop —
+    // an unconditioned expansion against the model-sized broadcast side,
+    // the same probe shape e4 uses; only the corpus x corpus join must
+    // never be all-pairs.)
+    val e6 = plan("e6_semdedup")
+    assert(!e6.contains("CartesianProduct"),
+      "e6 pair generation degraded to a cartesian")
+    assert(e6.contains("ShuffledHashJoin"),
+      "e6 pair join lost its shuffled equi-join shape")
+    // c5: scoring is map-side — no join anywhere; the only exchange
+    // feeds the 10-row calibration rollup
+    val c5 = plan("c5_quality_classifier")
+    assert(!c5.contains("Join"), "c5 scoring grew a join")
+    // c6: per-source rank window keyed by source, not a global window
+    val c6 = plan("c6_domain_cap")
+    assert(!c6.contains("SinglePartition"),
+      "c6 window lost its per-source partitioning")
+    // c7: global order lowers to TakeOrdered over the 50-row head, not a
+    // full sort materialization
+    val c7 = plan("c7_epoch_shuffle")
+    assert(c7.contains("TakeOrderedAndProject"),
+      "c7 head-of-order did not lower to TakeOrdered")
+    // t13: map-side explode only — no join, exactly one exchange (the
+    // output sort)
+    val t13 = plan("t13_chunk")
+    assert(!t13.contains("Join"), "t13 grew an unexpected join")
+  }
 }
