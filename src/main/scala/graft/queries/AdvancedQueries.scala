@@ -460,6 +460,51 @@ object AdvancedQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
              |  CAST(sum(cls) * 1000 // count(*) AS BIGINT) AS mean_surprisal_x1000,
              |  CAST(sum(cls) * 1000 // count(*) <= 4100 AS INT) AS keep
-             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // T15: vocabulary coverage curve — the tokenizer-design question "how
+    // much of the token stream do the top-k vocabulary entries cover?".
+    // Both global ordered computations (rank of each term in the frequency
+    // order, cumulative token share up to it) run through GlobalRank's
+    // two-phase range-partition + offset machinery, NOT a naive
+    // unpartitioned window — a web-scale vocabulary is tens of millions of
+    // terms and the naive form coalesces it to one partition (t9's scale
+    // rule; on the synthetic corpus the whole vocabulary is 31 terms, so
+    // the rank<=1000 milestone filter keeps every row). Integer-scaled
+    // coverage, exact in both engines.
+    Q("t15_vocab_coverage",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val vocab = documents(s, d)
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val order = Seq(col("cnt").desc, col("term").asc)
+        val ranked = GlobalRank.withRowNumber(vocab, order, "vocab_rank")
+        val withCum = GlobalRank.withRunningTotal(ranked, order, "cnt", "cum_cnt")
+        val total = vocab.agg(sum(col("cnt")).cast("long").as("total"))
+        withCum.filter(col("vocab_rank") <= 1000)
+          .crossJoin(broadcast(total))
+          .select(col("vocab_rank"), col("term"), col("cnt"), col("cum_cnt"),
+            expr("cum_cnt * 10000 div total").as("coverage_x10000"))
+          .orderBy("vocab_rank")
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents
+             |), vocab AS (
+             |  SELECT term, count(*) AS cnt FROM tok GROUP BY term
+             |), r AS (
+             |  SELECT term, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, term) AS vocab_rank,
+             |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+             |  FROM vocab
+             |), tot AS (
+             |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+             |)
+             |SELECT vocab_rank, term, cnt, cum_cnt,
+             |  CAST(cum_cnt * 10000 // total AS BIGINT) AS coverage_x10000
+             |FROM r CROSS JOIN tot WHERE vocab_rank <= 1000
+             |ORDER BY vocab_rank""".stripMargin))
   )
 }
