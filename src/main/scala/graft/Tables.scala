@@ -42,6 +42,20 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** documents with the tokenized-text projection shared by the text
+    * pipeline (PipelineQueries.tokenized, the c5 feature extraction, and
+    * QualityClassifierSpec all consume THIS definition — the >=3-token
+    * guard and the whitespace/lowercase token rule are load-bearing for
+    * oracles and the distillation AUC floor, so there is exactly one copy).
+    */
+  def tokenizedDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, size}
+    documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+  }
 }
 
 /** One registered query: a Spark implementation plus (when SQL-expressible)

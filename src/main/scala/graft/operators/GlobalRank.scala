@@ -56,6 +56,40 @@ object GlobalRank {
         + off).cast("long"), out)
   }
 
+  /** Rank AND running total under the same `order` in ONE two-phase pass —
+    * `withRowNumber` followed by `withRunningTotal` would range-shuffle the
+    * frame twice for the identical ordering (t15's shape: a vocabulary
+    * needs its frequency rank and the cumulative share up to it). The
+    * offsets table just carries both prefixes.
+    */
+  def withRankAndRunningTotal(df: DataFrame, order: Seq[Column],
+      valueCol: String, rankOut: String, totalOut: String): DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
+      s"withRankAndRunningTotal needs an integral value column, got $valueCol: ${vt.typeName}")
+    val pid = "_gr_pid"
+    val roff = "_gr_roff"
+    val voff = "_gr_voff"
+    require(Seq(pid, roff, voff).forall(c => !df.columns.contains(c)),
+      s"input must not carry reserved columns $pid/$roff/$voff")
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn(pid, spark_partition_id())
+    val offsets = ranged.groupBy(col(pid))
+      .agg(count(lit(1)).as("_gr_n"), sum(col(valueCol)).as("_gr_v"))
+      .withColumn(roff,
+        (sum(col("_gr_n")).over(Window.orderBy(col(pid))) - col("_gr_n")).cast("long"))
+      .withColumn(voff,
+        (sum(col("_gr_v")).over(Window.orderBy(col(pid))) - col("_gr_v")).cast("long"))
+      .select(col(pid), col(roff), col(voff))
+    val local = Window.partitionBy(col(pid)).orderBy(order: _*)
+    ranged.join(broadcast(offsets), Seq(pid))
+      .withColumn(rankOut, (row_number().over(local) + col(roff)).cast("long"))
+      .withColumn(totalOut, (sum(col(valueCol)).over(
+        local.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        + col(voff)).cast("long"))
+      .drop(pid, roff, voff)
+  }
+
   /** Range-repartition by `order`, aggregate `perPartition` per partition,
     * prefix-sum those into per-partition offsets (a ≤numShufflePartitions
     * row table — the one place a global window is safe), broadcast them

@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * and registered as an artifact; scoring is one broadcast of the weight
   * vector and no shuffle at all.
   *
-  * Here the weak labeler is the t2/c1 keep rule (token-count and mean-
-  * token-length gates), so the spec can measure exactly how well the
-  * distilled model reproduces the rule it was trained from (AUC floor in
-  * QualityClassifierSpec) — the same acceptance test a real distillation
-  * gets before replacing its teacher.
+  * Here the weak labeler is the repetition-quality rule (type/token
+  * ratio >= 0.45 with a token-count gate — the t2/c1 gates are vacuous on
+  * the synthetic corpus, this rule actually splits it ~40/60), so the
+  * spec can measure exactly how well the distilled model reproduces the
+  * rule it was trained from (AUC floor in QualityClassifierSpec) — the
+  * same acceptance test a real distillation gets before replacing its
+  * teacher.
   */
 object QualityClassifier {
 

@@ -54,7 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // just the Scala column API
     sqlFunctions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        // (className, db, NAME, usage, arguments) — see GraftBridge note
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+          usage, ""),
         builder))
     }
   }

@@ -479,8 +479,8 @@ object AdvancedQueries {
           .select(explode(tokens(col("text"))).as("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
         val order = Seq(col("cnt").desc, col("term").asc)
-        val ranked = GlobalRank.withRowNumber(vocab, order, "vocab_rank")
-        val withCum = GlobalRank.withRunningTotal(ranked, order, "cnt", "cum_cnt")
+        val withCum = GlobalRank.withRankAndRunningTotal(vocab, order, "cnt",
+          "vocab_rank", "cum_cnt")
         val total = vocab.agg(sum(col("cnt")).cast("long").as("total"))
         withCum.filter(col("vocab_rank") <= 1000)
           .crossJoin(broadcast(total))

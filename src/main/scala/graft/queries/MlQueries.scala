@@ -41,11 +41,7 @@ object MlQueries {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.classification.LogisticRegressionModel]
 
   private def featuredDocs(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.pipeline.QualityClassifier.featurize(
-      documents(s, d)
-        .select(col("doc_id"), col("text"), col("n_chars"),
-          graft.functions.TextFunctions.tokens(col("text")).as("w"))
-        .filter(size(col("w")) >= 3))
+    graft.pipeline.QualityClassifier.featurize(Tables.tokenizedDocs(s, d))
 
   private def qcModel(s: org.apache.spark.sql.SparkSession, d: String) = {
     if (qcCache.size >= MaxCachedModels

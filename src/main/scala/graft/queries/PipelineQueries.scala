@@ -29,10 +29,7 @@ object PipelineQueries {
     * is part of the operator contract).
     */
   private def tokenized(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
-        tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
+    Tables.tokenizedDocs(s, d)
 
   /** DuckDB SQL fragment: tokenized documents (mirror of `tokenized`). */
   private val sqlTok =

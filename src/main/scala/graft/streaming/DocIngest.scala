@@ -29,7 +29,17 @@ object DocIngest {
 
   def ingestOnce(spark: SparkSession, srcDir: String, corpusDir: String,
       ledgerDir: String, checkpointDir: String): Unit = {
-    val schema = spark.read.parquet(srcDir).schema
+    // a drain-once job scheduled before any producer wrote must no-op,
+    // not crash on schema inference
+    val schema =
+      try spark.read.parquet(srcDir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND")
+                || c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          return
+      }
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -38,11 +48,18 @@ object DocIngest {
           .withColumn("_rn", row_number().over(
             Window.partitionBy(col("h")).orderBy(col("doc_id"))))
           .filter(col("_rn") === 1).drop("_rn")
-        val ledger = scala.util.Try(s.read.parquet(ledgerDir)).toOption
-        val fresh = ledger match {
-          case Some(l) => hashed.join(l.select("h"), Seq("h"), "left_anti")
-          case None => hashed
-        }
+        // only genuine ABSENCE may skip the dedup join (first ever run).
+        // A ledger that exists but fails to read must FAIL the batch —
+        // falling open would silently re-ingest the whole corpus as
+        // duplicates until someone noticed.
+        val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+        val ledgerExists = ledgerPath
+          .getFileSystem(s.sparkContext.hadoopConfiguration).exists(ledgerPath)
+        val fresh =
+          if (ledgerExists)
+            hashed.join(s.read.parquet(ledgerDir).select("h"), Seq("h"),
+              "left_anti")
+          else hashed
         fresh.cache()
         try {
           fresh.drop("h").write.mode("append").parquet(corpusDir)

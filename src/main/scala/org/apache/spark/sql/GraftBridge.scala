@@ -37,7 +37,10 @@ object GraftBridge {
     session.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(
         catalyst.FunctionIdentifier(name),
+        // 5-arg ctor is (className, db, NAME, usage, arguments) — the
+        // 3-arg one is (className, db, name), which would register the
+        // usage text AS the function name
         new catalyst.expressions.ExpressionInfo(
-          classOf[GraftBridge.type].getName, name, usage),
+          classOf[GraftBridge.type].getName, null, name, usage, ""),
         builder)
 }

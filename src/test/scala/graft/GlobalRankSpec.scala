@@ -47,6 +47,41 @@ class GlobalRankSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("combined rank+running-total equals the naive windows in one pass") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 500).map(i => (i % 13, s"id_$i", (i % 37 + 1).toLong))
+      .toDF("k", "id", "v")
+    val order = Seq(desc("k"), col("id"))
+    val got = GlobalRank
+      .withRankAndRunningTotal(df, order, "v", "rn", "cum")
+      .select(col("id"), col("rn"), col("cum"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val naive = Window.orderBy(order: _*)
+    val want = df
+      .withColumn("rn", row_number().over(naive).cast("long"))
+      .withColumn("cum", sum(col("v")).over(naive
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select(col("id"), col("rn"), col("cum"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    // single-pass claim, on the post-collect final plan (AQE substitutes
+    // ReusedExchange for the offsets path's copy of the shared subtree):
+    // exactly one EXECUTED range exchange — the chained two-call form
+    // would run a second, non-reusable one after the first join
+    val df2 = GlobalRank.withRankAndRunningTotal(df, order, "v", "rn", "cum")
+    df2.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count only
+    // the executed Final Plan section above it
+    val executedRangeExchanges = df2.queryExecution.executedPlan.toString
+      .split("Initial Plan").head
+      .linesIterator
+      .count(l => l.contains("Exchange rangepartitioning")
+        && !l.contains("ReusedExchange"))
+    assert(executedRangeExchanges == 1,
+      s"combined form must range-shuffle once, executed $executedRangeExchanges")
+  }
+
   test("reserved helper names are rejected, not silently overwritten") {
     val s = spark
     import s.implicits._

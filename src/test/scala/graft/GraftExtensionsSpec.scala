@@ -105,6 +105,12 @@ class GraftExtensionsSpec extends SparkSpec {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b c', 1 + 1)").collect()
     }
-    assert(e.getMessage != null)
+    // the failure must be intLit's literal-only contract, not some
+    // unrelated resolution error (e.g. the function not being registered)
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(messages.contains("integer literal"),
+      s"expected intLit's rejection, got: $messages")
   }
 }

@@ -9,13 +9,8 @@ import org.apache.spark.sql.functions._
   */
 class QualityClassifierSpec extends SparkSpec {
 
-  private def featured = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("n_chars"),
-        functions.TextFunctions.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-    pipeline.QualityClassifier.featurize(docs)
-  }
+  private def featured =
+    pipeline.QualityClassifier.featurize(Tables.tokenizedDocs(spark, sfDir))
 
   test("distilled model ranks teacher-keep docs above teacher-drop (AUC)") {
     val f = featured
