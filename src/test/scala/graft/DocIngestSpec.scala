@@ -46,4 +46,34 @@ class DocIngestSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).count() == 11,
       "re-run without new files re-ingested old batches")
   }
+
+  test("ingest before any file has landed is a no-op, not a crash") {
+    val root = Files.createTempDirectory("doc_ingest_empty").toString
+    streaming.DocIngest.ingestOnce(spark, s"$root/never_written",
+      s"$root/corpus", s"$root/ledger", s"$root/ckpt")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/corpus")),
+      "no-op drain must not create a corpus")
+  }
+
+  test("a ledger that exists but cannot be read fails the batch (fail-closed)") {
+    val root = Files.createTempDirectory("doc_ingest_bad").toString
+    val (src, corpus, ledger, ckpt) =
+      (s"$root/src", s"$root/corpus", s"$root/ledger", s"$root/ckpt")
+    val s = spark
+    import s.implicits._
+    Seq((1L, "some text", "srcA")).toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(src)
+    // a ledger directory with garbage where parquet should be — the
+    // failure mode of a crash mid-append
+    Files.createDirectories(java.nio.file.Paths.get(ledger))
+    Files.write(java.nio.file.Paths.get(s"$ledger/part-corrupt.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    intercept[Exception] {
+      streaming.DocIngest.ingestOnce(spark, src, corpus, ledger, ckpt)
+    }
+    // and nothing was silently ingested without the dedup check
+    assert(!Files.exists(java.nio.file.Paths.get(corpus))
+        || spark.read.parquet(corpus).count() == 0,
+      "batch half-applied despite unreadable ledger")
+  }
 }

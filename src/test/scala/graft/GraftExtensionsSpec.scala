@@ -100,6 +100,17 @@ class GraftExtensionsSpec extends SparkSpec {
       s"SQL surface diverged from column API:\n  sql: $viaSql\n  col: $viaCols")
   }
 
+  test("DESCRIBE FUNCTION shows name and usage (ExpressionInfo arg order)") {
+    // regression pin: the 3-arg ExpressionInfo ctor is (className, db,
+    // name) — using it put the usage text where the name belongs and
+    // silently dropped the documentation
+    GraftExtensions.registerAll(spark)
+    val desc = spark.sql("DESCRIBE FUNCTION graft_shingles")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("Function: graft_shingles"), desc)
+    assert(desc.contains("word n-gram shingles"), desc)
+  }
+
   test("SQL functions reject a non-literal width argument") {
     GraftExtensions.registerAll(spark)
     val e = intercept[Exception] {
