@@ -401,6 +401,35 @@ object RelationalQueries {
              |   FROM events) t
              |WHERE rn <= 5 ORDER BY user_id, rn""".stripMargin)),
 
+    // W9: the SAME per-key top-N through the bounded-buffer Aggregator
+    // (operators/TopK) instead of a rank window — w2 shuffles and sorts
+    // every event before its rn<=5 filter; here partial aggregation caps
+    // the buffer at k per (user x map partition) BEFORE the exchange, so
+    // the shuffle carries candidates, not the corpus (PlanSpec pins the
+    // two-level ObjectHashAggregate). Identical rows to w2 by the same
+    // (value desc, event_id) total order — the oracle is w2's. Honest
+    // bench note: at sf0.1 (100k events, ~7 rows/user) wall-time is
+    // PARITY with w2 (~0.7 s both) — UDAF object handling offsets the
+    // shuffle savings when keys are this thin; the lever is shuffle
+    // VOLUME, which caps at k x keys x partitions instead of the corpus.
+    Q("w9_topk_agg",
+      (s, d) => {
+        val top5 = graft.operators.TopK.topK(5)
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(top5(col("value"), col("event_id")).as("top"))
+          .select(col("user_id"),
+            posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("user_id"), col("t.id").as("event_id"),
+            col("t.score").as("value"), (col("pos") + 1).cast("long").as("rn"))
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, event_id, value, rn FROM
+             |  (SELECT user_id, event_id, value,
+             |     row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+             |   FROM events) t
+             |WHERE rn <= 5 ORDER BY user_id, rn""".stripMargin)),
+
     // W3: event-time tumbling window aggregation — the batch face of the
     // Structured Streaming surface (graft.streaming.EventStream shares this
     // exact aggregation; EventStreamSpec checks stream==batch). events.ts is

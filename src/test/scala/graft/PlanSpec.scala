@@ -119,6 +119,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("w9: bounded top-k aggregator partial-aggregates before the shuffle") {
+    val p = plan("w9_topk_agg")
+    // two-level ObjectHashAggregate (partial on the map side, final after
+    // the exchange) is the whole point — losing it means the shuffle
+    // carries every row again, i.e. w2 with extra steps
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "top-k aggregation lost its partial/final split:\n" + p.take(1200))
+    assert(p.contains("partial_topkagg"),
+      "map-side partial top-k missing from the plan")
+  }
+
   test("span/semantic dedup and chunking keep their scale shapes") {
     // d9: explode -> aggregate; the span aggregate partial-combines
     // map-side and there is no join at all
