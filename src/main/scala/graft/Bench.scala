@@ -65,6 +65,7 @@ object Bench {
       "m6_item_similarity"))
     val needsIvf = selected.exists(Set("e4_ann_ivf", "e6_semdedup"))
     val needsQc = selected.contains("c5_quality_classifier")
+    val needsBuckets = selected.contains("b1_bucketed_join")
     val fitSec =
       if (!needsAls) -1.0
       else try timed(graft.queries.MlQueries.pretrainAls(spark, sfDir))
@@ -76,6 +77,10 @@ object Bench {
     val qcSec =
       if (!needsQc) -1.0
       else try timed(graft.queries.MlQueries.pretrainQuality(spark, sfDir))
+      catch { case _: Throwable => -1.0 }
+    val bucketSec =
+      if (!needsBuckets) -1.0
+      else try timed(graft.queries.IoQueries.prepareBuckets(spark, sfDir))
       catch { case _: Throwable => -1.0 }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val best = scala.collection.mutable.Map.empty[String, Double]
@@ -100,6 +105,7 @@ object Bench {
     if (needsAls) record("_als_fit", fitSec)
     if (needsIvf) record("_ivf_build", ivfSec)
     if (needsQc) record("_qc_fit", qcSec)
+    if (needsBuckets) record("_bucket_write", bucketSec)
     val results = best.toSeq.sortBy(_._1)
 
     // ms precision, trailing zeros stripped: the driver keeps only the last
@@ -147,6 +153,7 @@ object Bench {
     Files.writeString(Paths.get(outFile), line(3) + "\n")
     graft.queries.MlQueries.clearCaches()
     graft.queries.PipelineQueries.clearCaches()
+    graft.queries.IoQueries.clearCaches()
     spark.stop()
   }
 }

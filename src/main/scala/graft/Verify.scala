@@ -39,6 +39,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.queries.MlQueries.clearCaches()
     graft.queries.PipelineQueries.clearCaches()
+    graft.queries.IoQueries.clearCaches()
     spark.stop()
   }
 }
