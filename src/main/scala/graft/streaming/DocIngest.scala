@@ -27,8 +27,17 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object DocIngest {
 
+  /** `curate` runs inside each micro-batch AFTER dedup — the hook where
+    * the batch Curation stages (quality gates, per-key caps, PII
+    * redaction) compose onto the stream unchanged: they are
+    * DataFrame => DataFrame, so the same stage list drives the nightly
+    * batch job and this incremental ingest (the batch/stream dual-cadence
+    * contract). Dropped-by-curation documents do NOT enter the ledger:
+    * a later re-crawl under a relaxed gate can still admit them.
+    */
   def ingestOnce(spark: SparkSession, srcDir: String, corpusDir: String,
-      ledgerDir: String, checkpointDir: String): Unit = {
+      ledgerDir: String, checkpointDir: String,
+      curate: DataFrame => DataFrame = identity): Unit = {
     // a drain-once job scheduled before any producer wrote must no-op,
     // not crash on schema inference
     val schema =
@@ -55,11 +64,12 @@ object DocIngest {
         val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
         val ledgerExists = ledgerPath
           .getFileSystem(s.sparkContext.hadoopConfiguration).exists(ledgerPath)
-        val fresh =
+        val deduped =
           if (ledgerExists)
             hashed.join(s.read.parquet(ledgerDir).select("h"), Seq("h"),
               "left_anti")
           else hashed
+        val fresh = curate(deduped)
         fresh.cache()
         try {
           fresh.drop("h").write.mode("append").parquet(corpusDir)

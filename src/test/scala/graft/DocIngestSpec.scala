@@ -47,6 +47,35 @@ class DocIngestSpec extends SparkSpec {
       "re-run without new files re-ingested old batches")
   }
 
+  test("batch curation stages compose onto the stream; gated docs stay " +
+      "out of the ledger for a later relaxed re-crawl") {
+    val root = Files.createTempDirectory("doc_ingest_curate").toString
+    val (src, corpus, ledger, ckpt) =
+      (s"$root/src", s"$root/corpus", s"$root/ledger", s"$root/ckpt")
+    val s = spark
+    import s.implicits._
+    // doc 2 is looped boilerplate the repetition gate must drop
+    Seq((1L, "a genuinely varied document body", "srcA"),
+        (2L, "spam spam spam spam spam spam", "srcA"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(src)
+    val ttrGate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(
+        size(array_distinct(split(lower(col("text")), " ")))
+          * 1.0 / size(split(lower(col("text")), " ")) >= 0.45)
+    streaming.DocIngest.ingestOnce(spark, src, corpus, ledger, ckpt, ttrGate)
+    assert(spark.read.parquet(corpus).collect().map(_.getAs[Long]("doc_id"))
+      .toSeq == Seq(1L), "gate failed to drop the boilerplate doc")
+    // the gated doc is NOT in the ledger: a relaxed re-crawl readmits it
+    assert(spark.read.parquet(ledger).count() == 1)
+    Seq((3L, "spam spam spam spam spam spam", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(src)
+    streaming.DocIngest.ingestOnce(spark, src, corpus, ledger, s"$root/ckpt2")
+    assert(spark.read.parquet(corpus).count() >= 2,
+      "relaxed re-crawl could not readmit a previously gated doc")
+  }
+
   test("ingest before any file has landed is a no-op, not a crash") {
     val root = Files.createTempDirectory("doc_ingest_empty").toString
     streaming.DocIngest.ingestOnce(spark, s"$root/never_written",
