@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary learning (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the tokenizer-training step of an LLM data
+  * pipeline. Each merge round is two distributed passes over the unique
+  * (word, corpus_count) table: adjacent-pair counting (explode + one
+  * partial-combining groupBy keyed on the pair) and the merge apply (a
+  * codegen'd `aggregate` HOF — greedy left-to-right, exactly the scan
+  * order reference BPE uses). The only driver-side value per round is the
+  * single argmax pair — never the pair table (same scalar-only contract
+  * as ConnectedComponents' convergence flag and PageRank's node count).
+  *
+  * Scale notes: the working set is UNIQUE words x counts, not the token
+  * stream — the corpus-size-dependent work happens once in the word-count
+  * aggregation the caller provides. Ties break (count DESC, left ASC,
+  * right ASC) so the learned vocabulary is bit-reproducible across runs,
+  * partitionings, and engines. Rounds checkpoint to storage so round i
+  * doesn't replay rounds 1..i-1 through lazy lineage.
+  */
+object BpeTrainer {
+
+  /** One learned merge: `left`+`right` -> `merged`, chosen at `step` with
+    * corpus-weighted adjacency count `pairCount`.
+    */
+  final case class Merge(step: Int, left: String, right: String,
+      merged: String, pairCount: Long)
+
+  /** Learn `merges` BPE merges from a (word, cnt) frame. Returns the merge
+    * table in learned order; stops early when no pair occurs twice.
+    */
+  def train(wordCounts: DataFrame, wordCol: String, cntCol: String,
+      merges: Int, checkpointDir: Option[String] = None): Seq[Merge] = {
+    val spark = wordCounts.sparkSession
+    def ckpt(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val p = s"$dir/iter_$round"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => df
+    }
+    var syms = wordCounts.select(
+      col(cntCol).cast("long").as("cnt"),
+      // split("abc", "") -> ["a","b","c"]: the initial character alphabet
+      split(col(wordCol), "").as("syms"))
+    val learned = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val top = adjacentPairs(syms)
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(desc("n"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += Merge(step, a, b, a + b, n)
+        syms = ckpt(syms.select(col("cnt"),
+          applyMerge(col("syms"), a, b).as("syms")), step)
+        step += 1
+      }
+    }
+    learned.result()
+  }
+
+  /** (cnt, a, b) for every adjacent symbol pair of every word. */
+  private def adjacentPairs(syms: DataFrame): DataFrame =
+    syms.filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(
+        expr("transform(sequence(1, size(syms) - 1)," +
+          " i -> struct(syms[i - 1] AS a, syms[i] AS b))")).as("p"))
+      .select(col("cnt"), col("p.a").as("a"), col("p.b").as("b"))
+
+  /** Greedy left-to-right merge of adjacent (a, b) into a+b — the fold
+    * keeps its own output as context, so "aaa" under (a,a) becomes
+    * [aa, a], never [aa, aa] (reference BPE's scan semantics).
+    */
+  private[graft] def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank by fixed-iteration power method — the authority
+  * signal pretraining-data curation uses to rank domains (a page/domain
+  * linked from high-rank places is itself high-rank; CommonCrawl-style
+  * pipelines gate ingestion on exactly this score). Same iterative shape
+  * as [[ConnectedComponents]]: all data movement is equi-joins and
+  * groupBy aggregations keyed on node id, nothing graph-shaped lives on
+  * the driver (only the scalar node count), and every round's ranks are
+  * checkpointed to storage so round i neither replays rounds 1..i-1
+  * (lazy lineage would make the loop O(i²)) nor pins anything in
+  * executor memory.
+  *
+  * Scale notes:
+  *  - the edge frame is joined once per round on `src` and aggregated on
+  *    `dst`; at cluster scale, pre-partitioning edges by `src` (or
+  *    bucketing the edge table) makes the per-round join exchange-free on
+  *    the big side — ranks (one row per node) are the small side.
+  *  - dangling nodes (no out-edges) keep receiving the teleport term but
+  *    their mass is not redistributed — total rank then sums to < 1,
+  *    which is the cheap-and-standard variant when only the ORDER of
+  *    scores matters (curation thresholds), not the exact distribution.
+  *  - fixed iteration count, not a convergence test: curation reruns want
+  *    bit-reproducible scores, and the power method's residual after k
+  *    rounds is bounded by damping^k regardless of graph size.
+  */
+object PageRank {
+
+  /** (node, rank) for every node appearing in `edges` as src or dst.
+    * Rank transfer along an edge is proportional to its weight's share of
+    * the source's total out-weight.
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iters: Int = 8, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    def ckpt(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val p = s"$dir/iter_$round"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => df
+    }
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // scalar only — the one driver-side value an iterative distributed
+    // loop legitimately needs (same contract as ConnectedComponents'
+    // convergence flag)
+    val n = nodes.count()
+    val outw = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    val ew = e.join(outw, "src")
+    val teleport = 1.0 - damping
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (i <- 0 until iters) {
+      val contrib = ew
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("w") / col("ow")).as("in_mass"))
+      ranks = ckpt(nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport / n) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
+            .as("rank")), i)
+    }
+    ranks
+  }
+}

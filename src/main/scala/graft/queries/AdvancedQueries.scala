@@ -505,6 +505,97 @@ object AdvancedQueries {
              |SELECT vocab_rank, term, cnt, cum_cnt,
              |  CAST(cum_cnt * 10000 // total AS BIGINT) AS coverage_x10000
              |FROM r CROSS JOIN tot WHERE vocab_rank <= 1000
-             |ORDER BY vocab_rank""".stripMargin))
+             |ORDER BY vocab_rank""".stripMargin)),
+
+    // T16: BPE vocabulary learning (operators/BpeTrainer) — the tokenizer
+    // TRAINING step, run on the corpus the engine just curated. Each round
+    // is a distributed pair-count aggregate over the unique-word table and
+    // a codegen'd merge fold; only the single argmax pair ever reaches the
+    // driver. Rows-only by design (the merge table is the engine's own
+    // training artifact; no SQL engine expresses the iterative argmax) but
+    // fully deterministic — exact integer counts and a total tie-break
+    // order make the learned table stable across runs, partitionings, and
+    // scale factors' relative ordering; BpeTrainerSpec pins the algorithm
+    // to a hand-computed merge sequence.
+    Q("t16_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        val wc = documents(s, d)
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        graft.operators.BpeTrainer
+          .train(wc, "word", "cnt", merges = 6,
+            checkpointDir = Some(graft.Scratch.dir(s, "t16_bpe")))
+          .toDF()
+          .select(col("step").cast("long").as("step"), col("left"),
+            col("right"), col("merged"), col("pairCount").as("pair_count"))
+          .orderBy("step")
+      },
+      None),
+
+    // G2: weighted PageRank over the supplier-nation -> customer-nation
+    // trade graph (operators/PageRank) — the authority score curation
+    // pipelines compute over the domain link graph to gate ingestion.
+    // Fixed 8 power iterations for bit-reproducible scores; each round is
+    // one equi-join + one partial-combining groupBy, ranks checkpointed to
+    // storage per round (lineage stays O(1)); the edge aggregate is
+    // materialized ONCE to scratch so the loop never replays the 3-way
+    // fact-table join. The oracle unrolls the same 8 iterations as chained
+    // CTEs with explicit ::DOUBLE arithmetic so every IEEE op matches;
+    // scores cross the comparator integer-scaled at 1e6.
+    Q("g2_pagerank",
+      (s, d) => {
+        val edges = lineitem(s, d)
+          .select(col("l_suppkey"), col("l_orderkey"))
+          .join(broadcast(supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        val scratch = graft.Scratch.dir(s, "g2")
+        edges.write.mode("overwrite").parquet(s"$scratch/edges")
+        graft.operators.PageRank
+          .run(s.read.parquet(s"$scratch/edges"), "src", "dst", "w",
+            iters = 8, checkpointDir = Some(s"$scratch/ranks"))
+          .join(broadcast(nation(s, d)), col("node") === col("n_nationkey"))
+          .select(col("node"), col("n_name"),
+            round(col("rank") * lit(1000000.0)).cast("long").as("rank_x1e6"))
+          .orderBy(desc("rank_x1e6"), col("node"))
+      },
+      Some {
+        def prIter(i: Int) =
+          s"""pr$i AS (
+             |  SELECT nd.node,
+             |    (1.0::DOUBLE - 0.85::DOUBLE) / c.n
+             |      + 0.85::DOUBLE * coalesce(sum(p.pr * e.w / e.ow), 0.0::DOUBLE) AS pr
+             |  FROM nodes nd CROSS JOIN cnt c
+             |  LEFT JOIN ew e ON e.dst = nd.node
+             |  LEFT JOIN pr${i - 1} p ON p.node = e.src
+             |  GROUP BY nd.node, c.n
+             |)""".stripMargin
+        s"""WITH ew0 AS (
+           |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+           |    count(*)::DOUBLE AS w
+           |  FROM lineitem l
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  GROUP BY 1, 2
+           |), nodes AS (
+           |  SELECT src AS node FROM ew0 UNION SELECT dst FROM ew0
+           |), cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+           |ow AS (SELECT src, sum(w) AS ow FROM ew0 GROUP BY src),
+           |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM ew0 e JOIN ow o USING (src)),
+           |pr0 AS (SELECT node, 1.0::DOUBLE / c.n AS pr FROM nodes CROSS JOIN cnt c),
+           |${(1 to 8).map(prIter).mkString(",\n")}
+           |SELECT node, n_name, CAST(round(pr * 1000000) AS BIGINT) AS rank_x1e6
+           |FROM pr8 JOIN nation ON node = n_nationkey
+           |ORDER BY rank_x1e6 DESC, node""".stripMargin
+      })
   )
 }

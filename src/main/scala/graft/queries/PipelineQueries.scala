@@ -116,6 +116,39 @@ object PipelineQueries {
        |  FROM sh
        |)""".stripMargin
 
+  /** Deterministic change batch for u1/u2, derived from the base snapshot:
+    * updates (doc_id%7=0, new revision), inserts (doc_id%13=3 re-entering
+    * at id+1e6), tombstone deletes (doc_id%11=5, minus the update overlap —
+    * the three ops are mutually exclusive by construction so MERGE
+    * precedence never matters).
+    */
+  private def changeBatch(base: DataFrame): DataFrame = {
+    val upd = base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"),
+        lit(2L).as("rev"), lit("U").as("op"))
+    val ins = base.filter(col("doc_id") % 13 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"),
+        lit(1L).as("rev"), lit("I").as("op"))
+    val del = base.filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        lit(0L).as("rev"), lit("D").as("op"))
+    upd.unionByName(ins).unionByName(del)
+  }
+
+  /** DuckDB SQL fragment mirroring [[changeBatch]] (shared by u1/u2). */
+  private val sqlChanges =
+    """base AS (SELECT doc_id, text FROM documents),
+      |upd AS (SELECT doc_id, text || ' [rev2]' AS text, 2 AS rev, 'U' AS op
+      |        FROM base WHERE doc_id % 7 = 0),
+      |ins AS (SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text,
+      |          1 AS rev, 'I' AS op
+      |        FROM base WHERE doc_id % 13 = 3),
+      |del AS (SELECT doc_id, NULL AS text, 0 AS rev, 'D' AS op
+      |        FROM base WHERE doc_id % 11 = 5 AND doc_id % 7 <> 0),
+      |changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins
+      |            UNION ALL SELECT * FROM del)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----- deduplication -------------------------------------------------
@@ -803,6 +836,60 @@ object PipelineQueries {
               |FROM train t LEFT JOIN hits h USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // C8: bloom-filter decontamination — c3's 100 TB shape. c3 joins every
+    // train gram against the benchmark gram SET: correct, but the join
+    // shuffles the full gram stream. At web scale the benchmark set is
+    // tiny relative to the corpus, so the production gate is a bloom
+    // sketch built ONCE over benchmark grams and probed map-side — zero
+    // shuffle on the corpus, the sketch rides in the task binary
+    // (operators/Bloom = the same expression pair Spark's own runtime
+    // join filtering injects). Bloom has no false negatives, so it can
+    // only OVER-flag: every c3-contaminated doc stays contaminated here.
+    // The query carries its own evidence in-row (rows-only by design —
+    // the sketch's bit pattern is engine-specific): the exact hit count
+    // alongside the bloom count, their per-doc false-positive gap, and a
+    // superset_ok flag the driver can see violated if the invariant ever
+    // breaks; BloomSpec asserts the no-false-negative law and the FP
+    // ceiling directly.
+    Q("c8_bloom_decontaminate",
+      (s, d) => {
+        val dir = graft.Scratch.dir(s, "c8_shingles")
+        tokenized(s, d)
+          .select(col("doc_id"),
+            array_distinct(shinglesNative(col("text"), 3)).as("sh"))
+          .write.mode("overwrite").parquet(dir)
+        val sh = s.read.parquet(dir)
+        val bench = sh.filter(col("doc_id") % 20 === 0)
+          .select(explode(col("sh")).as("g")).distinct()
+        // ~1% FP at 64k expected items; sized by formula, not by counting
+        // the set first (one pass, like production)
+        val bloom = graft.operators.Bloom.build(bench, col("g"),
+          expectedItems = 65536L,
+          numBits = graft.operators.Bloom.optimalNumBits(65536L, 0.01))
+        val grams = sh.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val bloomHits = grams
+          .filter(graft.operators.Bloom.mightContain(bloom, col("g")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
+        val exactHits = grams
+          .join(bench, Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+        sh.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+          .join(bloomHits, Seq("doc_id"), "left")
+          .join(exactHits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sh"),
+            coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+          .select(col("doc_id"), col("n_sh"), col("n_bloom"), col("n_exact"),
+            (col("n_bloom") - col("n_exact")).as("fp_grams"),
+            (col("n_bloom") >= col("n_exact")).cast("int").as("superset_ok"),
+            (round(col("n_bloom") * 1000.0 / col("n_sh")).cast("long") >= 200)
+              .cast("int").as("contaminated"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // C4: source-weighted mixture sampling — every LLM corpus is a weighted
     // mix of sources (web crawl downsampled, books upweighted, ...). The
     // keep rule is a deterministic hash threshold, NOT a seeded RNG: doc is
@@ -1280,6 +1367,86 @@ object PipelineQueries {
              |  md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5,
              |  CAST(length(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT)
              |    AS frame_len
-             |FROM idx ORDER BY media_id, frame_idx""".stripMargin))
+             |FROM idx ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // U1: MERGE-style snapshot upsert — the corpus-maintenance primitive
+    // every living dataset needs: apply a change batch (updates, inserts,
+    // tombstone deletes) to the previous snapshot. The scalable shape is
+    // anti-join(base, change keys) ∪ surviving changes — one shuffle on the
+    // key; at 100 TB the same plan runs as copy-on-write over only the
+    // PARTITIONS the change keys touch (hash/range-partitioned base +
+    // partition-pruned rewrite), which is exactly what table formats like
+    // Iceberg/Delta execute underneath. The change batch here is derived
+    // deterministically from the base so the oracle sees the same inputs;
+    // text crosses the comparator as md5 digests (m2's convention).
+    Q("u1_upsert",
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val changes = changeBatch(base)
+        val merged = base
+          .join(changes.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"), lit(1L).as("rev"))
+          .unionByName(changes.filter(col("op") =!= "D")
+            .select(col("doc_id"), col("text"), col("rev")))
+        merged.select(col("doc_id"), col("rev"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlChanges,
+              |merged AS (
+              |  SELECT b.doc_id, b.text, 1 AS rev FROM base b
+              |  WHERE b.doc_id NOT IN (SELECT doc_id FROM changes)
+              |  UNION ALL
+              |  SELECT doc_id, text, rev FROM changes WHERE op <> 'D'
+              |)
+              |SELECT doc_id, CAST(rev AS BIGINT) AS rev, md5(text) AS text_md5
+              |FROM merged ORDER BY doc_id""".stripMargin)),
+
+    // U2: snapshot diff — added/removed/changed rows between two corpus
+    // snapshots by content digest, the audit/incremental-processing
+    // counterpart of u1 (downstream consumers reprocess ONLY this delta,
+    // not the full snapshot). One full-outer join on the key; digests are
+    // computed map-side so the shuffle carries (id, md5), never document
+    // bodies — at 100 TB that is the difference between a join on ~32
+    // bytes/row and one on whole documents.
+    Q("u2_snapshot_diff",
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val changes = changeBatch(base)
+        val merged = base
+          .join(changes.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"))
+          .unionByName(changes.filter(col("op") =!= "D")
+            .select(col("doc_id"), col("text")))
+        val o = base.select(col("doc_id"), md5(col("text")).as("old_md5"))
+        val n = merged.select(col("doc_id"), md5(col("text")).as("new_md5"))
+        o.join(n, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("old_md5").isNull, lit("added"))
+              .when(col("new_md5").isNull, lit("removed"))
+              .when(col("old_md5") =!= col("new_md5"), lit("changed"))
+              .otherwise(lit("same")).as("status"))
+          .filter(col("status") =!= "same")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlChanges,
+              |merged AS (
+              |  SELECT b.doc_id, b.text FROM base b
+              |  WHERE b.doc_id NOT IN (SELECT doc_id FROM changes)
+              |  UNION ALL
+              |  SELECT doc_id, text FROM changes WHERE op <> 'D'
+              |),
+              |o AS (SELECT doc_id, md5(text) AS old_md5 FROM base),
+              |n AS (SELECT doc_id, md5(text) AS new_md5 FROM merged),
+              |j AS (
+              |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              |    CASE WHEN o.doc_id IS NULL THEN 'added'
+              |         WHEN n.doc_id IS NULL THEN 'removed'
+              |         WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+              |         ELSE 'same' END AS status
+              |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+              |)
+              |SELECT doc_id, status FROM j WHERE status <> 'same'
+              |ORDER BY doc_id""".stripMargin))
   )
+
 }

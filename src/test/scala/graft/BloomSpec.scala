@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bloom
+
+/** The two laws a bloom membership gate rests on: NO false negatives
+  * (every inserted member probes true — this is what makes bloom
+  * decontamination safe: it can only over-flag), and a false-positive
+  * rate near the sizing target (what makes it cheap: the over-flagging
+  * is bounded).
+  */
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val members = (0 until 1000).map(i => s"member_$i")
+  private val strangers = (0 until 20000).map(i => s"stranger_$i")
+
+  private lazy val bloom = Bloom.build(
+    members.toDF("v"), col("v"),
+    expectedItems = 1000L, numBits = Bloom.optimalNumBits(1000L, 0.01))
+
+  test("no false negatives: every inserted member probes true") {
+    val hits = members.toDF("v")
+      .filter(Bloom.mightContain(bloom, col("v"))).count()
+    assert(hits === members.size)
+  }
+
+  test("false-positive rate stays near the 1% sizing target") {
+    val fp = strangers.toDF("v")
+      .filter(Bloom.mightContain(bloom, col("v"))).count()
+    val rate = fp.toDouble / strangers.size
+    assert(rate < 0.03, s"FP rate $rate (expected ~0.01 at this sizing)")
+  }
+
+  test("probe is distributed and deterministic across partitionings") {
+    val df = strangers.toDF("v")
+    val one = df.coalesce(1)
+      .filter(Bloom.mightContain(bloom, col("v"))).collect().map(_.getString(0)).sorted
+    val many = df.repartition(7)
+      .filter(Bloom.mightContain(bloom, col("v"))).collect().map(_.getString(0)).sorted
+    assert(one.toSeq === many.toSeq)
+  }
+
+  test("c8 invariant: bloom hit count >= exact hit count on real docs") {
+    val q = SparkEntry.queries("c8_bloom_decontaminate")(spark, sfDir)
+    val bad = q.filter(col("superset_ok") === 0).count()
+    assert(bad === 0L)
+    // and the gap is small: total FP grams under 2% of probed grams
+    val agg = q.agg(sum("fp_grams").as("fp"), sum("n_sh").as("n")).head()
+    assert(agg.getLong(0) <= 0.02 * agg.getLong(1),
+      s"fp=${agg.getLong(0)} of n=${agg.getLong(1)} grams")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BpeTrainer
+
+/** BPE learning against the hand-computed merge sequence of a planted
+  * corpus (the Sennrich-paper-style fixture, sans end-of-word marker),
+  * plus the greedy-scan law of the merge-apply fold.
+  */
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // low x5, lower x2, newest x6, widest x3. Hand-computed pair counts:
+  //   step 1: es=9 st=9 tie -> (e,s) n=9
+  //   step 2: (es,t) n=9
+  //   step 3: lo=7 ow=7 tie -> (l,o) n=7
+  //   step 4: (lo,w) n=7
+  private val fixture = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("learns the hand-computed merge sequence with exact counts") {
+    val got = BpeTrainer.train(fixture.toDF("word", "cnt"), "word", "cnt",
+      merges = 4)
+    val expect = Seq(
+      ("e", "s", "es", 9L), ("es", "t", "est", 9L),
+      ("l", "o", "lo", 7L), ("lo", "w", "low", 7L))
+    assert(got.map(m => (m.left, m.right, m.merged, m.pairCount)) === expect)
+    assert(got.map(_.step) === Seq(1, 2, 3, 4))
+  }
+
+  test("stops early when no pair repeats") {
+    // every word is a single char: no adjacent pairs at all
+    val got = BpeTrainer.train(
+      Seq(("a", 5L), ("b", 3L)).toDF("word", "cnt"), "word", "cnt", merges = 3)
+    assert(got.isEmpty)
+  }
+
+  test("merge apply is greedy left-to-right: aaa -> [aa, a], aaaa -> [aa, aa]") {
+    val df = Seq("aaa", "aaaa").toDF("w")
+      .select(col("w"), BpeTrainer.applyMerge(split(col("w"), ""), "a", "a").as("m"))
+    val got = df.orderBy("w").collect().map(_.getSeq[String](1).toList).toList
+    assert(got === List(List("aa", "a"), List("aa", "aa")))
+  }
+
+  test("merged symbols participate in later merges") {
+    // (a,b)->ab then (ab,c)->abc
+    val words = Seq(("abc", 4L), ("ab", 3L)).toDF("word", "cnt")
+    val got = BpeTrainer.train(words, "word", "cnt", merges = 2)
+    assert(got.map(m => (m.left, m.right, m.pairCount)) ===
+      Seq(("a", "b", 7L), ("ab", "c", 4L)))
+  }
+
+  test("checkpointed training learns the same merges") {
+    val dir = Scratch.dir(spark, "bpe_spec")
+    val plain = BpeTrainer.train(fixture.toDF("word", "cnt"), "word", "cnt", 4)
+    val ck = BpeTrainer.train(fixture.toDF("word", "cnt"), "word", "cnt", 4,
+      checkpointDir = Some(dir))
+    assert(plain === ck)
+  }
+}

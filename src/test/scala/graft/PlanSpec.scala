@@ -165,4 +165,39 @@ class PlanSpec extends SparkSpec {
     val t13 = plan("t13_chunk")
     assert(!t13.contains("Join"), "t13 grew an unexpected join")
   }
+
+  test("corpus maintenance/ranking queries keep their scale shapes") {
+    // c8: the bloom probe is a map-side native predicate (the sketch rides
+    // in the task binary) — it must appear as might_contain in the plan,
+    // and nothing may degrade to a cartesian
+    val c8 = plan("c8_bloom_decontaminate")
+    assert(c8.contains("might_contain"), "c8 lost the native bloom probe")
+    assert(!c8.contains("CartesianProduct"), "c8 degraded to a cartesian")
+    // u1: the MERGE is one anti-join on the key — no cartesian, no
+    // broadcast of the corpus-derived change batch assumed
+    val u1 = plan("u1_upsert")
+    assert(u1.contains("LeftAnti"), "u1 lost its anti-join MERGE shape")
+    assert(!u1.contains("CartesianProduct"))
+    // u2: digests must be computed BELOW the full-outer join so the
+    // shuffle carries (id, md5) and never document bodies
+    // (logical plan, not executedPlan: AQE's wrapper node hides the join
+    // from a physical collect)
+    val u2 = SparkEntry.queries("u2_snapshot_diff")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val outerJoins = u2.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j }
+    assert(outerJoins.nonEmpty, "u2 lost its full-outer diff")
+    outerJoins.foreach { j =>
+      val carried = (j.left.output ++ j.right.output).map(_.name)
+      assert(!carried.contains("text"),
+        s"u2 full-outer join carries raw text: ${carried.mkString(",")}")
+    }
+    // g2: the final assembly joins the 25-row nation dim by broadcast;
+    // the iterative ranks come off the checkpoint scan, so no sort-merge
+    // anywhere
+    val g2 = plan("g2_pagerank")
+    assert(g2.contains("BroadcastHashJoin"), "g2 nation join not broadcast")
+    assert(!g2.contains("SortMergeJoin"))
+  }
 }
