@@ -75,6 +75,19 @@ object BpeTrainer {
           " i -> struct(syms[i - 1] AS a, syms[i] AS b))")).as("p"))
       .select(col("cnt"), col("p.a").as("a"), col("p.b").as("b"))
 
+  /** Tokenize a text column with a learned merge table: split to
+    * characters, then replay every merge in learned order — BPE encoding
+    * is BY DEFINITION the ordered replay of training (Sennrich §3.2), so
+    * the apply side is the same codegen'd fold as training, chained K
+    * deep in one projection. Map-side only: no shuffle, no state, safe to
+    * run inside any later batch or streaming job; the merge table is a
+    * driver-side artifact exactly like a broadcast dim.
+    */
+  def encode(text: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.step).foldLeft(split(text, "")) {
+      (syms, m) => applyMerge(syms, m.left, m.right)
+    }
+
   /** Greedy left-to-right merge of adjacent (a, b) into a+b — the fold
     * keeps its own output as context, so "aaa" under (a,a) becomes
     * [aa, a], never [aa, aa] (reference BPE's scan semantics).

@@ -93,7 +93,18 @@ object GraftExtensions {
     ("graft_nfc", "graft_nfc(str) - Unicode NFC canonical normalization",
       args => { arity("graft_nfc", 1, args); NormalizeNFC(args.head) }),
     ("graft_dot", "graft_dot(a, b) - dot product of two double arrays",
-      args => { arity("graft_dot", 2, args); DotProduct(args.head, args(1)) }))
+      args => { arity("graft_dot", 2, args); DotProduct(args.head, args(1)) }),
+    // the c8 bloom probe from SQL text: the sketch arrives as a binary
+    // literal (built by operators/Bloom.build), the value is xxhash64'd
+    // exactly as the build side hashed it — one expression pair, one
+    // hashing convention
+    ("graft_bloom_might_contain",
+      "graft_bloom_might_contain(sketch, value) - bloom membership probe " +
+        "(sketch from graft Bloom.build; no false negatives)",
+      args => { arity("graft_bloom_might_contain", 2, args)
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args.head,
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1)))) }))
 
   /** Register every graft SQL function on a live session — for sessions
     * that were built without `spark.sql.extensions` (attached notebooks,

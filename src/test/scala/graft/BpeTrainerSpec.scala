@@ -50,6 +50,19 @@ class BpeTrainerSpec extends SparkSpec {
       Seq(("a", "b", 7L), ("ab", "c", 4L)))
   }
 
+  test("encode replays learned merges: 'lowest' -> [low, est]") {
+    val merges = BpeTrainer.train(fixture.toDF("word", "cnt"), "word", "cnt", 4)
+    val got = Seq("lowest", "low", "newest", "xyz").toDF("w")
+      .select(col("w"), BpeTrainer.encode(col("w"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // "lowest" was never a training word, but its pieces were
+    assert(got("lowest") === List("low", "est"))
+    assert(got("low") === List("low"))
+    assert(got("newest") === List("n", "e", "w", "est"))
+    // unseen characters stay single symbols
+    assert(got("xyz") === List("x", "y", "z"))
+  }
+
   test("checkpointed training learns the same merges") {
     val dir = Scratch.dir(spark, "bpe_spec")
     val plain = BpeTrainer.train(fixture.toDF("word", "cnt"), "word", "cnt", 4)

@@ -76,6 +76,38 @@ class DocIngestSpec extends SparkSpec {
       "relaxed re-crawl could not readmit a previously gated doc")
   }
 
+  test("bloom decontamination gate composes onto the stream (c8's shape, " +
+      "zero shuffle inside the micro-batch)") {
+    val root = Files.createTempDirectory("doc_ingest_bloom").toString
+    val (src, corpus, ledger, ckpt) =
+      (s"$root/src", s"$root/corpus", s"$root/ledger", s"$root/ckpt")
+    val s = spark
+    import s.implicits._
+    // the benchmark set whose content must never enter the corpus
+    val benchmark = Seq("the quick brown fox jumps over the lazy dog")
+    val grams = benchmark.flatMap(_.split(" ").sliding(3).map(_.mkString(" ")))
+    val bloom = operators.Bloom.build(grams.toDF("g"), col("g"),
+      expectedItems = 1000L, numBits = operators.Bloom.optimalNumBits(1000L, 0.01))
+    // map-side gate: drop a doc when most of its grams hit the sketch —
+    // a pure projection+filter, so the stream stays shuffle-free
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        val gs = graft.functions.TextFunctions.shinglesNative(col("text"), 3)
+        val hits = filter(gs,
+          g => operators.Bloom.mightContain(bloom, g))
+        df.filter(size(gs) === 0 || size(hits) * 2 < size(gs))
+      }
+    Seq((1L, "the quick brown fox jumps over the lazy dog", "srcA"),
+        (2L, "a perfectly original document about graphs", "srcA"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(src)
+    streaming.DocIngest.ingestOnce(spark, src, corpus, ledger, ckpt, gate)
+    val ids = spark.read.parquet(corpus).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids == Seq(2L),
+      s"benchmark-contaminated doc not gated (corpus has $ids)")
+  }
+
   test("ingest before any file has landed is a no-op, not a crash") {
     val root = Files.createTempDirectory("doc_ingest_empty").toString
     streaming.DocIngest.ingestOnce(spark, s"$root/never_written",

@@ -100,6 +100,32 @@ class GraftExtensionsSpec extends SparkSpec {
       s"SQL surface diverged from column API:\n  sql: $viaSql\n  col: $viaCols")
   }
 
+  test("graft_bloom_might_contain: SQL probe (scalar-subquery sketch) " +
+      "matches the column-API probe") {
+    GraftExtensions.registerAll(spark)
+    val s = spark
+    import s.implicits._
+    import graft.operators.Bloom
+    val bloom = Bloom.build(Seq("alpha", "beta", "gamma").toDF("v"), col("v"),
+      expectedItems = 100L, numBits = Bloom.optimalNumBits(100L, 0.01))
+    Seq("alpha", "delta", "gamma", "zeta").toDF("v")
+      .createOrReplaceTempView("bloom_probe_t")
+    Seq(bloom).toDF("bf").createOrReplaceTempView("bloom_sketch_t")
+    val viaSql = spark.sql(
+      """SELECT v, graft_bloom_might_contain(
+        |  (SELECT bf FROM bloom_sketch_t), v) AS hit
+        |FROM bloom_probe_t ORDER BY v""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    val viaCol = spark.table("bloom_probe_t")
+      .select(col("v"), Bloom.mightContain(bloom, col("v")).as("hit"))
+      .orderBy("v")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(viaSql === viaCol,
+      s"SQL bloom probe diverged:\n  sql: $viaSql\n  col: $viaCol")
+    val hits = viaSql.toMap
+    assert(hits("alpha") && hits("gamma"), "members must always probe true")
+  }
+
   test("DESCRIBE FUNCTION shows name and usage (ExpressionInfo arg order)") {
     // regression pin: the 3-arg ExpressionInfo ctor is (className, db,
     // name) — using it put the usage text where the name belongs and
