@@ -33,7 +33,18 @@ object Bloom {
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(GraftBridge.expression(c))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    df.select(GraftBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+    val bytes = df.select(GraftBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bytes != null) bytes
+    else {
+      // zero input rows: Spark's aggregate yields null, but an EMPTY set's
+      // sketch must probe false (not null) for every value — "empty
+      // benchmark, nothing contaminated" has to hold without the caller
+      // special-casing it
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter.create(1).writeTo(out)
+      out.toByteArray
+    }
   }
 
   /** Bits for a target false-positive rate (spark-sketch's own formula). */

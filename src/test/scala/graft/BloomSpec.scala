@@ -41,6 +41,15 @@ class BloomSpec extends SparkSpec {
     assert(one.toSeq === many.toSeq)
   }
 
+  test("empty member set: every probe is false, never null") {
+    val empty = Bloom.build(members.toDF("v").filter(lit(false)), col("v"),
+      expectedItems = 10L, numBits = 64L)
+    val probed = members.take(50).toDF("v")
+      .select(Bloom.mightContain(empty, col("v")).as("hit")).collect()
+    assert(probed.forall(r => !r.isNullAt(0) && !r.getBoolean(0)),
+      "empty-set sketch must answer definite false")
+  }
+
   test("c8 invariant: bloom hit count >= exact hit count on real docs") {
     val q = SparkEntry.queries("c8_bloom_decontaminate")(spark, sfDir)
     val bad = q.filter(col("superset_ok") === 0).count()
