@@ -7,12 +7,16 @@ import org.apache.spark.sql.SparkSession
   *
   * The location is a session conf — `spark.graft.scratchDir` — so the query
   * modules carry no absolute paths and a deployment points it at job-local
-  * or HDFS/object-store scratch space. The default preserves this repo's
-  * historical layout (everything under target/, which the build cleans).
+  * or HDFS/object-store scratch space. The default is the fastest local
+  * ephemeral storage (tmpfs): scratch content is per-run intermediates by
+  * contract, and this host's disk serves synced small writes at single-digit
+  * MB/s (see BENCH_NOTES.md) — measuring the engine, not a degrading
+  * virtual device, requires keeping ephemera off it. On a cluster, set the
+  * conf to executor-local NVMe or the job's object-store staging prefix.
   */
 object Scratch {
   val ConfKey = "spark.graft.scratchDir"
-  val Default = "/root/repo/target/qtmp"
+  val Default = "/dev/shm/graft_qtmp"
 
   def dir(spark: SparkSession, name: String): String =
     s"${spark.conf.get(ConfKey, Default)}/$name"

@@ -10,8 +10,8 @@ class CompactionSpec extends SparkSpec {
     val base = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"),
         col("l_extendedprice"))
-    val src = "/root/repo/target/qtmp/compact_src"
-    val dest = "/root/repo/target/qtmp/compact_dest"
+    val src = Scratch.dir(spark, "compact_src")
+    val dest = Scratch.dir(spark, "compact_dest")
     // simulate a streaming sink's droppings: 40 tiny files, ranges interleaved
     base.repartition(40).write.mode("overwrite").parquet(src)
     val before = Compaction.dataFiles(spark, src)

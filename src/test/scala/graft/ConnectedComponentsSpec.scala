@@ -30,7 +30,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
-    val dir = "/root/repo/target/qtmp/cc_spec"
+    val dir = Scratch.dir(spark, "cc_spec")
     val plain = ConnectedComponents.propagateMinLabel(edges, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ckpt = ConnectedComponents.propagateMinLabel(edges, "a", "b",

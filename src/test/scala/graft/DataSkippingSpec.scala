@@ -31,7 +31,7 @@ class DataSkippingSpec extends SparkSpec {
       .select(col("l_orderkey"), col("l_shipdate").cast("date").as("l_shipdate"),
         col("l_extendedprice"))
     val total = base.count()
-    val dir = "/root/repo/target/qtmp/skiptest"
+    val dir = Scratch.dir(spark, "skiptest")
     // small row groups so one file holds many (default 128 MB = 1 group here)
     base.orderBy("l_shipdate").coalesce(1)
       .write.mode("overwrite").option("parquet.block.size", "16384")

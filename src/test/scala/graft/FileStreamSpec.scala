@@ -18,7 +18,7 @@ class FileStreamSpec extends SparkSpec {
       "window exactly once") {
     val s = spark
     import s.implicits._
-    val root = "/root/repo/target/qtmp/filestream"
+    val root = Scratch.dir(spark, "filestream")
     val src = s"$root/src"
     val dest = s"$root/dest"
     val ckpt = s"$root/ckpt"

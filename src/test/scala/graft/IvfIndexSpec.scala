@@ -45,7 +45,7 @@ class IvfIndexSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   test("save/load round-trips the index and searches identically " +
       "(cell-partitioned layout prunes probes at the file level)") {
     val model = IvfIndex.build(emb, nCells = 8)
-    val dir = "/root/repo/target/qtmp/ivf_index"
+    val dir = Scratch.dir(spark, "ivf_index")
     IvfIndex.save(model, dir)
     val loaded = IvfIndex.load(spark, dir)
     assert(loaded.centroids.count() == 8)

@@ -37,7 +37,7 @@ class ZOrderSpec extends SparkSpec {
     val base = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"),
         col("l_partkey").cast("long").as("pk"))
-    val dir = "/root/repo/target/qtmp/zordertest"
+    val dir = Scratch.dir(spark, "zordertest")
     // small row groups so the single output file holds many
     base.orderBy(ZOrder.zkey(col("sk"), col("pk"), 16)).coalesce(1)
       .write.mode("overwrite").option("parquet.block.size", "16384")
