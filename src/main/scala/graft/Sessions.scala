@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   *    every session, so SQL-text users get the native-expression rewrites.
   *  - UTC session timezone: parquet timestamp comparisons (and the DuckDB
   *    oracle) are timezone-sensitive.
+  *  - heartbeat/network timeouts are raised well above the defaults (10 s /
+  *    120 s): on a CPU-steal-throttled host the default heartbeat starves
+  *    and the driver kills the executor mid-suite (round 7's bench died
+  *    exactly this way — "unable to send heartbeats to driver more than 60
+  *    times"). A starved run must degrade to SLOW, never to DEAD; the same
+  *    settings are standard practice on busy multi-tenant clusters.
   */
 object Sessions {
 
@@ -31,8 +37,16 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Scratch opt-in: tmpfs only when this host's /dev/shm has headroom
+    // (the disk on the bench VM syncs small writes at ~10 MB/s; a stock
+    // container's 64 MB /dev/shm must fall through to the disk default).
+    // An explicit user conf always wins.
+    if (s.conf.getOption(Scratch.ConfKey).isEmpty && Scratch.tmpfsUsable)
+      s.conf.set(Scratch.ConfKey, Scratch.TmpfsCandidate)
     s
   }
 }

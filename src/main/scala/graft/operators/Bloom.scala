@@ -27,9 +27,27 @@ object Bloom {
 
   /** Aggregate `c` (hashed to 64-bit) from every row of `df` into one
     * bloom sketch sized `numBits`; returns the serialized sketch.
+    *
+    * BloomFilterAggregate silently CLAMPS its arguments to the session's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `.maxNumBits`
+    * (defaults 4M items / 64M bits ≈ 8 MB): a caller who computed numBits
+    * via [[optimalNumBits]] for a larger set would get a sketch with a
+    * silently worse FP rate than requested. Refuse instead — the fix is a
+    * one-line session conf raise, and an explicit error beats a quietly
+    * contaminated training set.
     */
   def build(df: DataFrame, c: Column, expectedItems: Long, numBits: Long)
       : Array[Byte] = {
+    val conf = df.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"requested sketch ($expectedItems items / $numBits bits) exceeds the " +
+        s"session cap ($maxItems items / $maxBits bits) and WOULD BE SILENTLY " +
+        "CLAMPED to a worse FP rate; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/.maxNumBits first")
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(GraftBridge.expression(c))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()

@@ -75,18 +75,60 @@ object BpeTrainer {
           " i -> struct(syms[i - 1] AS a, syms[i] AS b))")).as("p"))
       .select(col("cnt"), col("p.a").as("a"), col("p.b").as("b"))
 
+  /** Merge chains longer than this leave the fused-Catalyst encode: each
+    * learned merge nests one more `aggregate` HOF into a single projection,
+    * which is fine at spec-sized K but blows up analysis depth and the
+    * JVM's 64KB-per-method codegen ceiling long before a realistic 10k+
+    * vocabulary. Past the bound, [[encode]] switches to the JVM-loop form.
+    */
+  val MaxFusedMerges = 32
+
   /** Tokenize a text column with a learned merge table: split to
     * characters, then replay every merge in learned order — BPE encoding
-    * is BY DEFINITION the ordered replay of training (Sennrich §3.2), so
-    * the apply side is the same codegen'd fold as training, chained K
-    * deep in one projection. Map-side only: no shuffle, no state, safe to
-    * run inside any later batch or streaming job; the merge table is a
-    * driver-side artifact exactly like a broadcast dim.
+    * is BY DEFINITION the ordered replay of training (Sennrich §3.2). Up
+    * to [[MaxFusedMerges]] the apply side is the same codegen'd fold as
+    * training, chained K deep in one projection; above it, the same replay
+    * runs as one JVM loop over the merge table ([[encodeLooped]]) — same
+    * output, bit for bit (BpeTrainerSpec pins parity). Map-side only
+    * either way: no shuffle, no state, safe to run inside any later batch
+    * or streaming job; the merge table is a driver-side artifact exactly
+    * like a broadcast dim.
     */
   def encode(text: Column, merges: Seq[Merge]): Column =
-    merges.sortBy(_.step).foldLeft(split(text, "")) {
-      (syms, m) => applyMerge(syms, m.left, m.right)
+    if (merges.size <= MaxFusedMerges)
+      merges.sortBy(_.step).foldLeft(split(text, "")) {
+        (syms, m) => applyMerge(syms, m.left, m.right)
+      }
+    else encodeLooped(text, merges)
+
+  /** Vocabulary-scale encode: one deterministic JVM loop over the K-row
+    * merge table instead of K nested Catalyst HOFs. The character split
+    * stays in Catalyst (identical split semantics by construction); only
+    * the greedy replay runs in the closure, so the cost of leaving
+    * whole-stage codegen is paid exactly where the fused form stops
+    * compiling at all. The merge table ships in the task binary like any
+    * broadcast dim (K=50k strings ≈ a few MB).
+    */
+  def encodeLooped(text: Column, merges: Seq[Merge]): Column = {
+    val table: Seq[(String, String, String)] =
+      merges.sortBy(_.step).map(m => (m.left, m.right, m.merged))
+    val replay = udf { (chars: Seq[String]) =>
+      if (chars == null) null
+      else {
+        var syms = chars
+        table.foreach { case (a, b, ab) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = ab
+            else out += x
+          }
+          syms = out.toSeq
+        }
+        syms
+      }
     }
+    replay(split(text, ""))
+  }
 
   /** Greedy left-to-right merge of adjacent (a, b) into a+b — the fold
     * keeps its own output as context, so "aaa" under (a,a) becomes

@@ -118,16 +118,22 @@ object PipelineQueries {
 
   /** Deterministic change batch for u1/u2, derived from the base snapshot:
     * updates (doc_id%7=0, new revision), inserts (doc_id%13=3 re-entering
-    * at id+1e6), tombstone deletes (doc_id%11=5, minus the update overlap —
-    * the three ops are mutually exclusive by construction so MERGE
-    * precedence never matters).
+    * above the current key space), tombstone deletes (doc_id%11=5, minus
+    * the update overlap — the three ops are mutually exclusive by
+    * construction so MERGE precedence never matters). Insert ids offset by
+    * max(doc_id)+1 — a 1-row broadcast, not a fixed constant, so they can
+    * never collide with existing base/update keys at any corpus size (a
+    * fixed 1e6 offset breaks the exclusivity invariant the moment base ids
+    * reach 1e6).
     */
   private def changeBatch(base: DataFrame): DataFrame = {
+    val off = base.agg((max(col("doc_id")) + 1L).as("ins_off"))
     val upd = base.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"),
         lit(2L).as("rev"), lit("U").as("op"))
     val ins = base.filter(col("doc_id") % 13 === 3)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("ins_off")).as("doc_id"),
         concat(lit("new "), col("text")).as("text"),
         lit(1L).as("rev"), lit("I").as("op"))
     val del = base.filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 0)
@@ -141,8 +147,8 @@ object PipelineQueries {
     """base AS (SELECT doc_id, text FROM documents),
       |upd AS (SELECT doc_id, text || ' [rev2]' AS text, 2 AS rev, 'U' AS op
       |        FROM base WHERE doc_id % 7 = 0),
-      |ins AS (SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text,
-      |          1 AS rev, 'I' AS op
+      |ins AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM base) AS doc_id,
+      |          'new ' || text AS text, 1 AS rev, 'I' AS op
       |        FROM base WHERE doc_id % 13 = 3),
       |del AS (SELECT doc_id, NULL AS text, 0 AS rev, 'D' AS op
       |        FROM base WHERE doc_id % 11 = 5 AND doc_id % 7 <> 0),
@@ -884,8 +890,12 @@ object PipelineQueries {
           .select(col("doc_id"), col("n_sh"), col("n_bloom"), col("n_exact"),
             (col("n_bloom") - col("n_exact")).as("fp_grams"),
             (col("n_bloom") >= col("n_exact")).cast("int").as("superset_ok"),
-            (round(col("n_bloom") * 1000.0 / col("n_sh")).cast("long") >= 200)
-              .cast("int").as("contaminated"))
+            // n_sh = 0 (can't arise behind tokenized's >=3-token guard, but
+            // the flag must be total): an empty shingle set overlaps nothing
+            // — contaminated is 0, never NULL-from-division
+            when(col("n_sh") > 0,
+              (round(col("n_bloom") * 1000.0 / col("n_sh")).cast("long") >= 200)
+                .cast("int")).otherwise(0).as("contaminated"))
           .orderBy("doc_id")
       },
       None),

@@ -50,6 +50,30 @@ class BloomSpec extends SparkSpec {
       "empty-set sketch must answer definite false")
   }
 
+  test("build refuses sizes the session would silently clamp") {
+    val maxBits = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val e = intercept[IllegalArgumentException] {
+      Bloom.build(members.toDF("v"), col("v"),
+        expectedItems = 1000L, numBits = maxBits + 1)
+    }
+    assert(e.getMessage.contains("CLAMPED"))
+  }
+
+  test("c8 observed FP rate stays within 2x the 1% sizing target at sf0.01") {
+    // VERDICT r7 #6: the sketch-sizing formula is regression-guarded by the
+    // in-row evidence c8 already computes. FP rate = false hits / probed
+    // NON-member grams (n_sh - n_exact is the population that CAN false-
+    // positive); the configured target is 1%, the guard allows 2x.
+    val q = SparkEntry.queries("c8_bloom_decontaminate")(spark, "/root/testdata/sf0.01")
+    val agg = q.agg(sum("fp_grams").as("fp"),
+      sum(col("n_sh") - col("n_exact")).as("nonmember")).head()
+    val (fp, nonmember) = (agg.getLong(0), agg.getLong(1))
+    assert(nonmember > 10000L, s"fixture too small to measure FP rate: $nonmember")
+    val rate = fp.toDouble / nonmember
+    assert(rate <= 0.02, s"observed FP rate $rate exceeds 2x the 1% target")
+  }
+
   test("c8 invariant: bloom hit count >= exact hit count on real docs") {
     val q = SparkEntry.queries("c8_bloom_decontaminate")(spark, sfDir)
     val bad = q.filter(col("superset_ok") === 0).count()

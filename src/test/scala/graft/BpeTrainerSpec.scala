@@ -63,6 +63,33 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got("xyz") === List("x", "y", "z"))
   }
 
+  test("encodeLooped == fused encode on the learned table (incl null/empty)") {
+    val merges = BpeTrainer.train(fixture.toDF("word", "cnt"), "word", "cnt", 4)
+    val sample = Seq(Some("lowest"), Some("low"), Some("newest"), Some("xyz"),
+      Some(""), None).toDF("w")
+    val both = sample.select(
+      BpeTrainer.encode(col("w"), merges).as("fused"),
+      BpeTrainer.encodeLooped(col("w"), merges).as("looped"))
+    assert(both.filter(not(col("fused") <=> col("looped"))).count() === 0L)
+  }
+
+  test("encode dispatches past MaxFusedMerges and still replays in order") {
+    // 40 chained merges over a 41-char alphabet: a+b -> ab, ab+c -> abc, ...
+    // correct ordered replay collapses the whole alphabet to ONE symbol.
+    val alphabet = (('a' to 'z') ++ ('A' to 'O')).map(_.toString)
+    val chained = alphabet.tail.scanLeft(("", alphabet.head)) {
+      case ((_, acc), ch) => (ch, acc + ch)
+    }.tail.zipWithIndex.map { case ((ch, merged), i) =>
+      BpeTrainer.Merge(i + 1, merged.dropRight(ch.length), ch, merged, 1L)
+    }
+    assert(chained.size > BpeTrainer.MaxFusedMerges)
+    val got = Seq(alphabet.mkString).toDF("w")
+      .select(BpeTrainer.encode(col("w"), chained).as("toks"))
+      .head().getSeq[String](0).toList
+    // trailing "" from Catalyst's split(w, "") stays an unmerged symbol
+    assert(got.filter(_.nonEmpty) === List(alphabet.mkString))
+  }
+
   test("checkpointed training learns the same merges") {
     val dir = Scratch.dir(spark, "bpe_spec")
     val plain = BpeTrainer.train(fixture.toDF("word", "cnt"), "word", "cnt", 4)

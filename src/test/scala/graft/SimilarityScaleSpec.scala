@@ -68,6 +68,44 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("IVF at production shape (sf0.1, 64 cells): recall floor at nprobe=4, " +
+      "monotone in nprobe, candidate join never cartesian") {
+    // The registered e4 runs 8 cells on the tiny fixture; this is the SAME
+    // code at the shape a real corpus uses — cells ~ sqrt(N) (64 for the
+    // 5k-vector sf0.1 table) with a multi-cell probe. What must hold:
+    // recall far above the probed-cell fraction (4/64 = 6%), recall
+    // monotone in nprobe (more probes = superset of candidates), and the
+    // plan still a broadcast centroid probe + cell_id equi-join.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    try {
+      val model = graft.similarity.IvfIndex.build(emb, nCells = 64)
+      val queries = emb.filter(col("vec_id") % 200 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val truth = graft.similarity.ExactCosine.topK(emb, queries, 10)
+        .select("q_id", "cand_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def meanRecall(nprobe: Int): Double = {
+        val got = graft.similarity.IvfIndex.topK(model, queries, 10, nprobe)
+          .select("q_id", "cand_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val r = truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        r.sum / r.size
+      }
+      val plan = graft.similarity.IvfIndex.topK(model, queries, 10, 4)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        "IVF probe must never degenerate to an unbroadcast cross product")
+      val r4 = meanRecall(4)
+      val r16 = meanRecall(16)
+      assert(r4 >= 0.3, s"recall@10 with 4/64 cells probed = $r4 " +
+        "(must far exceed the 6% cell fraction)")
+      assert(r16 >= r4, s"recall must be monotone in nprobe: $r16 < $r4")
+    } finally emb.unpersist()
+  }
+
   test("8 hyperplanes (256 cells) shrink ANN candidate volume; exact copies still collide") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
