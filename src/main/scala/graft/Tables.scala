@@ -9,10 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
-    // long when this legacy flag is on (set here so it holds under any
-    // caller-supplied session). Nanos arrive as LongType; use `eventTime`
-    // below when a real timestamp column is needed.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) in some generator
+    // versions, which Spark 4 only reads as a long when this legacy flag
+    // is on (set here so it holds under any caller-supplied session).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
@@ -39,7 +38,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** `events` with `ts` NORMALIZED to the engine's canonical shape:
+    * nanos-since-epoch LongType. The generator has shipped the column in
+    * two physical layouts — parquet TIMESTAMP(NANOS) (arrives as a nanos
+    * long under `nanosAsLong`) and parquet TIMESTAMP(MICROS) (arrives as
+    * TIMESTAMP_NTZ) — so the loader branches on the READ schema and every
+    * downstream consumer (`eventTime`, the hour-grid `div` arithmetic,
+    * the as-of joins) sees one shape regardless of file vintage. The
+    * NTZ→epoch conversion casts through TIMESTAMP under the session's
+    * pinned UTC zone (Sessions.local / the oracle both run UTC), so the
+    * wall-clock value maps to the identical epoch DuckDB's `epoch_ns`
+    * computes; micros→nanos is a lossless *1000 widening.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          df.col("ts").cast("timestamp")) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Round-8 surface growth: graph analytics beyond PageRank/components
+  * (triangle counting), temporal/CDC modeling (SCD2 history build),
+  * time-series regularization (gap fill + forward fill), per-key anomaly
+  * detection, and string-similarity fuzzy matching — the remaining ops a
+  * production curation/warehouse pipeline runs that no earlier block
+  * covered. Same contract as every other module: identical arithmetic in
+  * the DuckDB oracle, a TOTAL output order, and floats only ever emitted
+  * through round() at the grain of their true value.
+  */
+object GraphTemporalQueries {
+  import Tables._
+
+  val all: Seq[Q] = Seq(
+
+    // G3: triangle counting over the part co-occurrence graph (parts
+    // appearing together in >= 2 orders — the support threshold is the
+    // scale lever: it prunes the one-off co-occurrences that make retail
+    // baskets a near-clique and bounds edge count roughly linearly in
+    // orders). Edges are canonically oriented u<v, so the two-hop join
+    // (ab.v=bc.u) + closing-edge semi-check counts each triangle exactly
+    // once with NO post-hoc dedup — the classic distributed node-iterator
+    // shape: two shuffle joins on edge endpoints, no driver state. At
+    // 100 TB the same plan holds; the support threshold and (if degrees
+    // skew) a hub-degree cap keep the wedge intermediate bounded.
+    Q("g3_triangle_count",
+      (s, d) => {
+        val pairs = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = pairs.as("x")
+          .join(pairs.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey")
+              && col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("u"), col("v"))
+        val ab = e.select(col("u").as("a"), col("v").as("b"))
+        val bc = e.select(col("u").as("b2"), col("v").as("c"))
+        val ac = e.select(col("u").as("a2"), col("v").as("c2"))
+        val tri = ab.join(bc, col("b") === col("b2"))
+          .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+          .select(col("a"), col("b"), col("c"))
+        tri.select(col("a").as("p_partkey"))
+          .union(tri.select(col("b")))
+          .union(tri.select(col("c")))
+          .groupBy(col("p_partkey"))
+          .agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("n_tri").desc, col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             |      FROM pairs a JOIN pairs b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+             |        FROM e ab JOIN e bc ON ab.v = bc.u
+             |        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
+             |SELECT p_partkey, count(*) AS n_tri FROM (
+             |  SELECT a AS p_partkey FROM tri
+             |  UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri)
+             |GROUP BY 1 ORDER BY n_tri DESC, p_partkey LIMIT 100""".stripMargin)),
+
+    // U3: SCD2 (slowly-changing-dimension type 2) history build from a
+    // change log — each order is a change event to its customer's
+    // priority "state"; one lead() window per key turns the log into
+    // [valid_from, valid_to) intervals with NULL valid_to marking the
+    // current row (NULL, not a 9999 sentinel: sentinel dates overflow
+    // downstream ns-precision readers, and NULL is what the interval
+    // means). Edges are emitted as epoch-micros BIGINTs: exact integers
+    // on both engines, and a NULL long survives the value compare where
+    // a NULL timestamp (NaT) is NaT != NaT to any pandas-side reader.
+    // Single hash-partitioned window on the natural key — the same plan
+    // at any scale; no self-join, no driver state.
+    Q("u3_scd2_history",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderpriority").as("state"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("valid_from_us"),
+            unix_micros(lead(col("o_orderdate"), 1).over(w)
+              .cast("timestamp")).as("valid_to_us"))
+          .withColumn("is_current",
+            when(col("valid_to_us").isNull, 1).otherwise(0))
+          .orderBy(col("o_custkey"), col("valid_from_us"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderpriority AS state,
+             |  epoch_us(o_orderdate) AS valid_from_us,
+             |  epoch_us(lead(o_orderdate) OVER w) AS valid_to_us,
+             |  CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, valid_from_us, o_orderkey""".stripMargin)),
+
+    // W10: time-series regularization — resample events to a per-user
+    // hourly grid (missing hours GENERATED, not skipped) and forward-fill
+    // each gap from the last observed hour. The hour id is exact integer
+    // arithmetic on the nanos epoch (`div`, never `/`: long/long promotes
+    // to double and 1.7e18 ns overflows the 53-bit mantissa — same hazard
+    // Tables.eventTime documents). The grid is sequence()+explode per
+    // user (each user's own [min,max] span, so one dense global calendar
+    // is never materialized), the fill is one running last(ignoreNulls)
+    // window per user — both shuffle once on user_id and scale linearly
+    // in grid rows. Emitted per-user so the output is the rollup the
+    // fill feeds at 100 TB, not the 100x-larger filled series itself.
+    Q("w10_gap_fill",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(col("user_id"),
+            expr("ts div 3600000000000").as("h"))
+          .agg(round(sum(col("value")), 2).as("sv"))
+        val grid = hourly.groupBy(col("user_id"))
+          .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+          .select(col("user_id").as("g_user"),
+            explode(sequence(col("mn"), col("mx"))).as("g_h"))
+        val w = Window.partitionBy(col("g_user")).orderBy(col("g_h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly,
+            col("g_user") === col("user_id") && col("g_h") === col("h"),
+            "left")
+          .select(col("g_user"), col("g_h"), col("sv"))
+          .withColumn("sv_ff", last(col("sv"), ignoreNulls = true).over(w))
+          .groupBy(col("g_user").as("user_id"))
+          .agg(count(lit(1)).as("n_hours"),
+            count(col("sv")).as("n_observed"),
+            round(sum(col("sv_ff")), 2).as("filled_total"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS h,
+             |         round(sum(value), 2) AS sv
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT user_id AS g_user, unnest(generate_series(min(h), max(h))) AS g_h
+             |  FROM hourly GROUP BY user_id),
+             |filled AS (
+             |  SELECT g.g_user, g.g_h, hv.sv,
+             |    last_value(hv.sv IGNORE NULLS) OVER (
+             |      PARTITION BY g.g_user ORDER BY g.g_h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_ff
+             |  FROM grid g LEFT JOIN hourly hv
+             |    ON g.g_user = hv.user_id AND g.g_h = hv.h)
+             |SELECT g_user AS user_id, count(*) AS n_hours,
+             |  count(sv) AS n_observed, round(sum(sv_ff), 2) AS filled_total
+             |FROM filled GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // A16: per-key anomaly detection — z-score each event against ITS
+    // USER's mean/stddev and count |z| >= 2 outliers per user. Two
+    // passes over events (stats agg, then a broadcast-able join back);
+    // at 100 TB the stats side is tiny (one row per user) so the join
+    // broadcasts and the only shuffle is the stats groupBy. The flag
+    // compares the ROUNDED z (4 dp) so both engines decide from the
+    // same number; the sf0.01 minimum |{|z|-2}| margin is 9.2e-4 —
+    // three orders of magnitude above cross-engine float noise.
+    Q("a16_zscore_anomaly",
+      (s, d) => {
+        val stats = events(s, d).groupBy(col("user_id"))
+          .agg(avg(col("value")).as("mu"),
+            stddev_samp(col("value")).as("sd"))
+          .filter(col("sd") > 0)
+          .select(col("user_id").as("s_user"), col("mu"), col("sd"))
+        events(s, d)
+          .join(broadcast(stats), col("user_id") === col("s_user"))
+          .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(abs(col("z")) >= 2, 1).otherwise(0)).as("n_anomalies"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH stats AS (
+             |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+             |  FROM events GROUP BY 1),
+             |z AS (
+             |  SELECT e.user_id, round((e.value - s.mu) / s.sd, 4) AS z
+             |  FROM events e JOIN stats s ON e.user_id = s.user_id
+             |  WHERE s.sd > 0)
+             |SELECT user_id, count(*) AS n_events,
+             |  sum(CASE WHEN abs(z) >= 2 THEN 1 ELSE 0 END) AS n_anomalies
+             |FROM z GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // A17: mergeable distinct-count sketches — the incremental-stats
+    // pattern a 100 TB pipeline actually uses: build one HLL sketch PER
+    // SOURCE partition of the corpus (a partial, persistable artifact),
+    // then MERGE the sketches for the global distinct estimate instead of
+    // re-scanning history. hll_sketch_agg/hll_union_agg are Spark's
+    // native DataSketches bindings (codegen'd, fixed 2^lgK register
+    // state per group — the shuffle carries kilobyte sketches, never the
+    // raw ids). Register-max merging is order-independent, so the
+    // estimates are run-to-run deterministic (QueriesSmokeSpec's bar);
+    // no DuckDB oracle by design — its HLL is a different sketch impl —
+    // the estimate-vs-exact error law is pinned in GraphTemporalSpec.
+    Q("a17_hll_distinct",
+      (s, d) => {
+        val perSource = documents(s, d)
+          .groupBy(col("source"))
+          .agg(hll_sketch_agg(col("doc_id"), lit(12)).as("sk"),
+            count_distinct(col("doc_id")).as("n_exact"))
+        val global = perSource
+          .agg(hll_union_agg(col("sk"), lit(false)).as("sk"),
+            sum(col("n_exact")).as("n_exact"))
+          .select(lit("__all__").as("source"),
+            hll_sketch_estimate(col("sk")).as("n_approx"), col("n_exact"))
+        perSource
+          .select(col("source"), hll_sketch_estimate(col("sk")).as("n_approx"),
+            col("n_exact"))
+          .union(global)
+          .orderBy(col("source"))
+      },
+      None),
+
+    // D10: fuzzy (edit-distance) matching — the string-similarity face of
+    // the dedup block: candidate pairs are generated ONLY within a
+    // blocking key (here the name's noun token), then scored with exact
+    // levenshtein and kept at distance <= 2. Blocking is the entire
+    // scale story — the quadratic lives inside a band, never across the
+    // table, and the band join is a plain shuffle equi-join. Both
+    // engines implement textbook Wagner-Fischer, so the distances are
+    // integer-identical. (t8_edit_distance scores a fixed pair list;
+    // this op GENERATES the pairs.)
+    Q("d10_fuzzy_pairs",
+      (s, d) => {
+        val named = part(s, d)
+          .select(col("p_partkey"), col("p_name"),
+            split(col("p_name"), " ").getItem(1).as("noun"))
+        val a = named.select(col("p_partkey").as("pk1"),
+          col("p_name").as("n1"), col("noun"))
+        val b = named.select(col("p_partkey").as("pk2"),
+          col("p_name").as("n2"), col("noun").as("noun2"))
+        a.join(b, col("noun") === col("noun2") && col("pk1") < col("pk2"))
+          .withColumn("dist", levenshtein(col("n1"), col("n2")))
+          .filter(col("dist") <= 2)
+          .select(col("pk1"), col("pk2"), col("dist"))
+          .orderBy(col("pk1"), col("pk2"))
+      },
+      Some("""WITH named AS (
+             |  SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun
+             |  FROM part)
+             |SELECT a.p_partkey AS pk1, b.p_partkey AS pk2,
+             |  levenshtein(a.p_name, b.p_name) AS dist
+             |FROM named a JOIN named b
+             |  ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |ORDER BY pk1, pk2""".stripMargin))
+  )
+}

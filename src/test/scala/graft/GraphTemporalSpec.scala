@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-8 graph/temporal block that the DuckDB oracle can't
+  * express as cheaply: triangle counting vs a brute-force reference on a
+  * hand-built graph, SCD2 interval algebra, gap-fill grid completeness,
+  * and fuzzy-pair symmetry invariants. (The oracled queries themselves are
+  * additionally hash-checked by the driver at sf0.01.)
+  */
+class GraphTemporalSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("g3: brute-force triangle reference on a known graph") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant edge 4-5 (no new triangle)
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5))
+      .toDF("u", "v")
+    val ab = edges.select($"u".as("a"), $"v".as("b"))
+    val bc = edges.select($"u".as("b2"), $"v".as("c"))
+    val ac = edges.select($"u".as("a2"), $"v".as("c2"))
+    val tri = ab.join(bc, $"b" === $"b2")
+      .join(ac, $"a" === $"a2" && $"c" === $"c2")
+      .select($"a", $"b", $"c")
+    assert(tri.count() === 4L) // C(4,3)
+    // node 4 participates in 3 of them, node 5 in none
+    val byNode = tri.select($"a".as("n")).union(tri.select($"b"))
+      .union(tri.select($"c")).groupBy($"n").count()
+      .as[(Int, Long)].collect().toMap
+    assert(byNode(4) === 3L)
+    assert(!byNode.contains(5))
+  }
+
+  test("g3 on sf0.001 emits canonical counts (each node's n_tri >= 1)") {
+    val out = q("g3_triangle_count").collect()
+    assert(out.forall(_.getLong(1) >= 1L))
+    // ordered by n_tri desc then key
+    val pairs = out.map(r => (r.getLong(1), r.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy(p => (-p._1, p._2))))
+  }
+
+  test("u3: SCD2 intervals are contiguous, non-overlapping, one current per key") {
+    val s = spark
+    import s.implicits._
+    val hist = q("u3_scd2_history").cache()
+    try {
+      // exactly one open (NULL valid_to) interval per customer
+      val opens = hist.groupBy($"o_custkey")
+        .agg(sum(when($"valid_to_us".isNull, 1).otherwise(0)).as("n_open"))
+      assert(opens.filter($"n_open" =!= 1).isEmpty)
+      // closed intervals chain: valid_to equals the next row's valid_from
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"valid_from_us", $"o_orderkey")
+      val chained = hist
+        .withColumn("next_from", lead($"valid_from_us", 1).over(w))
+        .filter($"valid_to_us".isNotNull)
+      assert(chained.filter($"valid_to_us" =!= $"next_from").isEmpty)
+      // interval edges never invert
+      assert(hist.filter($"valid_to_us".isNotNull
+        && $"valid_to_us" < $"valid_from_us").isEmpty)
+    } finally hist.unpersist()
+  }
+
+  test("w10: grid is dense (n_hours = span) and fill only adds, never drops") {
+    val s = spark
+    import s.implicits._
+    val out = q("w10_gap_fill")
+    assert(out.filter($"n_observed" > $"n_hours").isEmpty)
+    assert(out.filter($"n_observed" < 1).isEmpty)
+    // per-user span check against the raw table
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy($"user_id", expr("ts div 3600000000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg((max($"h") - min($"h") + 1).as("span"), count(lit(1)).as("observed"))
+    val joined = out.join(hourly, "user_id")
+    assert(joined.filter($"n_hours" =!= $"span").isEmpty)
+    assert(joined.filter($"n_observed" =!= $"observed").isEmpty)
+  }
+
+  test("a16: anomaly counts obey Chebyshev-ish sanity and sum to flags") {
+    val s = spark
+    import s.implicits._
+    val out = q("a16_zscore_anomaly")
+    // |z|>=2 can hold for at most 1/4 of a finite sample's points
+    // (Chebyshev with the SAMPLE mean/sd is slightly looser; 30% margin)
+    assert(out.filter($"n_anomalies" > $"n_events" * 0.3).isEmpty)
+    assert(out.filter($"n_anomalies" < 0).isEmpty)
+  }
+
+  test("a17: HLL estimates track exact counts and the union is consistent") {
+    val s = spark
+    import s.implicits._
+    val out = q("a17_hll_distinct").cache()
+    try {
+      // lgK=12 (4096 registers) on a sub-100k cardinality: estimate
+      // error is far inside 5% relative
+      val bad = out.filter(
+        abs($"n_approx" - $"n_exact") > greatest($"n_exact" * 0.05, lit(2.0)))
+      assert(bad.isEmpty, s"estimate drifted: ${bad.collect().mkString}")
+      // the merged row covers every per-source row (doc_id is a global PK)
+      val g = out.filter($"source" === "__all__").select($"n_exact")
+        .as[Long].head()
+      val parts = out.filter($"source" =!= "__all__").agg(sum($"n_exact"))
+        .as[Long].head()
+      assert(g === parts)
+    } finally out.unpersist()
+  }
+
+  test("d10: pairs are canonical, within-threshold, and include exact dups") {
+    val s = spark
+    import s.implicits._
+    val out = q("d10_fuzzy_pairs").cache()
+    try {
+      assert(out.filter($"pk1" >= $"pk2").isEmpty)
+      assert(out.filter($"dist" > 2 || $"dist" < 0).isEmpty)
+      // every exact-duplicate name pair (distance 0) must be present:
+      // blocking on the noun token cannot separate identical strings
+      val named = Tables.part(spark, sfDir)
+        .select($"p_partkey", $"p_name")
+      val exact = named.as("x").join(named.as("y"),
+          col("x.p_name") === col("y.p_name")
+            && col("x.p_partkey") < col("y.p_partkey"))
+        .select(col("x.p_partkey").as("pk1"), col("y.p_partkey").as("pk2"))
+      val zero = out.filter($"dist" === 0).select($"pk1", $"pk2")
+      assert(exact.exceptAll(zero).isEmpty, "a distance-0 pair was missed")
+      assert(zero.exceptAll(exact).isEmpty, "a non-identical pair scored 0")
+    } finally out.unpersist()
+  }
+}
