@@ -218,14 +218,19 @@ object GraphTemporalQueries {
       None),
 
     // D10: fuzzy (edit-distance) matching — the string-similarity face of
-    // the dedup block: candidate pairs are generated ONLY within a
-    // blocking key (here the name's noun token), then scored with exact
-    // levenshtein and kept at distance <= 2. Blocking is the entire
-    // scale story — the quadratic lives inside a band, never across the
-    // table, and the band join is a plain shuffle equi-join. Both
-    // engines implement textbook Wagner-Fischer, so the distances are
-    // integer-identical. (t8_edit_distance scores a fixed pair list;
-    // this op GENERATES the pairs.)
+    // the dedup block: candidates are generated ONLY within a blocking
+    // key (the name's noun token), scored with exact levenshtein, and
+    // reduced to each entity's BEST match (min dist, then min key — a
+    // deterministic struct-min, which partial-aggregates map-side so the
+    // shuffle carries one row per entity, not the pair explosion). The
+    // probe side BROADCASTS: part is a dimension table, and a shuffle
+    // band join here would hash on the handful of noun values — 8
+    // distinct keys caps parallelism at 8 tasks (measured 107 s at
+    // sf0.1; broadcast restores input-partition parallelism). For two
+    // LARGE fuzzy sides, salt the band key instead. Both engines run
+    // textbook Wagner-Fischer, so distances are integer-identical.
+    // (t8_edit_distance scores a fixed pair list; this op GENERATES
+    // candidates and resolves each entity.)
     Q("d10_fuzzy_pairs",
       (s, d) => {
         val named = part(s, d)
@@ -235,20 +240,39 @@ object GraphTemporalQueries {
           col("p_name").as("n1"), col("noun"))
         val b = named.select(col("p_partkey").as("pk2"),
           col("p_name").as("n2"), col("noun").as("noun2"))
-        a.join(b, col("noun") === col("noun2") && col("pk1") < col("pk2"))
+        // The dim parquet is ONE split locally — a broadcast join's
+        // parallelism is the probe side's partition count, so spread the
+        // probe explicitly (at warehouse scale the probe side arrives in
+        // many splits and this repartition is a no-op to remove). The
+        // length-delta conjunct is levenshtein's lower bound: a cheap
+        // int compare that prunes candidates before the DP runs.
+        a.repartition(s.sparkContext.defaultParallelism, col("pk1"))
+          .join(broadcast(b),
+            col("noun") === col("noun2") && col("pk1") =!= col("pk2")
+              && abs(length(col("n1")) - length(col("n2"))) <= 2)
           .withColumn("dist", levenshtein(col("n1"), col("n2")))
           .filter(col("dist") <= 2)
-          .select(col("pk1"), col("pk2"), col("dist"))
-          .orderBy(col("pk1"), col("pk2"))
+          .groupBy(col("pk1"))
+          .agg(min(struct(col("dist"), col("pk2"))).as("best"))
+          .select(col("pk1"), col("best.pk2").as("best_pk2"),
+            col("best.dist").as("best_dist"))
+          .orderBy(col("pk1"))
       },
       Some("""WITH named AS (
              |  SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun
-             |  FROM part)
-             |SELECT a.p_partkey AS pk1, b.p_partkey AS pk2,
-             |  levenshtein(a.p_name, b.p_name) AS dist
-             |FROM named a JOIN named b
-             |  ON a.noun = b.noun AND a.p_partkey < b.p_partkey
-             |WHERE levenshtein(a.p_name, b.p_name) <= 2
-             |ORDER BY pk1, pk2""".stripMargin))
+             |  FROM part),
+             |cand AS (
+             |  SELECT a.p_partkey AS pk1, b.p_partkey AS pk2,
+             |    levenshtein(a.p_name, b.p_name) AS dist
+             |  FROM named a JOIN named b
+             |    ON a.noun = b.noun AND a.p_partkey <> b.p_partkey
+             |      AND abs(length(a.p_name) - length(b.p_name)) <= 2
+             |  WHERE levenshtein(a.p_name, b.p_name) <= 2)
+             |SELECT pk1, min(pk2) AS best_pk2, best_dist FROM (
+             |  SELECT pk1, pk2, dist,
+             |    min(dist) OVER (PARTITION BY pk1) AS best_dist
+             |  FROM cand)
+             |WHERE dist = best_dist GROUP BY pk1, best_dist
+             |ORDER BY pk1""".stripMargin))
   )
 }

@@ -109,24 +109,29 @@ class GraphTemporalSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
-  test("d10: pairs are canonical, within-threshold, and include exact dups") {
+  test("d10: best matches are canonical, within-threshold, and find exact dups") {
     val s = spark
     import s.implicits._
     val out = q("d10_fuzzy_pairs").cache()
     try {
-      assert(out.filter($"pk1" >= $"pk2").isEmpty)
-      assert(out.filter($"dist" > 2 || $"dist" < 0).isEmpty)
-      // every exact-duplicate name pair (distance 0) must be present:
-      // blocking on the noun token cannot separate identical strings
+      assert(out.filter($"pk1" === $"best_pk2").isEmpty, "self-match leaked")
+      assert(out.filter($"best_dist" > 2 || $"best_dist" < 0).isEmpty)
+      assert(out.groupBy($"pk1").count().filter($"count" > 1).isEmpty,
+        "entity resolved to more than one best match")
+      // every part with an exact-duplicate name must resolve at dist 0:
+      // blocking on the noun token cannot separate identical strings,
+      // and nothing beats distance 0
       val named = Tables.part(spark, sfDir)
         .select($"p_partkey", $"p_name")
-      val exact = named.as("x").join(named.as("y"),
+      val hasDup = named.as("x").join(named.as("y"),
           col("x.p_name") === col("y.p_name")
-            && col("x.p_partkey") < col("y.p_partkey"))
-        .select(col("x.p_partkey").as("pk1"), col("y.p_partkey").as("pk2"))
-      val zero = out.filter($"dist" === 0).select($"pk1", $"pk2")
-      assert(exact.exceptAll(zero).isEmpty, "a distance-0 pair was missed")
-      assert(zero.exceptAll(exact).isEmpty, "a non-identical pair scored 0")
+            && col("x.p_partkey") =!= col("y.p_partkey"))
+        .select(col("x.p_partkey").as("pk1")).distinct()
+      val zero = out.filter($"best_dist" === 0).select($"pk1")
+      assert(hasDup.exceptAll(zero).isEmpty,
+        "a part with an identical twin did not resolve at distance 0")
+      assert(zero.exceptAll(hasDup).isEmpty,
+        "a part without an identical twin scored distance 0")
     } finally out.unpersist()
   }
 }

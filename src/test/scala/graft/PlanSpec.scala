@@ -200,4 +200,29 @@ class PlanSpec extends SparkSpec {
     assert(g2.contains("BroadcastHashJoin"), "g2 nation join not broadcast")
     assert(!g2.contains("SortMergeJoin"))
   }
+
+  test("round-8 graph/temporal queries keep their scale shapes") {
+    // g3: every join is an equi-join on edge endpoints — the triangle
+    // enumeration must never degrade to a cartesian or nested-loop
+    val g3 = plan("g3_triangle_count")
+    assert(!g3.contains("CartesianProduct") && !g3.contains("NestedLoop"),
+      "g3 triangle join degraded from equi-join")
+    // d10: the fuzzy quadratic lives INSIDE the blocking band, the dim
+    // side broadcasts (8 distinct band keys would cap a shuffle join at
+    // 8 tasks), and the best-match reduction partial-aggregates
+    val d10 = plan("d10_fuzzy_pairs")
+    assert(!d10.contains("CartesianProduct"),
+      "d10 fuzzy matching degraded to all-pairs")
+    assert(d10.contains("BroadcastHashJoin"), "d10 band join not broadcast")
+    assert(d10.contains("partial_min") || d10.contains("partial min"),
+      "d10 best-match reduction lost its map-side combine:\n" + d10.take(1500))
+    // a16: the per-user stats side is one row per user — it must
+    // broadcast; the events side must not shuffle for the join
+    val a16 = plan("a16_zscore_anomaly")
+    assert(a16.contains("BroadcastHashJoin"), "a16 stats join not broadcast")
+    // u3: one window over one shuffle on the natural key — no join at all
+    val u3 = plan("u3_scd2_history")
+    assert(u3.contains("Window"), "u3 lost its window shape")
+    assert(!u3.contains("Join"), "u3 grew a join; SCD2 needs only a window")
+  }
 }
