@@ -315,6 +315,74 @@ object PipelineQueries {
              |       WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status
              |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // D11: incremental NEAR-dup — d8's ledger pattern lifted from exact
+    // hashes to MinHash signatures: the corpus persists a SIGNATURE STORE
+    // (kilobytes per doc, never text), and a new crawl batch probes it
+    // with the same banded equi-join as d3 (docs meet only inside a band
+    // bucket), confirming candidates by signature agreement — slots-equal
+    // >= 8 of 16 estimates Jaccard >= 0.5 without touching corpus text.
+    // Duplicate (batch, corpus) band hits need NO distinct pass: max() and
+    // count(DISTINCT) absorb them. Batch docs with zero candidates
+    // re-enter via a left join so the output covers the whole batch.
+    // At 100 TB the store is the only state; each day's crawl is one
+    // banded probe against it — no corpus rescan, no N^2.
+    Q("d11_incremental_neardup",
+      (s, d) => {
+        val sigs = tokenized(s, d)
+          .select(col("doc_id"), minhashSigNative(col("text"), 16).as("sig"))
+        val store = graft.Scratch.dir(s, "d11_sigstore")
+        sigs.filter(col("doc_id") % 4 =!= 0)
+          .write.mode("overwrite").parquet(store)
+        def banded(df: DataFrame, idc: String, sigc: String): DataFrame = df
+          .select(col("doc_id").as(idc), col("sig").as(sigc),
+            posexplode_outer(lshBands(col("sig"), 4, 4))
+              .as(Seq("band_idx", "band_key")))
+        val cb = banded(s.read.parquet(store), "c_id", "c_sig")
+        val batch = sigs.filter(col("doc_id") % 4 === 0)
+        val res = banded(batch, "b_id", "b_sig")
+          .join(cb, Seq("band_idx", "band_key"))
+          .filter(col("b_id") =!= col("c_id"))
+          .select(col("b_id"), col("c_id"),
+            aggregate(zip_with(col("b_sig"), col("c_sig"),
+                (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, v) => acc + v).as("agree"))
+          .groupBy(col("b_id"))
+          .agg(count_distinct(col("c_id")).as("n_cand"),
+            max(col("agree")).as("best_agree"))
+        batch.join(res, col("doc_id") === col("b_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            coalesce(col("best_agree"), lit(0)).as("best_agree"))
+          .withColumn("is_dup", when(col("best_agree") >= 8, 1).otherwise(0))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlTok, $sqlSig, corpus AS (
+              |  SELECT * FROM sig WHERE doc_id % 4 <> 0
+              |), batch AS (
+              |  SELECT * FROM sig WHERE doc_id % 4 = 0
+              |), cb AS (
+              |  SELECT doc_id AS c_id, sig AS c_sig, bi.b AS band_idx,
+              |    array_to_string(sig[bi.b*4 + 1 : bi.b*4 + 4], '_') AS band_key
+              |  FROM corpus CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bi
+              |), bb AS (
+              |  SELECT doc_id AS b_id, sig AS b_sig, bi.b AS band_idx,
+              |    array_to_string(sig[bi.b*4 + 1 : bi.b*4 + 4], '_') AS band_key
+              |  FROM batch CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bi
+              |), agr AS (
+              |  SELECT b_id, c_id,
+              |    len([i for i in range(1, 17) if b_sig[i] = c_sig[i]]) AS agree
+              |  FROM bb JOIN cb USING (band_idx, band_key) WHERE b_id <> c_id
+              |), res AS (
+              |  SELECT b_id, count(DISTINCT c_id) AS n_cand, max(agree) AS best
+              |  FROM agr GROUP BY 1
+              |)
+              |SELECT b.doc_id,
+              |  CAST(coalesce(res.n_cand, 0) AS BIGINT) AS n_cand,
+              |  CAST(coalesce(res.best, 0) AS BIGINT) AS best_agree,
+              |  CASE WHEN coalesce(res.best, 0) >= 8 THEN 1 ELSE 0 END AS is_dup
+              |FROM batch b LEFT JOIN res ON b.doc_id = res.b_id
+              |ORDER BY doc_id""".stripMargin)),
+
     // D9: exact duplicated-SPAN detection — the span-level complement of
     // document-level dedup (Lee et al. 2022, "Deduplicating Training Data
     // Makes Language Models Better": verbatim k-token spans repeated across

@@ -140,4 +140,25 @@ class PipelineOpsSpec extends SparkSpec {
     val n = emb.select("bucket").distinct().count()
     assert(n > 1 && n <= 8)
   }
+
+  test("d11: a batch doc with verbatim corpus text resolves as a full-agreement dup") {
+    val s = spark
+    import s.implicits._
+    val out = SparkEntry.queries("d11_incremental_neardup")(spark, sfDir).cache()
+    try {
+      // identical text => identical signature => same bands => candidate
+      // with all 16 slots agreeing; the probe may not miss it
+      val td = Tables.tokenizedDocs(spark, sfDir).select($"doc_id", $"text")
+      val verbatim = td.filter($"doc_id" % 4 === 0).as("b")
+        .join(td.filter($"doc_id" % 4 =!= 0).as("c"),
+          col("b.text") === col("c.text"))
+        .select(col("b.doc_id")).distinct()
+      val flagged = out.filter($"best_agree" === 16).select($"doc_id")
+      assert(verbatim.exceptAll(flagged).isEmpty,
+        "a verbatim corpus copy in the batch was not flagged at agreement 16")
+      // structural laws: dup implies a candidate; agreement is in range
+      assert(out.filter($"is_dup" === 1 && $"n_cand" === 0).isEmpty)
+      assert(out.filter($"best_agree" < 0 || $"best_agree" > 16).isEmpty)
+    } finally out.unpersist()
+  }
 }
