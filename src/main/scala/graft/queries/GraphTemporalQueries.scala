@@ -187,6 +187,113 @@ object GraphTemporalQueries {
              |  sum(CASE WHEN abs(z) >= 2 THEN 1 ELSE 0 END) AS n_anomalies
              |FROM z GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
+    // G4: label propagation (community detection) — the third classic on
+    // the co-occurrence graph after PageRank (g2) and connected
+    // components (d7). Synchronous LPA: every node starts as its own
+    // label; each round it adopts the most frequent label among its
+    // neighbors, ties broken by the SMALLEST label (without a total
+    // tie-break sync-LPA is nondeterministic — this pins it, and the
+    // oracle unrolls the same three rounds as chained CTEs). Per round:
+    // one shuffle join (labels onto edge endpoints) + one partial-agg
+    // count + a struct-min argmax — all partial-aggregable; each round
+    // MATERIALIZES to scratch parquet like g2, so lineage stays O(1)
+    // and a 20-round production run plans each round identically.
+    Q("g4_label_prop",
+      (s, d) => {
+        val pairs = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = pairs.as("x")
+          .join(pairs.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey")
+              && col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("u"), col("v"))
+        // the neighbor table is loop-INVARIANT: materialize it once, or
+        // every round re-runs the pairs self-join from the scan (the g2
+        // lesson — invariants hoist out of iterative operators)
+        val nbPath = graft.Scratch.dir(s, "g4_nb")
+        e.select(col("u").as("node"), col("v").as("nbr"))
+          .union(e.select(col("v"), col("u")))
+          .write.mode("overwrite").parquet(nbPath)
+        val nb = s.read.parquet(nbPath)
+        var labels = nb.select(col("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+        for (round <- 1 to 3) {
+          val next = nb
+            .join(labels.select(col("node").as("ln"), col("label")),
+              col("nbr") === col("ln"))
+            .groupBy(col("node"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("node"))
+            .agg(min(struct(negate(col("cnt")), col("label"))).as("best"))
+            .select(col("node"), col("best.label").as("label"))
+          val path = graft.Scratch.dir(s, s"g4_round$round")
+          next.write.mode("overwrite").parquet(path)
+          labels = s.read.parquet(path)
+        }
+        labels.orderBy(col("node"))
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             |      FROM pairs a JOIN pairs b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |nb AS (SELECT u AS node, v AS nbr FROM e
+             |       UNION ALL SELECT v, u FROM e),
+             |l0 AS (SELECT DISTINCT node, node AS label FROM nb),
+             |l1 AS (SELECT node, label FROM (
+             |  SELECT nb.node, l.label,
+             |    row_number() OVER (PARTITION BY nb.node
+             |      ORDER BY count(*) DESC, l.label) AS rn
+             |  FROM nb JOIN l0 l ON nb.nbr = l.node GROUP BY nb.node, l.label)
+             |  WHERE rn = 1),
+             |l2 AS (SELECT node, label FROM (
+             |  SELECT nb.node, l.label,
+             |    row_number() OVER (PARTITION BY nb.node
+             |      ORDER BY count(*) DESC, l.label) AS rn
+             |  FROM nb JOIN l1 l ON nb.nbr = l.node GROUP BY nb.node, l.label)
+             |  WHERE rn = 1),
+             |l3 AS (SELECT node, label FROM (
+             |  SELECT nb.node, l.label,
+             |    row_number() OVER (PARTITION BY nb.node
+             |      ORDER BY count(*) DESC, l.label) AS rn
+             |  FROM nb JOIN l2 l ON nb.nbr = l.node GROUP BY nb.node, l.label)
+             |  WHERE rn = 1)
+             |SELECT node, label FROM l3 ORDER BY node""".stripMargin)),
+
+    // W11: per-key EWMA (exponentially weighted moving average) — the
+    // recurrence class (y_t = a*x_t + (1-a)*y_{t-1}) that window
+    // functions CANNOT express: each value depends on the previous
+    // OUTPUT, not a previous input. The distributed shape is one
+    // groupBy shuffle, then a per-key ordered fold: collect the key's
+    // series (bounded by per-key cardinality — the same contract as
+    // A1's ordered collect_list), sort it, fold left. Both engines run
+    // the IDENTICAL sequential fold over the identical order, so the
+    // doubles are bit-equal before the output round. Seed = first
+    // element (DuckDB's list_reduce seeds the same way).
+    Q("w11_ewma",
+      (s, d) => {
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(
+            col("ts"), col("event_id"), col("value")))).as("xs"))
+          .select(col("user_id"), size(col("xs")).as("n_events"),
+            round(aggregate(
+              transform(col("xs"), x => x.getField("value")),
+              lit(null).cast("double"),
+              (acc, x) => coalesce(acc * lit(0.8) + lit(0.2) * x, x)),
+              4).as("ewma"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(len(xs) AS INT) AS n_events,
+             |  round(list_reduce(xs, (acc, x) -> 0.8 * acc + 0.2 * x), 4) AS ewma
+             |FROM (
+             |  SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+             |  FROM events GROUP BY user_id)
+             |ORDER BY user_id""".stripMargin)),
+
     // A17: mergeable distinct-count sketches — the incremental-stats
     // pattern a 100 TB pipeline actually uses: build one HLL sketch PER
     // SOURCE partition of the corpus (a partial, persistable artifact),

@@ -90,6 +90,71 @@ class GraphTemporalSpec extends SparkSpec {
     assert(out.filter($"n_anomalies" < 0).isEmpty)
   }
 
+  test("g4: labels converge to the component minimum on a toy triangle pair") {
+    val s = spark
+    import s.implicits._
+    // two disjoint triangles; sync-LPA with min-label tie-break converges
+    // each to its component's smallest id within two rounds
+    val e = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)).toDF("u", "v")
+    val nb = e.select($"u".as("node"), $"v".as("nbr"))
+      .union(e.select($"v", $"u"))
+    var labels = nb.select($"node").distinct()
+      .select($"node", $"node".as("label"))
+    for (_ <- 1 to 3) {
+      labels = nb
+        .join(labels.select($"node".as("ln"), $"label"), $"nbr" === $"ln")
+        .groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
+        .groupBy($"node")
+        .agg(min(struct(negate($"cnt"), $"label")).as("best"))
+        .select($"node", $"best.label".as("label"))
+    }
+    val got = labels.as[(Int, Int)].collect().toMap
+    assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 4))
+  }
+
+  test("g4 on sf0.001: one label per node, labels are graph nodes") {
+    val s = spark
+    import s.implicits._
+    val out = q("g4_label_prop").cache()
+    try {
+      assert(out.groupBy($"node").count().filter($"count" > 1).isEmpty)
+      val nodes = out.select($"node")
+      val labels = out.select($"label").distinct()
+      assert(labels.exceptAll(nodes.distinct()).isEmpty,
+        "a propagated label is not a node of the graph")
+    } finally out.unpersist()
+  }
+
+  test("w11: EWMA is convex (inside each user's value range) and counts match") {
+    val s = spark
+    import s.implicits._
+    val out = q("w11_ewma")
+    val raw = Tables.events(spark, sfDir).groupBy($"user_id")
+      .agg(count(lit(1)).as("n_raw"),
+        min($"value").as("lo"), max($"value").as("hi"))
+    val j = out.join(raw, "user_id")
+    assert(j.filter($"n_events" =!= $"n_raw").isEmpty)
+    // a convex combination of observed values cannot leave their range
+    // (round(4) can nudge at most 5e-5 past an endpoint)
+    assert(j.filter($"ewma" < $"lo" - 0.0001 || $"ewma" > $"hi" + 0.0001).isEmpty)
+  }
+
+  test("w11: the fold recurrence is exact on a hand-computed series") {
+    val s = spark
+    import s.implicits._
+    // y = [1, 2, 3] at a=0.2: 1 -> 1.2 -> 1.56
+    val toy = Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 2.0), (1L, 30L, 3L, 3.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val y = toy.groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"value"))).as("xs"))
+      .select(aggregate(
+        transform($"xs", x => x.getField("value")),
+        lit(null).cast("double"),
+        (acc, x) => coalesce(acc * lit(0.8) + lit(0.2) * x, x)).as("y"))
+      .as[Double].head()
+    assert(math.abs(y - 1.56) < 1e-12)
+  }
+
   test("a17: HLL estimates track exact counts and the union is consistent") {
     val s = spark
     import s.implicits._
