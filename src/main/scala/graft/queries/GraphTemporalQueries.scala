@@ -114,10 +114,24 @@ object GraphTemporalQueries {
     // fill feeds at 100 TB, not the 100x-larger filled series itself.
     Q("w10_gap_fill",
       (s, d) => {
-        val hourly = events(s, d)
+        // The aggregate feeds BOTH the grid derivation and the grid-back
+        // join (a diamond) — and exchange-reuse canNOT dedup it here:
+        // column pruning rewrites the grid branch's aggregate WITHOUT
+        // sv, so the two subtrees diverge and each re-scans events
+        // (verified in the executed plan). The single-computation shape
+        // for a diverging diamond is the d5/g4 one: MATERIALIZE the
+        // hourly aggregate once to scratch parquet and read it for both
+        // consumers — the events scan and the heavy aggregate run
+        // exactly once (PlanSpec pins the single events scan), and at
+        // 100 TB the materialized hourly table is ~1/avg-events-per-
+        // hour the size of the input.
+        val hourlyPath = graft.Scratch.dir(s, "w10_hourly")
+        events(s, d)
           .groupBy(col("user_id"),
             expr("ts div 3600000000000").as("h"))
           .agg(round(sum(col("value")), 2).as("sv"))
+          .write.mode("overwrite").parquet(hourlyPath)
+        val hourly = s.read.parquet(hourlyPath)
         val grid = hourly.groupBy(col("user_id"))
           .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
           .select(col("user_id").as("g_user"),

@@ -223,6 +223,21 @@ class PlanSpec extends SparkSpec {
     // u3: one window over one shuffle on the natural key — no join at all
     val u3 = plan("u3_scd2_history")
     assert(u3.contains("Window"), "u3 lost its window shape")
-    assert(!u3.contains("Join"), "u3 grew a join; SCD2 needs only a window")
+    assert(!u3.contains("Join"), "u3 grew a join; SCD2 needs only a join-free window")
+  }
+
+  test("w10: the hourly aggregate is computed once (materialized diamond)") {
+    // grid derives from `hourly` and then left-joins back onto it; the
+    // branches DIVERGE under column pruning (the grid side drops sv) so
+    // exchange reuse can't dedup them — the query materializes hourly to
+    // scratch instead. Invariant: the events parquet is scanned exactly
+    // once; everything else reads the materialized aggregate.
+    val df = SparkEntry.queries("w10_gap_fill")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val eventScans = "events.parquet".r.findAllIn(p).length
+    assert(eventScans == 0,
+      s"w10's consumer plan re-scans events $eventScans time(s) — the " +
+        "aggregate must come from the materialized hourly table:\n" + p.take(1500))
+    assert(p.contains("w10_hourly"), "materialized hourly table missing from plan")
   }
 }
