@@ -7,6 +7,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 final case class UserEvent(user_id: Long, event_type: String,
     ts: java.sql.Timestamp, value: Double)
 final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+final case class EwmaState(ewma: Double, n: Long)
+final case class UserEwma(user_id: Long, n_events: Long, ewma: Double)
 final case class OpenSession(start_ms: Long, last_ms: Long, n: Long, total: Double)
 final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
     n_events: Long, total_value: Double)
@@ -188,6 +190,35 @@ object EventStream {
     * anonymous session ids) — for unbounded keys, add an event-time or
     * processing-time timeout and eviction like `closedSessions` does.
     */
+  /** Streaming per-user EWMA — the stream face of the batch `w11_ewma`
+    * query: state is one (ewma, n) pair per user; each micro-batch folds
+    * its events in event-time order into the carried value, so after any
+    * prefix of the stream the state equals the batch fold over that
+    * prefix (parity pinned by EventStreamSpec). Seed = first value, the
+    * same seeding as the batch fold and DuckDB's list_reduce. Like
+    * `runningUserTotals`, state is deliberately unbounded (an all-time
+    * recurrence over a bounded key space); add a timeout for unbounded
+    * keys. Within-batch ordering is (ts) — callers whose event times can
+    * collide must disambiguate upstream, exactly as the batch query
+    * orders by (ts, event_id).
+    */
+  def runningEwma(events: Dataset[UserEvent], alpha: Double): Dataset[UserEwma] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, UserEwma](GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[EwmaState]) =>
+          val next = batch.toSeq.sortBy(_.ts.getTime)
+            .foldLeft(state.getOption.getOrElse(EwmaState(0.0, 0L))) {
+              (acc, e) =>
+                if (acc.n == 0L) EwmaState(e.value, 1L)
+                else EwmaState((1 - alpha) * acc.ewma + alpha * e.value, acc.n + 1)
+            }
+          state.update(next)
+          UserEwma(uid, next.n, next.ewma)
+      }
+  }
+
   def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._

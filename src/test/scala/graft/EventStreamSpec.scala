@@ -209,4 +209,41 @@ class EventStreamSpec extends SparkSpec {
       assert(last(2L) == ((2L, 6.0)))
     } finally q.stop()
   }
+
+  test("streaming EWMA equals the batch fold over any stream prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = EventStream.runningEwma(mem.toDS(), alpha = 0.2)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    try {
+      // split MID-USER so state must carry the recurrence across batches
+      mem.addData(fixture.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.drop(3): _*)
+      q.processAllAvailable()
+      val last = s.table("ewma_out")
+        .groupBy("user_id").agg(max("n_events").as("n"), max_by(col("ewma"), col("n_events")).as("e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      // batch-fold references, seeded with the first value:
+      // user 1: 1.0 -> .8*1+.2*3 = 1.4 -> .8*1.4+.2*5 = 2.12
+      // user 2: 2.0 -> .8*2+.2*4 = 2.4
+      assert(last(1L)._1 == 3L && math.abs(last(1L)._2 - 2.12) < 1e-12)
+      assert(last(2L)._1 == 2L && math.abs(last(2L)._2 - 2.4) < 1e-12)
+      // parity with the registered batch expression over the same rows
+      val batch = fixture.toDF()
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"ts", $"value"))).as("xs"))
+        .select($"user_id", aggregate(
+          transform($"xs", x => x.getField("value")),
+          lit(null).cast("double"),
+          (acc, x) => coalesce(acc * lit(0.8) + lit(0.2) * x, x)).as("e"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(math.abs(batch(1L) - last(1L)._2) < 1e-12)
+      assert(math.abs(batch(2L) - last(2L)._2) < 1e-12)
+    } finally q.stop()
+  }
 }
