@@ -308,6 +308,61 @@ object GraphTemporalQueries {
              |  FROM events GROUP BY user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // F1: funnel analysis — ORDERED multi-step conversion: for each user
+    // the first "view", the first "click" strictly AFTER that view, and
+    // the first "purchase" strictly after that click; stage = how deep
+    // the user got. The order constraint is what makes this a distinct
+    // op class (a plain groupBy/pivot can't see sequencing). Shape: a
+    // chain of filter -> per-user min aggregations, every join and agg
+    // keyed on user_id — one partitioning carried through the whole
+    // chain, each intermediate one scalar row per user. Stage times are
+    // emitted as the canonical nanos longs (NULL survives the compare;
+    // NaT doesn't — the u3 lesson).
+    Q("f1_funnel",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("tv"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("tc"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+        ev.select(col("user_id")).distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("tp").isNotNull, 3)
+              .when(col("tc").isNotNull, 2)
+              .when(col("tv").isNotNull, 1)
+              .otherwise(0).as("stage"),
+            col("tv"), col("tc"), col("tp"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+             |v AS (SELECT user_id, min(ts) AS tv FROM ev
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS tc
+             |      FROM ev e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS tp
+             |      FROM ev e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+             |SELECT u.user_id,
+             |  CASE WHEN p.tp IS NOT NULL THEN 3
+             |       WHEN c.tc IS NOT NULL THEN 2
+             |       WHEN v.tv IS NOT NULL THEN 1 ELSE 0 END AS stage,
+             |  v.tv, c.tc, p.tp
+             |FROM (SELECT DISTINCT user_id FROM ev) u
+             |LEFT JOIN v USING (user_id)
+             |LEFT JOIN c USING (user_id)
+             |LEFT JOIN p USING (user_id)
+             |ORDER BY u.user_id""".stripMargin)),
+
     // A17: mergeable distinct-count sketches — the incremental-stats
     // pattern a 100 TB pipeline actually uses: build one HLL sketch PER
     // SOURCE partition of the corpus (a partial, persistable artifact),

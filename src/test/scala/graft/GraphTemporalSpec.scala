@@ -155,6 +155,27 @@ class GraphTemporalSpec extends SparkSpec {
     assert(math.abs(y - 1.56) < 1e-12)
   }
 
+  test("f1: funnel stages are ordered in time and consistent with nulls") {
+    val s = spark
+    import s.implicits._
+    val out = q("f1_funnel").cache()
+    try {
+      // stage k implies stages < k: the null pattern must be a prefix
+      assert(out.filter($"tc".isNotNull && $"tv".isNull).isEmpty)
+      assert(out.filter($"tp".isNotNull && $"tc".isNull).isEmpty)
+      // strict event-time ordering inside the funnel
+      assert(out.filter($"tc".isNotNull && $"tc" <= $"tv").isEmpty)
+      assert(out.filter($"tp".isNotNull && $"tp" <= $"tc").isEmpty)
+      // stage agrees with the deepest non-null time
+      assert(out.filter($"stage" === 3 && $"tp".isNull).isEmpty)
+      assert(out.filter($"stage" === 2 && ($"tp".isNotNull || $"tc".isNull)).isEmpty)
+      assert(out.filter($"stage" === 0 && $"tv".isNotNull).isEmpty)
+      // one row per user seen in events
+      val users = Tables.events(spark, sfDir).select($"user_id").distinct()
+      assert(out.count() === users.count())
+    } finally out.unpersist()
+  }
+
   test("a17: HLL estimates track exact counts and the union is consistent") {
     val s = spark
     import s.implicits._
