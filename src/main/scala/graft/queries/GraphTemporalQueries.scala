@@ -363,6 +363,37 @@ object GraphTemporalQueries {
              |LEFT JOIN p USING (user_id)
              |ORDER BY u.user_id""".stripMargin)),
 
+    // F2: cohort retention — the funnel's longitudinal companion: users
+    // cohorted by FIRST-ACTIVE week, then counted per (cohort, week
+    // offset) if active that week. Weeks are exact integer arithmetic
+    // on the nanos epoch (`div` by 604800e9 — same overflow hazard as
+    // the w10 hour grid). Shape: per-user min (cohort assignment), a
+    // distinct on (user, week), one user-keyed join, then the matrix
+    // aggregate — count(DISTINCT user) per cell is exact because the
+    // (user, week) pairs were deduped before the join. Everything keys
+    // on user_id until the final small matrix shuffle.
+    Q("f2_retention",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+          .distinct()
+        val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+        ev.join(first, "user_id")
+          .groupBy(col("cw").as("cohort_week"),
+            (col("wk") - col("cw")).as("week_offset"))
+          .agg(count_distinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 604800000000000 AS wk
+             |  FROM events),
+             |first AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY 1)
+             |SELECT f.cw AS cohort_week, e.wk - f.cw AS week_offset,
+             |  count(DISTINCT e.user_id) AS n_active
+             |FROM ev e JOIN first f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
     // A17: mergeable distinct-count sketches — the incremental-stats
     // pattern a 100 TB pipeline actually uses: build one HLL sketch PER
     // SOURCE partition of the corpus (a partial, persistable artifact),

@@ -176,6 +176,28 @@ class GraphTemporalSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("f2: retention matrix laws (offset-0 totals, no negatives, user conservation)") {
+    val s = spark
+    import s.implicits._
+    val out = q("f2_retention").cache()
+    try {
+      assert(out.filter($"week_offset" < 0 || $"n_active" < 1).isEmpty)
+      // offset 0 row exists for every cohort and counts the whole cohort:
+      // the per-cohort max active count is at offset 0 (every member is
+      // active in their own first week by construction)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"cohort_week")
+      val bad = out.withColumn("mx", max($"n_active").over(w))
+        .filter($"week_offset" === 0 && $"n_active" =!= $"mx")
+      assert(bad.isEmpty, "a cohort's offset-0 row is not its maximum")
+      // cohort sizes sum to the distinct user count
+      val total = out.filter($"week_offset" === 0)
+        .agg(sum($"n_active")).as[Long].head()
+      val users = Tables.events(spark, sfDir)
+        .select($"user_id").distinct().count()
+      assert(total === users)
+    } finally out.unpersist()
+  }
+
   test("a17: HLL estimates track exact counts and the union is consistent") {
     val s = spark
     import s.implicits._
