@@ -308,6 +308,73 @@ object GraphTemporalQueries {
              |  FROM events GROUP BY user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // G5: k-hop BFS from a seed set — multi-source shortest paths,
+    // bounded at 3 hops (the "blast radius" query: what does this seed
+    // set reach, and how fast). Per round: one join of the frontier
+    // onto the neighbor table + a min aggregate — label-propagation's
+    // plan shape with min(dist) instead of argmax(label), and the same
+    // loop discipline (neighbor table hoisted and materialized once,
+    // per-round scratch checkpoint, O(1) lineage). The oracle unrolls
+    // the three relaxation rounds as chained CTEs. Unreached nodes are
+    // absent by construction, not NULL-distance rows.
+    Q("g5_bfs",
+      (s, d) => {
+        val pairs = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = pairs.as("x")
+          .join(pairs.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey")
+              && col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("u"), col("v"))
+        val nbPath = graft.Scratch.dir(s, "g5_nb")
+        e.select(col("u").as("node"), col("v").as("nbr"))
+          .union(e.select(col("v"), col("u")))
+          .write.mode("overwrite").parquet(nbPath)
+        val nb = s.read.parquet(nbPath)
+        var dist = nb.select(col("node")).distinct()
+          .filter(col("node") < 100)
+          .select(col("node"), lit(0).as("dist"))
+        for (round <- 1 to 3) {
+          val relaxed = nb
+            .join(dist.select(col("node").as("dn"), col("dist")),
+              col("nbr") === col("dn"))
+            .select(col("node"), (col("dist") + 1).as("dist"))
+          val next = dist.unionByName(relaxed)
+            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          val path = graft.Scratch.dir(s, s"g5_round$round")
+          next.write.mode("overwrite").parquet(path)
+          dist = s.read.parquet(path)
+        }
+        dist.orderBy(col("node"))
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             |      FROM pairs a JOIN pairs b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |nb AS (SELECT u AS node, v AS nbr FROM e
+             |       UNION ALL SELECT v, u FROM e),
+             |d0 AS (SELECT DISTINCT node, 0 AS dist FROM nb WHERE node < 100),
+             |d1 AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d0
+             |  UNION ALL
+             |  SELECT nb.node, d.dist + 1 FROM nb JOIN d0 d ON nb.nbr = d.node)
+             |  GROUP BY 1),
+             |d2 AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d1
+             |  UNION ALL
+             |  SELECT nb.node, d.dist + 1 FROM nb JOIN d1 d ON nb.nbr = d.node)
+             |  GROUP BY 1),
+             |d3 AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d2
+             |  UNION ALL
+             |  SELECT nb.node, d.dist + 1 FROM nb JOIN d2 d ON nb.nbr = d.node)
+             |  GROUP BY 1)
+             |SELECT node, dist FROM d3 ORDER BY node""".stripMargin)),
+
     // F1: funnel analysis — ORDERED multi-step conversion: for each user
     // the first "view", the first "click" strictly AFTER that view, and
     // the first "purchase" strictly after that click; stage = how deep
@@ -393,6 +460,32 @@ object GraphTemporalQueries {
              |  count(DISTINCT e.user_id) AS n_active
              |FROM ev e JOIN first f USING (user_id)
              |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // F3: top event paths — the sequence-mining face of the f block:
+    // each user's first five event types in event-time order become a
+    // path string, counted across users. Ordered collect per key (the
+    // w11/A1 bounded-collect contract), then a tiny path-keyed
+    // aggregate; the top-k lowers to TakeOrderedAndProject, never a
+    // global sort. Tie-break on the path string keeps the cut
+    // deterministic.
+    Q("f3_top_paths",
+      (s, d) => {
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(array_join(slice(transform(
+            sort_array(collect_list(struct(
+              col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), 1, 5), ">").as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      Some("""SELECT path, count(*) AS n_users FROM (
+             |  SELECT user_id,
+             |    array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+             |  FROM events GROUP BY user_id)
+             |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
 
     // A17: mergeable distinct-count sketches — the incremental-stats
     // pattern a 100 TB pipeline actually uses: build one HLL sketch PER

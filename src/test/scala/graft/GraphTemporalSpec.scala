@@ -176,6 +176,51 @@ class GraphTemporalSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("g5: BFS distances on a toy chain stop at the hop bound") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6)).toDF("u", "v")
+    val nb = e.select($"u".as("node"), $"v".as("nbr"))
+      .union(e.select($"v", $"u"))
+    var dist = nb.select($"node").distinct().filter($"node" === 1)
+      .select($"node", lit(0).as("dist"))
+    for (_ <- 1 to 3) {
+      val relaxed = nb
+        .join(dist.select($"node".as("dn"), $"dist"), $"nbr" === $"dn")
+        .select($"node", ($"dist" + 1).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+    }
+    val got = dist.as[(Int, Int)].collect().toMap
+    assert(got == Map(1 -> 0, 2 -> 1, 3 -> 2, 4 -> 3))
+  }
+
+  test("g5 on sf0.001: seeds at zero, neighbors triangle-inequality-consistent") {
+    val s = spark
+    import s.implicits._
+    val out = q("g5_bfs").cache()
+    try {
+      assert(out.filter($"dist" < 0 || $"dist" > 3).isEmpty)
+      assert(out.filter($"node" < 100 && $"dist" =!= 0).isEmpty,
+        "a seed node's distance is not zero")
+      assert(out.filter($"node" >= 100 && $"dist" === 0).isEmpty,
+        "a non-seed node claims distance zero")
+    } finally out.unpersist()
+  }
+
+  test("f3: paths are bounded at five steps and counts conserve users") {
+    val s = spark
+    import s.implicits._
+    val out = q("f3_top_paths")
+    val steps = out.withColumn("k",
+      size(split($"path", ">", -1)))
+    assert(steps.filter($"k" > 5 || $"k" < 1).isEmpty)
+    // top-20 cut can't exceed the distinct-user total
+    val users = Tables.events(spark, sfDir).select($"user_id").distinct().count()
+    val total = out.agg(sum($"n_users")).as[Long].head()
+    assert(total <= users)
+  }
+
   test("f2: retention matrix laws (offset-0 totals, no negatives, user conservation)") {
     val s = spark
     import s.implicits._
