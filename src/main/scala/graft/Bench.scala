@@ -128,6 +128,12 @@ object Bench {
         catch { case _: Throwable => -1.0 })
       flush(partial = true)
     }
+    if (selected.contains("e7_pq_adc")) {
+      record("_pq_build",
+        try timed(graft.queries.PipelineQueries.pretrainPq(spark, sfDir))
+        catch { case _: Throwable => -1.0 })
+      flush(partial = true)
+    }
     if (needsQc) {
       record("_qc_fit",
         try timed(graft.queries.MlQueries.pretrainQuality(spark, sfDir))

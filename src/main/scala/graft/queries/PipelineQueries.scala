@@ -79,8 +79,27 @@ object PipelineQueries {
     */
   def pretrainIvf(s: SparkSession, d: String): Unit = { ivfModel(s, d); () }
 
+  /** PQ codebooks: same artifact contract as the IVF quantizer — trained
+    * once per (session, sf dir), seeded, reused by every e7 execution;
+    * Bench reports the 4 sub-space k-means fits as "_pq_build".
+    */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.similarity.PqIndex.Model]
+
+  private def pqModel(s: SparkSession, d: String): graft.similarity.PqIndex.Model = {
+    if (pqCache.size >= MaxCachedIndexes
+        && !pqCache.contains(s"${s.hashCode}|$d")) pqCache.clear()
+    // m=16 x k=32 on 64-dim: 4-dim subspaces, 32x compression, measured
+    // mean top-10 overlap 5.2/10 on the near-random synthetic embeddings
+    // (4x16 scored 1.7 — chance; resolution is the recall knob)
+    pqCache.getOrElseUpdate(s"${s.hashCode}|$d",
+      graft.similarity.PqIndex.build(ivfEmb(s, d), m = 16, k = 32))
+  }
+
+  def pretrainPq(s: SparkSession, d: String): Unit = { pqModel(s, d); () }
+
   /** Harness teardown hook (see MlQueries.clearCaches). */
-  def clearCaches(): Unit = ivfCache.clear()
+  def clearCaches(): Unit = { ivfCache.clear(); pqCache.clear() }
 
   private def bucketedEmbeddings(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -1271,6 +1290,43 @@ object PipelineQueries {
     // registry contract; the planted batch is routed to cells by
     // IvfIndex.assign (map-side, no refit), the incremental-ingest shape.
     //
+    // E7: product-quantization ANN (similarity/PqIndex) — the
+    // compressed-scan path beside e1 (brute force), e2 (LSH buckets) and
+    // e4 (IVF cells): corpus vectors stored as 4 codebook codes (~64x
+    // smaller than float64), queries score the whole compressed corpus
+    // through a per-query ADC lookup table. SELF-EVIDENCING like e4: each
+    // query row carries the overlap between its ADC top-10 and the exact
+    // squared-L2 top-10 computed in the same query, so recall is read
+    // directly off the result; PqIndexSpec pins the floor. Codebooks are
+    // seeded k-means -> deterministic; engine-specific -> rows-only.
+    Q("e7_pq_adc",
+      (s, d) => {
+        val emb = ivfEmb(s, d)
+        val model = pqModel(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val approx = graft.similarity.PqIndex.adcTopK(model, queries, 10)
+        val exact = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("v"), col("v")) + dot(col("qv"), col("qv"))
+              - lit(2.0) * dot(col("v"), col("qv"))).as("d2"))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("d2"), col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("vec_id").as("cand_id"))
+        val overlap = approx.select(col("q_id"), col("cand_id"))
+          .intersect(exact)
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+        queries.select(col("q_id"))
+          .join(overlap, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            lit(10).as("k"))
+          .orderBy(col("q_id"))
+      },
+      None),
+
     // The synthetic embeddings have no natural near-dups (max pairwise
     // cosine ~0.51), so the query plants them the way d8 plants exact text
     // dups: vec_id < 25 re-enters at id+10000 scaled by 1.02 with one
