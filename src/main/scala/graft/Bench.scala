@@ -113,7 +113,7 @@ object Bench {
     // 0.6 s query must not pay ~9 s of pretraining.
     val needsAls = selected.exists(Set("m4_als_recommend", "m5_als_rmse",
       "m6_item_similarity"))
-    val needsIvf = selected.exists(Set("e4_ann_ivf", "e6_semdedup"))
+    val needsIvf = selected.exists(Set("e4_ann_ivf", "e6_semdedup", "e8_ivfpq"))
     val needsQc = selected.contains("c5_quality_classifier")
     val needsBuckets = selected.contains("b1_bucketed_join")
     if (needsAls) {
@@ -128,7 +128,7 @@ object Bench {
         catch { case _: Throwable => -1.0 })
       flush(partial = true)
     }
-    if (selected.contains("e7_pq_adc")) {
+    if (selected.exists(Set("e7_pq_adc", "e8_ivfpq"))) {
       record("_pq_build",
         try timed(graft.queries.PipelineQueries.pretrainPq(spark, sfDir))
         catch { case _: Throwable => -1.0 })

@@ -1327,6 +1327,53 @@ object PipelineQueries {
       },
       None),
 
+    // E8: IVF-PQ — the production composition of the two trained indexes
+    // (the FAISS shape): the IVF quantizer prunes WHICH vectors to read
+    // (nprobe nearest cells), PQ compresses WHAT is read (ADC scoring
+    // inside the probed lists only). Both artifacts come from the same
+    // caches e4/e7 use, so the composition costs no extra training.
+    // Self-evidencing: per query, the overlap of IVF-PQ top-10 vs the
+    // exact squared-L2 top-10 AND the probed-candidate count — recall
+    // splits into "IVF missed the cell" vs "PQ misranked inside it",
+    // and n_cand shows the read amplification the cell pruning saved.
+    Q("e8_ivfpq",
+      (s, d) => {
+        val emb = ivfEmb(s, d)
+        val ivf = ivfModel(s, d)
+        val pq = pqModel(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val cand = graft.similarity.IvfIndex.probe(ivf, queries, nprobe = 3)
+          .select(col("q_id"), col("cell_id"))
+          .join(ivf.assigned.select(col("vec_id"), col("cell_id")),
+            Seq("cell_id"))
+          .select(col("q_id"), col("vec_id"))
+        val approx = graft.similarity.PqIndex
+          .adcTopKWithin(pq, queries, cand, 10)
+        val exact = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("v"), col("v")) + dot(col("qv"), col("qv"))
+              - lit(2.0) * dot(col("v"), col("qv"))).as("d2"))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("d2"), col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("vec_id").as("cand_id"))
+        val overlap = approx.select(col("q_id"), col("cand_id"))
+          .intersect(exact)
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+        val nc = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+        queries.select(col("q_id"))
+          .join(overlap, Seq("q_id"), "left")
+          .join(nc, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            lit(10).as("k"))
+          .orderBy(col("q_id"))
+      },
+      None),
+
     // The synthetic embeddings have no natural near-dups (max pairwise
     // cosine ~0.51), so the query plants them the way d8 plants exact text
     // dups: vec_id < 25 re-enters at id+10000 scaled by 1.02 with one

@@ -91,19 +91,27 @@ object IvfIndex {
         col("m.csim").as("csim"), l2Norm(col("m.v")).as("nrm"))
   }
 
-  /** Exact-cosine top-k restricted to each query's `nprobe` nearest cells.
-    * `queries` must have (q_id, qv: array<double>).
+  /** Each query's `nprobe` nearest cells — the shared probe-selection
+    * step of the IVF search paths (exact-rerank `topK` and the IVF-PQ
+    * composition): query x model-sized centroid table (broadcast), top
+    * cells by centroid cosine with a total tie-break.
     */
-  def topK(model: Model, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  def probe(model: Model, queries: DataFrame, nprobe: Int): DataFrame = {
     val q = queries.withColumn("qnrm", l2Norm(col("qv")))
-    // probe selection: query x centroid table (model-sized -> broadcast)
-    val probed = q.join(broadcast(model.centroids))
+    q.join(broadcast(model.centroids))
       .select(col("q_id"), col("qv"), col("qnrm"), col("cell_id"),
         (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("csim"))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(desc("csim"), col("cell_id"))))
       .filter(col("crank") <= nprobe)
       .select("q_id", "qv", "qnrm", "cell_id")
+  }
+
+  /** Exact-cosine top-k restricted to each query's `nprobe` nearest cells.
+    * `queries` must have (q_id, qv: array<double>).
+    */
+  def topK(model: Model, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probed = probe(model, queries, nprobe)
     // candidate join keyed on cell_id, then exact per-query ranking
     probed.join(model.assigned, Seq("cell_id"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -104,6 +104,37 @@ object PqIndex {
       .select(col("q_id"), col("vec_id").as("cand_id"), col("rn"))
   }
 
+  /** ADC top-k restricted to a CANDIDATE set — the IVF-PQ composition's
+    * scoring half: `cand` is (q_id, vec_id) (typically the vectors in
+    * each query's probed cells), and only those pairs are scored. Same
+    * LUT + partial-aggregate shape as [[adcTopK]]; the semi-join onto
+    * the candidate pairs happens before the LUT join, so the compressed
+    * scan shrinks from the whole corpus to the probed lists.
+    */
+  def adcTopKWithin(model: Model, queries: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
+    val lut = queries.join(broadcast(model.codebooks))
+      .select(col("q_id"), col("sub_idx"), col("code"),
+        sqDist(subviewOf(col("qv"), col("sub_idx"), model.subDim), col("cv"))
+          .as("pd"))
+    val unrolled = cand.join(model.codes, Seq("vec_id"))
+      .select(col("q_id").as("c_qid"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub_idx", "code")))
+    unrolled.join(lut,
+        col("c_qid") === col("q_id")
+          && unrolled("sub_idx") === lut("sub_idx")
+          && unrolled("code") === lut("code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adist"), count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === model.m)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("rn"))
+  }
+
   /** The sub_idx-th subvector when the index is a COLUMN, not a literal
     * (slice() needs fold-ability for its start argument only in the
     * literal API; the expr form accepts any expression).

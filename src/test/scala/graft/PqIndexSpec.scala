@@ -51,6 +51,23 @@ class PqIndexSpec extends SparkSpec {
       "zero-distortion ADC diverged from the exact ranking")
   }
 
+  test("e8 IVF-PQ prunes the scan and keeps recall above the floor") {
+    val s = spark
+    import s.implicits._
+    val out = SparkEntry.queries("e8_ivfpq")(spark, sfDir)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.length === 10)
+    val corpus = Tables.embeddings(spark, sfDir).count()
+    // the probe must actually prune: every candidate list smaller than
+    // the corpus, and none empty
+    assert(out.forall(r => r._3 > 0 && r._3 < corpus),
+      s"candidate lists not pruned: ${out.map(_._3).mkString(",")}")
+    val mean = out.map(_._2).sum / 10.0
+    // IVF cell misses stack on PQ distortion, so the floor sits below
+    // e7's full-scan floor (observed ~3.6 at nprobe=3)
+    assert(mean >= 1.5, s"mean IVF-PQ top-10 overlap $mean below floor")
+  }
+
   test("e7 self-evidencing recall stays above the floor") {
     val s = spark
     import s.implicits._
