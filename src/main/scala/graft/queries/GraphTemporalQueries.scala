@@ -487,6 +487,141 @@ object GraphTemporalQueries {
              |  FROM events GROUP BY user_id)
              |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
 
+    // O12: ANALYZE-style table statistics — the optimizer-facing stats
+    // collection every warehouse runs after load: per column, row count,
+    // null count, and exact distinct cardinality, emitted as a stats
+    // TABLE (one row per column) a cost model or data catalog ingests.
+    // One pass per column over a column-pruned scan; at 100 TB swap the
+    // exact count_distinct for the a17 HLL sketch — the emitted schema
+    // is unchanged, which is why the stats table is the contract, not
+    // the counting method.
+    Q("o12_analyze",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val cols = Seq("l_orderkey", "l_partkey", "l_returnflag",
+          "l_quantity", "l_shipdate")
+        cols.map { c =>
+          li.agg(
+            lit(c).as("col_name"),
+            count(lit(1)).as("n"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            count_distinct(col(c)).as("n_distinct"))
+        }.reduce(_.unionByName(_)).orderBy(col("col_name"))
+      },
+      Some("""SELECT col_name, CAST(n AS BIGINT) AS n,
+             |  CAST(n_null AS BIGINT) AS n_null,
+             |  CAST(n_distinct AS BIGINT) AS n_distinct
+             |FROM (
+             |  SELECT 'l_orderkey' AS col_name, count(*) AS n,
+             |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+             |    count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_partkey', count(*),
+             |    sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT l_partkey) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_returnflag', count(*),
+             |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT l_returnflag) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_quantity', count(*),
+             |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT l_quantity) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_shipdate', count(*),
+             |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT l_shipdate) FROM lineitem)
+             |ORDER BY col_name""".stripMargin)),
+
+    // P11: data-quality expectations — the dbt-test / Delta-constraints
+    // shape: a fixed battery of checks, each one scalar violation count,
+    // emitted as a (check, n_violations) table a CI gate reads. Each
+    // check is a filter-count or anti-join — nothing materializes the
+    // violating rows themselves (at 100 TB you count first and sample
+    // the offenders separately). The referential check is the load-
+    // bearing one: a left-anti join on the key, never a collected id
+    // list.
+    Q("p11_dq_checks",
+      (s, d) => {
+        val o = orders(s, d)
+        val li = lineitem(s, d)
+        val checks = Seq(
+          o.agg(lit("orders_dup_pk").as("check_name"),
+            (count(lit(1)) - count_distinct(col("o_orderkey")))
+              .as("n_violations")),
+          o.agg(lit("orders_null_custkey").as("check_name"),
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+              .as("n_violations")),
+          o.agg(lit("orders_nonpositive_price").as("check_name"),
+            sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+              .as("n_violations")),
+          li.join(o.select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(lit("lineitem_orphan").as("check_name"),
+              count(lit(1)).as("n_violations")),
+          li.agg(lit("lineitem_qty_range").as("check_name"),
+            sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+              .as("n_violations")))
+        checks.reduce(_.unionByName(_)).orderBy(col("check_name"))
+      },
+      Some("""SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations
+             |FROM (
+             |  SELECT 'orders_dup_pk' AS check_name,
+             |    count(*) - count(DISTINCT o_orderkey) AS n_violations
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'orders_null_custkey',
+             |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'orders_nonpositive_price',
+             |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'lineitem_orphan', count(*)
+             |  FROM lineitem l WHERE NOT EXISTS (
+             |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+             |  UNION ALL
+             |  SELECT 'lineitem_qty_range',
+             |    sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+             |  FROM lineitem)
+             |ORDER BY check_name""".stripMargin)),
+
+    // M10: k-fold cross-validation — the missing member of the harness
+    // family (m7 sweep / m8 grid / m9 curve): the quality-classifier
+    // student is fit k times on deterministic md5-bucket folds (the c2
+    // split primitive) and each held-out fold scores a rank-based AUC
+    // (Mann-Whitney from a row_number rank sum — no collect, one window
+    // per fold over the scored rows). Model output is engine-specific
+    // -> rows-only; the fold-AUC floor and fold-disjointness laws live
+    // in GraphTemporalSpec.
+    Q("m10_cv",
+      (s, d) => {
+        val feats = graft.pipeline.QualityClassifier
+          .featurize(tokenizedDocs(s, d))
+          .withColumn("fold",
+            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+              .cast("long"), lit(3)))
+        val folds = (0 until 3).map { i =>
+          val model = graft.pipeline.QualityClassifier
+            .fit(feats.filter(col("fold") =!= i))
+          val scored = graft.pipeline.QualityClassifier
+            .score(model, feats.filter(col("fold") === i))
+          val ranked = scored.withColumn("r", row_number().over(
+            Window.orderBy(col("p_keep"), col("doc_id"))))
+          ranked.agg(
+            lit(i).as("fold"),
+            count(lit(1)).as("n_test"),
+            sum(col("label")).cast("long").as("n_pos"),
+            round((sum(when(col("label") === 1.0, col("r")).otherwise(0L))
+                - sum(col("label")) * (sum(col("label")) + 1) / 2.0)
+              / (sum(col("label")) * (count(lit(1)) - sum(col("label")))),
+              4).as("auc"))
+        }
+        folds.reduce(_.unionByName(_)).orderBy(col("fold"))
+      },
+      None),
+
     // A17: mergeable distinct-count sketches — the incremental-stats
     // pattern a 100 TB pipeline actually uses: build one HLL sketch PER
     // SOURCE partition of the corpus (a partial, persistable artifact),

@@ -243,6 +243,31 @@ class GraphTemporalSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("m10: CV folds partition the corpus and hold the distillation AUC floor") {
+    val s = spark
+    import s.implicits._
+    val out = q("m10_cv").as[(Int, Long, Long, Double)].collect()
+    assert(out.length === 3)
+    assert(out.map(_._1).toSet == Set(0, 1, 2))
+    // folds cover the featurized corpus exactly once
+    val total = Tables.tokenizedDocs(spark, sfDir).count()
+    assert(out.map(_._2).sum === total)
+    out.foreach { case (fold, nTest, nPos, auc) =>
+      assert(nPos > 0 && nPos < nTest, s"fold $fold is label-degenerate")
+      // c5's distillation acceptance floor, held out-of-fold
+      assert(auc >= 0.85, s"fold $fold AUC $auc below floor")
+    }
+  }
+
+  test("p11: the battery reports every check exactly once, non-negative") {
+    val s = spark
+    import s.implicits._
+    val out = q("p11_dq_checks").as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("orders_dup_pk", "orders_null_custkey",
+      "orders_nonpositive_price", "lineitem_orphan", "lineitem_qty_range"))
+    assert(out.values.forall(_ >= 0))
+  }
+
   test("a17: HLL estimates track exact counts and the union is consistent") {
     val s = spark
     import s.implicits._
