@@ -622,6 +622,55 @@ object GraphTemporalQueries {
       },
       None),
 
+    // J14: interval-OVERLAP join — the temporal-join family's missing
+    // member (j8/j11 are as-of, j9/j10 are point-in-interval): every
+    // campaign window [start, start+30d) pairs with every order window
+    // [start, start+7d) it overlaps. Spark has no native interval join,
+    // and the naive inequality join plans as a nested loop — so both
+    // sides DECOMPOSE into covering day-buckets (width 16 d, so a 30-day
+    // interval explodes to <= 3 rows) and meet in a bucket equi-join;
+    // a distinct collapses multi-bucket double-hits and the exact
+    // overlap predicate filters the bucket's false candidates. The
+    // ORACLE is the plain inequality join — result-identical (the sk1
+    // pattern: the optimized plan is checked against the naive
+    // semantics). Overlap length in whole days is exact integer
+    // epoch-day arithmetic.
+    Q("j14_interval_overlap",
+      (s, d) => {
+        // exact integer day ids: `div`, never `/` (long / long promotes
+        // to double — the Tables.eventTime hazard class)
+        val o = orders(s, d)
+          .withColumn("us", unix_micros(col("o_orderdate").cast("timestamp")))
+          .withColumn("lo", expr("us div 86400000000"))
+        val a = o.filter(col("o_orderkey") % 997 === 0)
+          .select(col("o_orderkey").as("a_key"), col("lo").as("a_lo"),
+            (col("lo") + 30).as("a_hi"))
+        val b = o.select(col("o_orderkey").as("b_key"), col("lo").as("b_lo"),
+          (col("lo") + 7).as("b_hi"))
+        val ab = a.withColumn("bucket",
+          explode(expr("sequence(a_lo div 16, (a_hi - 1) div 16)")))
+        val bb = b.withColumn("bucket",
+          explode(expr("sequence(b_lo div 16, (b_hi - 1) div 16)")))
+        ab.join(bb, Seq("bucket"))
+          .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+          .select(col("a_key"), col("b_key"),
+            (least(col("a_hi"), col("b_hi"))
+              - greatest(col("a_lo"), col("b_lo"))).as("overlap_days"))
+          .distinct()
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS lo
+             |  FROM orders),
+             |a AS (SELECT o_orderkey AS a_key, lo AS a_lo, lo + 30 AS a_hi
+             |      FROM o WHERE o_orderkey % 997 = 0),
+             |b AS (SELECT o_orderkey AS b_key, lo AS b_lo, lo + 7 AS b_hi
+             |      FROM o)
+             |SELECT a_key, b_key,
+             |  least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_days
+             |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+             |ORDER BY a_key, b_key""".stripMargin)),
+
     // A17: mergeable distinct-count sketches — the incremental-stats
     // pattern a 100 TB pipeline actually uses: build one HLL sketch PER
     // SOURCE partition of the corpus (a partial, persistable artifact),

@@ -268,6 +268,20 @@ class GraphTemporalSpec extends SparkSpec {
     assert(out.values.forall(_ >= 0))
   }
 
+  test("j14: overlap lengths are bounded by the shorter interval, pairs canonical") {
+    val s = spark
+    import s.implicits._
+    val out = q("j14_interval_overlap").cache()
+    try {
+      // overlap of a 30-day and a 7-day window is within (0, 7]
+      assert(out.filter($"overlap_days" < 1 || $"overlap_days" > 7).isEmpty)
+      assert(out.filter($"a_key" % 997 =!= 0).isEmpty,
+        "a non-campaign key leaked into the a side")
+      assert(out.groupBy($"a_key", $"b_key").count().filter($"count" > 1).isEmpty,
+        "bucket decomposition produced duplicate pairs")
+    } finally out.unpersist()
+  }
+
   test("a17: HLL estimates track exact counts and the union is consistent") {
     val s = spark
     import s.implicits._

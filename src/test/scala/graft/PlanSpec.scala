@@ -224,6 +224,12 @@ class PlanSpec extends SparkSpec {
     val u3 = plan("u3_scd2_history")
     assert(u3.contains("Window"), "u3 lost its window shape")
     assert(!u3.contains("Join"), "u3 grew a join; SCD2 needs only a join-free window")
+    // j14: the interval-overlap join must meet in the bucket equi-join,
+    // never the nested-loop/cartesian Spark would plan for the raw
+    // inequality condition
+    val j14 = plan("j14_interval_overlap")
+    assert(!j14.contains("CartesianProduct") && !j14.contains("NestedLoop"),
+      "j14 degraded to an all-pairs interval join")
   }
 
   test("w10: the hourly aggregate is computed once (materialized diamond)") {
