@@ -171,32 +171,55 @@ object GraphTemporalQueries {
     // USER's mean/stddev and count |z| >= 2 outliers per user. Two
     // passes over events (stats agg, then a broadcast-able join back);
     // at 100 TB the stats side is tiny (one row per user) so the join
-    // broadcasts and the only shuffle is the stats groupBy. The flag
-    // compares the ROUNDED z (4 dp) so both engines decide from the
-    // same number; the sf0.01 minimum |{|z|-2}| margin is 9.2e-4 —
-    // three orders of magnitude above cross-engine float noise.
+    // broadcasts and the only shuffle is the stats groupBy.
+    //
+    // REGENERATION-PROOF decision rule: avg()/stddev_samp() sum in
+    // engine-specific order, so their raw outputs can differ in the
+    // last ulps between Spark and DuckDB — and on one testdata
+    // regeneration a z landed inside that disagreement band and
+    // flipped the flag. Instead BOTH engines derive mu and sd from
+    // the SAME three exact-ified inputs per user: n = count,
+    // s1 = round(sum(value), 6), s2 = round(sum(value*value), 6).
+    // The 6-dp rounding absorbs summation-order noise (relative
+    // ~1e-10 at these magnitudes); from identical (n, s1, s2) the
+    // downstream -, *, /, sqrt are all correctly-rounded IEEE-754
+    // double ops, so mu, sd, and every z are BIT-IDENTICAL across
+    // engines and the |z| >= 2 comparison cannot disagree — no
+    // margin needed, on any data.
     Q("a16_zscore_anomaly",
       (s, d) => {
         val stats = events(s, d).groupBy(col("user_id"))
-          .agg(avg(col("value")).as("mu"),
-            stddev_samp(col("value")).as("sd"))
-          .filter(col("sd") > 0)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 6).as("s1"),
+            round(sum(col("value") * col("value")), 6).as("s2"))
+          .filter(col("n") > 1)
+          .withColumn("mu", col("s1") / col("n"))
+          .withColumn("variance",
+            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .filter(col("variance") > 0)
+          .withColumn("sd", sqrt(col("variance")))
           .select(col("user_id").as("s_user"), col("mu"), col("sd"))
         events(s, d)
           .join(broadcast(stats), col("user_id") === col("s_user"))
-          .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+          .withColumn("z", (col("value") - col("mu")) / col("sd"))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
             sum(when(abs(col("z")) >= 2, 1).otherwise(0)).as("n_anomalies"))
           .orderBy(col("user_id"))
       },
-      Some("""WITH stats AS (
-             |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+      Some("""WITH sums AS (
+             |  SELECT user_id, count(*) AS n,
+             |         round(sum(value), 6) AS s1,
+             |         round(sum(value * value), 6) AS s2
              |  FROM events GROUP BY 1),
+             |stats AS (
+             |  SELECT user_id, s1 / n AS mu,
+             |         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+             |  FROM sums
+             |  WHERE n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0),
              |z AS (
-             |  SELECT e.user_id, round((e.value - s.mu) / s.sd, 4) AS z
-             |  FROM events e JOIN stats s ON e.user_id = s.user_id
-             |  WHERE s.sd > 0)
+             |  SELECT e.user_id, (e.value - s.mu) / s.sd AS z
+             |  FROM events e JOIN stats s ON e.user_id = s.user_id)
              |SELECT user_id, count(*) AS n_events,
              |  sum(CASE WHEN abs(z) >= 2 THEN 1 ELSE 0 END) AS n_anomalies
              |FROM z GROUP BY 1 ORDER BY user_id""".stripMargin)),
