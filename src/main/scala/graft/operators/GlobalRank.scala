@@ -77,9 +77,9 @@ object GlobalRank {
     val offsets = ranged.groupBy(col(pid))
       .agg(count(lit(1)).as("_gr_n"), sum(col(valueCol)).as("_gr_v"))
       .withColumn(roff,
-        (sum(col("_gr_n")).over(Window.orderBy(col(pid))) - col("_gr_n")).cast("long"))
+        (sum(col("_gr_n")).over(TinyWindow.total(col(pid))(col(pid))) - col("_gr_n")).cast("long"))
       .withColumn(voff,
-        (sum(col("_gr_v")).over(Window.orderBy(col(pid))) - col("_gr_v")).cast("long"))
+        (sum(col("_gr_v")).over(TinyWindow.total(col(pid))(col(pid))) - col("_gr_v")).cast("long"))
       .select(col(pid), col(roff), col(voff))
     val local = Window.partitionBy(col(pid)).orderBy(order: _*)
     ranged.join(broadcast(offsets), Seq(pid))
@@ -105,7 +105,7 @@ object GlobalRank {
     val ranged = df.repartitionByRange(order: _*).withColumn(pid, spark_partition_id())
     val offsets = ranged.groupBy(col(pid)).agg(perPartition)
       .withColumn(off,
-        (sum(col("_gr_n")).over(Window.orderBy(col(pid))) - col("_gr_n")).cast("long"))
+        (sum(col("_gr_n")).over(TinyWindow.total(col(pid))(col(pid))) - col("_gr_n")).cast("long"))
       .select(col(pid), col(off))
     ranged.join(broadcast(offsets), Seq(pid))
       .withColumn(out, local(col(pid), col(off)))

@@ -614,8 +614,14 @@ object GraphTemporalQueries {
     // family (m7 sweep / m8 grid / m9 curve): the quality-classifier
     // student is fit k times on deterministic md5-bucket folds (the c2
     // split primitive) and each held-out fold scores a rank-based AUC
-    // (Mann-Whitney from a row_number rank sum — no collect, one window
-    // per fold over the scored rows). Model output is engine-specific
+    // (Mann-Whitney from a rank sum — no collect). The rank comes from
+    // operators/GlobalRank (range-repartition + partition offsets), NOT
+    // `row_number().over(Window.orderBy(...))`: an unpartitioned window
+    // coalesces the whole scored fold into ONE partition — fine at sf0.1,
+    // a stall when the held-out fold is a corpus shard (PlanSpec pins
+    // the absence of a single-partition WindowExec over the fold rows).
+    // (p_keep, doc_id) is a total order, so GlobalRank's result equals
+    // the naive window bit-for-bit. Model output is engine-specific
     // -> rows-only; the fold-AUC floor and fold-disjointness laws live
     // in GraphTemporalSpec.
     Q("m10_cv",
@@ -630,8 +636,8 @@ object GraphTemporalQueries {
             .fit(feats.filter(col("fold") =!= i))
           val scored = graft.pipeline.QualityClassifier
             .score(model, feats.filter(col("fold") === i))
-          val ranked = scored.withColumn("r", row_number().over(
-            Window.orderBy(col("p_keep"), col("doc_id"))))
+          val ranked = graft.operators.GlobalRank.withRowNumber(
+            scored, Seq(col("p_keep"), col("doc_id")), "r")
           ranked.agg(
             lit(i).as("fold"),
             count(lit(1)).as("n_test"),

@@ -1071,8 +1071,12 @@ object PipelineQueries {
           .select(col("doc_id"), key.as("shuffle_key"))
           .orderBy(col("shuffle_key"))
           .limit(50)
+          // TinyWindow: the frame is the 50-row LIMIT slice above —
+          // bounded by construction; the full-corpus ordering itself
+          // stays a range-partitioned sort (no global window over it)
           .withColumn("pos",
-            row_number().over(Window.orderBy(col("shuffle_key"))).cast("long"))
+            row_number().over(graft.operators.TinyWindow.total(col("shuffle_key"))(col("shuffle_key")))
+              .cast("long"))
       },
       Some("""WITH k AS (
              |  SELECT doc_id, md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key

@@ -275,10 +275,14 @@ object RelationalQueries {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // A6: rank over an aggregate (EDA cell 86 genre popularity rank).
+    // TinyWindow: the frame is the event_type aggregate — cardinality is
+    // the number of distinct event types (single digits at any corpus
+    // size), so the single-partition rank is deliberate and bounded.
     Q("a6_rank_agg",
       (s, d) => events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .withColumn("rnk",
-          rank().over(Window.orderBy(desc("n"), col("event_type"))).cast("long"))
+          rank().over(graft.operators.TinyWindow.total(col("event_type"))(desc("n"), col("event_type")))
+            .cast("long"))
         .orderBy("rnk", "event_type"),
       Some("""SELECT event_type, n, rank() OVER (ORDER BY n DESC, event_type) AS rnk
              |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type) t
@@ -313,10 +317,13 @@ object RelationalQueries {
           .when(col("value") < 10, "2_5to10")
           .when(col("value") < 20, "3_10to20")
           .otherwise("4_20plus")
+        // TinyWindow: the grand-total window runs over the 5-bucket
+        // histogram aggregate — bounded by the CASE arms, not the data
         events(s, d).select(bin.as("bin"))
           .groupBy(col("bin")).agg(count(lit(1)).as("n"))
           .withColumn("pct",
-            round(col("n") * lit(100.0) / sum(col("n")).over(Window.partitionBy()), 4))
+            round(col("n") * lit(100.0)
+              / sum(col("n")).over(graft.operators.TinyWindow.whole(col("bin"))), 4))
           .orderBy("bin")
       },
       Some("""WITH b AS (SELECT CASE WHEN value < 2 THEN '0_under2'

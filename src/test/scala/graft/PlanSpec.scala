@@ -232,6 +232,18 @@ class PlanSpec extends SparkSpec {
       "j14 degraded to an all-pairs interval join")
   }
 
+  test("m10: fold ranking is GlobalRank-shaped — no single-partition " +
+      "window over the scored fold rows (VERDICT r8 #2)") {
+    val p = plan("m10_cv")
+    // the fold-row window must be partitioned (by GlobalRank's _gr_pid);
+    // an unpartitioned spec would print windowspecdefinition(p_keep#...
+    assert(!p.contains("windowspecdefinition(p_keep"),
+      "m10's AUC rank regressed to an unpartitioned window over the " +
+        "scored fold:\n" + p.take(1500))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "m10's fold ranking lost GlobalRank's range repartition:\n" + p.take(1500))
+  }
+
   test("w10: the hourly aggregate is computed once (materialized diamond)") {
     // grid derives from `hourly` and then left-joins back onto it; the
     // branches DIVERGE under column pruning (the grid side drops sv) so
