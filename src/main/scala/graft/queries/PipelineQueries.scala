@@ -81,7 +81,8 @@ object PipelineQueries {
 
   /** PQ codebooks: same artifact contract as the IVF quantizer — trained
     * once per (session, sf dir), seeded, reused by every e7 execution;
-    * Bench reports the 4 sub-space k-means fits as "_pq_build".
+    * Bench reports the m=16 concurrent sub-space k-means fits (on the
+    * seeded sufficient sample — see PqIndex.build) as "_pq_build".
     */
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.similarity.PqIndex.Model]
@@ -1296,8 +1297,9 @@ object PipelineQueries {
     //
     // E7: product-quantization ANN (similarity/PqIndex) — the
     // compressed-scan path beside e1 (brute force), e2 (LSH buckets) and
-    // e4 (IVF cells): corpus vectors stored as 4 codebook codes (~64x
-    // smaller than float64), queries score the whole compressed corpus
+    // e4 (IVF cells): corpus vectors stored as 16 codebook codes (m=16,
+    // k=32 per pqModel — 32x smaller than the 64-dim float64 vector),
+    // queries score the whole compressed corpus
     // through a per-query ADC lookup table. SELF-EVIDENCING like e4: each
     // query row carries the overlap between its ADC top-10 and the exact
     // squared-L2 top-10 computed in the same query, so recall is read
@@ -1347,10 +1349,15 @@ object PipelineQueries {
         val pq = pqModel(s, d)
         val queries = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        // self-pairs out up front: adcTopKWithin excludes vec_id == q_id
+        // anyway, so counting them in n_cand overstated the read
+        // amplification by 1 per query (every query sits in its own
+        // probed cell)
         val cand = graft.similarity.IvfIndex.probe(ivf, queries, nprobe = 3)
           .select(col("q_id"), col("cell_id"))
           .join(ivf.assigned.select(col("vec_id"), col("cell_id")),
             Seq("cell_id"))
+          .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"))
         val approx = graft.similarity.PqIndex
           .adcTopKWithin(pq, queries, cand, 10)
