@@ -61,6 +61,26 @@ object Bench {
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     val selected = names.map(_._1).toSet
 
+    // Hypervisor steal-time stamping (VERDICT r8 #5): this host throttles
+    // episodically (measured cumulative steal ~4x user time; one throttled
+    // run recorded 899.6 s vs 110 s same-code), so every artifact carries
+    // its own provenance — "steal_pct" is the steal share of total CPU
+    // jiffies since the process started (recomputed at every flush, so
+    // even a crash-partial artifact is self-labeling) and
+    // "steal_pct_runs" the per-suite-pass windows. A result with
+    // steal_pct near 0 was taken on a calm host; tens of percent explains
+    // its own inflation without needing tools/host_calm.py forensics.
+    def cpuStat(): Option[(Long, Long)] = try {
+      val f = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      Some((f.sum, if (f.length > 7) f(7) else 0L))
+    } catch { case _: Throwable => None }
+    val statStart = cpuStat()
+    def stealPctSince(from: Option[(Long, Long)]): Option[Double] =
+      for ((t0, s0) <- from; (t1, s1) <- cpuStat() if t1 > t0)
+        yield 100.0 * (s1 - s0) / (t1 - t0)
+    val stealRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val best = scala.collection.mutable.Map.empty[String, Double]
     def record(name: String, sec: Double): Unit =
@@ -83,6 +103,13 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
+    def stealJson: String = {
+      val overall = stealPctSince(statStart)
+        .map(v => "\"steal_pct\":" + fmt(v, 2) + ",").getOrElse("")
+      val perRun = if (stealRuns.isEmpty) ""
+        else "\"steal_pct_runs\":[" + stealRuns.map(fmt(_, 2)).mkString(",") + "],"
+      overall + perRun
+    }
     def buildLine(dp: Int, partial: Boolean): String = {
       val results = best.toSeq.sortBy(_._1)
       val qs = results
@@ -92,7 +119,7 @@ object Bench {
       }.sum
       val errJson = errors.toSeq.map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
       val partialField = if (partial) "\"partial\":true," else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",$partialField"runs":$runs,"queries":$qs,"sf":"$sfDir","errors":$errJson}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",$partialField"runs":$runs,$stealJson"queries":$qs,"sf":"$sfDir","errors":$errJson}"""
     }
     // A name-filtered run must never clobber the full-suite artifact that
     // tools/bench_notes.py reads — partial results default to their own
@@ -148,6 +175,7 @@ object Bench {
     }
 
     for (_ <- 1 to runs) {
+      val runStat = cpuStat()
       record("_floor", timed(execute((s, _) => s.range(1000).toDF("id"))))
       for ((name, fn) <- names) {
         val sec =
@@ -159,6 +187,7 @@ object Bench {
         record(name, sec)
         flush(partial = true)
       }
+      stealPctSince(runStat).foreach(stealRuns += _)
     }
 
     // Final stdout line: adaptive precision so the driver's 2000-char tail
@@ -175,7 +204,7 @@ object Bench {
       val qs = (top.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
         :+ ("\"_other_" + rest.size + "q\":" + fmt(restSum, 2)))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir","errors":$errJson}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","runs":$runs,$stealJson"queries":$qs,"sf":"$sfDir","errors":$errJson}"""
     }
     val json = (3 to 1 by -1).map(buildLine(_, partial = false))
       .find(_.length <= 1880).getOrElse(topLine)
