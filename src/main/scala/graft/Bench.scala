@@ -173,6 +173,25 @@ object Bench {
         catch { case _: Throwable => -1.0 })
       flush(partial = true)
     }
+    // K=64 BPE training point (VERDICT r8 #6): t16 registers K=6, which
+    // hides the per-merge driver-round-trip cost the BpeTrainer.
+    // MaxTrainRounds budget is about — 64 rounds on the sf dir's real
+    // word counts pins sec/merge in every artifact (harness entry,
+    // excluded from total like the other "_" builds).
+    if (selected.contains("t16_bpe_merges")) {
+      import org.apache.spark.sql.functions.{col, count, explode, lit}
+      record("_bpe_train64",
+        try timed {
+          val wc = Tables.documents(spark, sfDir)
+            .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("word"))
+            .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          val learned = graft.operators.BpeTrainer.train(wc, "word", "cnt",
+            merges = 64, checkpointDir = Some(Scratch.dir(spark, "bench_bpe64")))
+          require(learned.nonEmpty, "BPE bench point learned no merges")
+        } catch { case _: Throwable => -1.0 })
+      flush(partial = true)
+    }
 
     for (_ <- 1 to runs) {
       val runStat = cpuStat()

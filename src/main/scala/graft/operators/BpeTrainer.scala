@@ -28,11 +28,33 @@ object BpeTrainer {
   final case class Merge(step: Int, left: String, right: String,
       merged: String, pairCount: Long)
 
+  /** Every training round ends in one driver round-trip (the
+    * `.limit(1).collect()` argmax): greedy BPE's next merge is a GLOBAL
+    * decision, so a scalar must reach the driver per round — that is
+    * inherent to the algorithm, not an implementation shortcut (same
+    * scalar-only contract as ConnectedComponents' convergence flag). The
+    * per-round cost is two distributed jobs + one checkpoint write,
+    * independent of corpus size (the working set is unique words); the
+    * ROUND COUNT is therefore the budget. Fine through a few hundred
+    * rounds (`_bpe_train64` pins the measured per-merge cost in every
+    * bench artifact); pathological at a realistic 10k-50k vocabulary,
+    * where one scheduler round-trip per merge dominates — that regime
+    * needs a batched-merge trainer (apply the top-B non-overlapping
+    * pairs per round), not this operator. [[train]] enforces the bound
+    * the same way [[encode]] enforces [[MaxFusedMerges]].
+    */
+  val MaxTrainRounds = 1024
+
   /** Learn `merges` BPE merges from a (word, cnt) frame. Returns the merge
     * table in learned order; stops early when no pair occurs twice.
+    * `merges` must stay within [[MaxTrainRounds]] — see its scaladoc.
     */
   def train(wordCounts: DataFrame, wordCol: String, cntCol: String,
       merges: Int, checkpointDir: Option[String] = None): Seq[Merge] = {
+    require(merges <= MaxTrainRounds,
+      s"merges=$merges exceeds MaxTrainRounds=$MaxTrainRounds: one driver " +
+        "round-trip per merge is the algorithm's shape, but at vocabulary " +
+        "scale you want a batched-merge trainer, not more rounds of this one")
     val spark = wordCounts.sparkSession
     def ckpt(df: DataFrame, round: Int): DataFrame = checkpointDir match {
       case Some(dir) =>

@@ -97,4 +97,16 @@ class BpeTrainerSpec extends SparkSpec {
       checkpointDir = Some(dir))
     assert(plain === ck)
   }
+
+  test("train refuses past MaxTrainRounds (one driver round-trip per " +
+      "merge — vocabulary scale needs a batched trainer)") {
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.train(fixture.toDF("word", "cnt"), "word", "cnt",
+        BpeTrainer.MaxTrainRounds + 1)
+    }
+    assert(e.getMessage.contains("MaxTrainRounds"))
+    // and the bound itself sits where the scaladoc claims: comfortably
+    // above bench's K=64 point, far below a 10k+ vocabulary
+    assert(BpeTrainer.MaxTrainRounds >= 64 && BpeTrainer.MaxTrainRounds < 10000)
+  }
 }
