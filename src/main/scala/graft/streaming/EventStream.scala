@@ -198,9 +198,14 @@ object EventStream {
     * same seeding as the batch fold and DuckDB's list_reduce. Like
     * `runningUserTotals`, state is deliberately unbounded (an all-time
     * recurrence over a bounded key space); add a timeout for unbounded
-    * keys. Within-batch ordering is (ts) — callers whose event times can
-    * collide must disambiguate upstream, exactly as the batch query
-    * orders by (ts, event_id).
+    * keys. Within-batch ordering is the FULL-RESOLUTION event time —
+    * (millis, nanos-within-second), not Timestamp.getTime alone, which
+    * truncates at millisecond grain and let sub-millisecond siblings
+    * fold in nondeterministic order while the batch w11 fold orders by
+    * full nanos. Events colliding at the exact same nanosecond are the
+    * one remaining ambiguity — UserEvent carries no id, so callers whose
+    * streams can produce identical-ts events per user must disambiguate
+    * upstream, exactly as the batch query tie-breaks by (ts, event_id).
     */
   def runningEwma(events: Dataset[UserEvent], alpha: Double): Dataset[UserEwma] = {
     val spark = events.sparkSession
@@ -208,7 +213,7 @@ object EventStream {
     events.groupByKey(_.user_id)
       .mapGroupsWithState[EwmaState, UserEwma](GroupStateTimeout.NoTimeout) {
         case (uid, batch, state: GroupState[EwmaState]) =>
-          val next = batch.toSeq.sortBy(_.ts.getTime)
+          val next = batch.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))
             .foldLeft(state.getOption.getOrElse(EwmaState(0.0, 0L))) {
               (acc, e) =>
                 if (acc.n == 0L) EwmaState(e.value, 1L)
