@@ -66,6 +66,7 @@ object Verify {
     graft.queries.MlQueries.clearCaches()
     graft.queries.PipelineQueries.clearCaches()
     graft.queries.IoQueries.clearCaches()
+    graft.queries.GraphTemporalQueries.clearCaches()
     Scratch.sweep(spark)
     spark.stop()
     val nDumped = dumped.result().size
