@@ -184,6 +184,10 @@ object DecisionAudit {
     "a5_map_from_entries" -> centsExact,
     "a9_argmax_map" -> centsExact,
     "g1_dominant_tag" -> centsExact,
+    "u4_agg_ledger" -> GrainMargin(0.5,
+      centsExact.note + "; ledger merges then sum exact longs — the only " +
+        "fp op is the per-row cents conversion",
+      Seq("round(value * 100)")),
     "j12_attribution" -> GrainMargin(0.005,
       "round(value, 2) is an identity on 2-dp-quantized stored values"),
     "j8_asof_join" -> GrainMargin(0.005,
@@ -245,6 +249,7 @@ object DecisionAudit {
     "m9_curve" -> "SweepsSpec",
     "m10_cv" -> "SweepsSpec",
     "a17_hll_distinct" -> "GraphTemporalSpec",
+    "a18_ddsketch_quantiles" -> "DdSketchSpec",
     "t5_approx_sketches" -> "QueriesSmokeSpec",
     "c8_bloom_decontaminate" -> "BloomSpec",
     "t16_bpe_merges" -> "BpeTrainerSpec",

@@ -804,6 +804,61 @@ object GraphTemporalQueries {
              |    min(dist) OVER (PARTITION BY pk1) AS best_dist
              |  FROM cand)
              |WHERE dist = best_dist GROUP BY pk1, best_dist
-             |ORDER BY pk1""".stripMargin))
+             |ORDER BY pk1""".stripMargin)),
+
+    // A18: DDSketch mergeable quantile estimation (operators/DdSketch;
+    // Masson et al., VLDB 2019) — a17's HLL answers "how many distinct",
+    // this answers "what is p50/p90/p99" with the same mergeable-sketch
+    // scale shape: map-side geometric bucketing, kilobyte (key, bucket,
+    // count) state through the shuffle, vector-add merge. The query
+    // sketches the two event halves INDEPENDENTLY and merges them — the
+    // incremental path a streaming/partitioned corpus actually runs —
+    // then reads off three quantiles per event_type. SELF-EVIDENCING
+    // like e4: each row carries the exact interpolated percentile and
+    // the relative error x1e6, with `ok` asserting the paper's
+    // alpha=(gamma-1)/(gamma+1)~1% bound (+interp slack); DdSketchSpec
+    // pins the merge-equality law and the error law on planted data.
+    // Rows-only: bucket indexes ride on ln() ulps, which no cross-engine
+    // hash survives (DecisionAudit rowsOnlyCovered).
+    Q("a18_ddsketch_quantiles",
+      (s, d) => {
+        import graft.operators.DdSketch
+        val gamma = 1.02
+        val ev = events(s, d).select(col("event_type"), col("value"),
+          col("event_id"))
+        val keys = Seq("event_type")
+        val sk = DdSketch.merge(
+          DdSketch.sketch(ev.filter(col("event_id") % 2 === 0), keys,
+            "value", gamma),
+          DdSketch.sketch(ev.filter(col("event_id") % 2 === 1), keys,
+            "value", gamma),
+          keys)
+        val est = DdSketch.quantiles(sk, keys, gamma, Seq(0.5, 0.9, 0.99))
+        // evidence-only exact branch: the ORDER STATISTIC at the sketch's
+        // target rank ceil(q*n) (NOT an interpolated percentile — in a
+        // sparse tail the two legitimately diverge by more than alpha).
+        // Bounded per-key ordered collect, same contract as a1/w11; a
+        // production run ships the sketch alone and skips this branch.
+        val exact = ev.groupBy(col("event_type"))
+          .agg(sort_array(collect_list(col("value"))).as("vs"))
+          .select(col("event_type").as("et"), col("vs"),
+            explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q2"))
+          .select(col("et"), col("q2"),
+            element_at(col("vs"), greatest(lit(1),
+              ceil(col("q2") * size(col("vs")))).cast("int")).as("exact"))
+        est.join(exact,
+            col("event_type") === col("et") && col("q") === col("q2"))
+          .select(col("event_type"), col("q"),
+            round(col("estimate"), 4).as("estimate"),
+            round(col("exact"), 4).as("exact"),
+            round(abs(col("estimate") - col("exact")) / col("exact") * 1e6)
+              .cast("long").as("rel_err_x1e6"))
+          // alpha(1.02) = 9901 ppm; 12000 leaves slack for the 4-dp
+          // output rounding of est/exact, nothing more
+          .withColumn("ok",
+            (col("rel_err_x1e6") <= 12000L).cast("int"))
+          .orderBy(col("event_type"), col("q"))
+      },
+      None)
   )
 }

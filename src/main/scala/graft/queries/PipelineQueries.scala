@@ -1638,7 +1638,48 @@ object PipelineQueries {
               |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
               |)
               |SELECT doc_id, status FROM j WHERE status <> 'same'
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // U4: incremental aggregate-ledger maintenance — the materialized-view
+    // pattern every warehouse runs at scale: per-key partial-aggregate
+    // state (count, exact integer-cent sum, first/last seen) is PERSISTED
+    // as a ledger; a new batch is aggregated ALONE and merged into the
+    // ledger by re-aggregating the union of two tiny keyed states — the
+    // base corpus is never rescanned. All four aggregates are associative
+    // merges (sum/sum/min/max), which is precisely what makes them
+    // maintainable; avg/percentiles ride on top of (sum, n) or a sketch
+    // (a17/a18). At 100 TB the ledger is one row per key — the merge
+    // shuffles kilobytes while a full recompute would rescan the corpus.
+    // The oracle IS the full recompute: merged ledger == recompute is the
+    // correctness statement of incremental view maintenance. Cents are
+    // exact longs (2-dp premise, DecisionAudit), timestamps exact nanos.
+    Q("u4_agg_ledger",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_id"),
+          col("ts"), round(col("value") * 100).cast("long").as("cents"))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("cents")).as("sum_cents"),
+              min(col("ts")).as("first_ns"), max(col("ts")).as("last_ns"))
+        val ledgerPath = graft.Scratch.dir(s, "u4_ledger")
+        partial(ev.filter(col("event_id") % 5 =!= 4))
+          .write.mode("overwrite").parquet(ledgerPath)
+        s.read.parquet(ledgerPath)
+          .unionByName(partial(ev.filter(col("event_id") % 5 === 4)))
+          .groupBy(col("user_id"))
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("sum_cents")).as("sum_cents"),
+            min(col("first_ns")).as("first_ns"),
+            max(col("last_ns")).as("last_ns"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents,
+             |  CAST(min(epoch_ns(ts)) AS BIGINT) AS first_ns,
+             |  CAST(max(epoch_ns(ts)) AS BIGINT) AS last_ns
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 
 }
