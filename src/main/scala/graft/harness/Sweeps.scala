@@ -40,24 +40,36 @@ object Sweeps {
     SweepPoint(cfg.rank, cfg.regParam, cfg.alpha, fraction, metrics, rmse, fitSec)
   }
 
-  /** M7: 1-D sweep — one hyperparameter varies, the rest pinned. */
+  /** M7: 1-D sweep — one hyperparameter varies, the rest pinned. Configs
+    * are independent, so they fit CONCURRENTLY (Par.inParallel): each
+    * seeded fit's result is interleaving-invariant, and overlapping the
+    * fits fills the barrier idle time a serial loop leaves on the table.
+    * fitSeconds measures overlapped wall-clock under fan-out — still fine
+    * for the registered queries, which exclude it from output.
+    */
   def sweep1D(train: DataFrame, valDf: DataFrame, base: AlsConfig, k: Int,
       ranks: Seq[Int]): Seq[SweepPoint] =
     withPersisted(train, valDf) { (t, v) =>
-      ranks.map(r => fitEval(t, v, base.copy(rank = r), k))
+      Par.inParallel(ranks, width = 4)(r => fitEval(t, v, base.copy(rank = r), k))
     }
 
-  /** M8: full grid — rank x regParam x alpha (3x3x3 in the reference). */
+  /** M8: full grid — rank x regParam x alpha (3x3x3 in the reference),
+    * fit concurrently like sweep1D.
+    */
   def grid(train: DataFrame, valDf: DataFrame, base: AlsConfig, k: Int,
       ranks: Seq[Int], regs: Seq[Double], alphas: Seq[Double]): Seq[SweepPoint] =
     withPersisted(train, valDf) { (t, v) =>
-      for (r <- ranks; reg <- regs; a <- alphas)
-        yield fitEval(t, v, base.copy(rank = r, regParam = reg, alpha = a), k)
+      val cfgs = for (r <- ranks; reg <- regs; a <- alphas)
+        yield base.copy(rank = r, regParam = reg, alpha = a)
+      Par.inParallel(cfgs, width = 4)(c => fitEval(t, v, c, k))
     }
 
   /** M9: learning curve — metric (and fit time) vs training fraction.
     * Row-level Bernoulli sample per the timing extension
-    * (als_model_extension_2.py:38); seeded for reproducibility.
+    * (als_model_extension_2.py:38); seeded for reproducibility. STAYS
+    * SERIAL deliberately: the fitSeconds-vs-fraction relationship is this
+    * harness's deliverable, and concurrent fits would contend for cores
+    * and corrupt exactly that measurement.
     */
   def learningCurve(train: DataFrame, valDf: DataFrame, base: AlsConfig, k: Int,
       fractions: Seq[Double], seed: Long = 66L): Seq[SweepPoint] =

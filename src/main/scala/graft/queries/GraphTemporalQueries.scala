@@ -649,7 +649,10 @@ object GraphTemporalQueries {
           .withColumn("fold",
             pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
               .cast("long"), lit(3)))
-        val folds = (0 until 3).map { i =>
+        // the 3 fold fits are independent seeded LR fits — run them
+        // concurrently (Par.inParallel): interleaving-invariant results,
+        // double-run-checked by QueriesSmokeSpec
+        val folds = graft.harness.Par.inParallel(0 until 3, width = 3) { i =>
           val model = graft.pipeline.QualityClassifier
             .fit(feats.filter(col("fold") =!= i))
           val scored = graft.pipeline.QualityClassifier
