@@ -63,6 +63,22 @@ object EventStream {
   def enrichedStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** Streaming DDSketch maintenance — the stream face of a18: per
+    * (event_type, geometric bucket) counts kept by the streaming
+    * aggregation, so the query's state IS the mergeable sketch (bounded
+    * by bucket count, never event count — the property that makes a
+    * quantile sketch the right streaming aggregate where an exact
+    * percentile would need unbounded state). The emitted table merges
+    * with any other sketch by vector addition, and DdSketchSpec's
+    * stream==batch test pins that the drained stream state equals
+    * DdSketch.sketch of the same events as a batch.
+    */
+  def streamingSketch(events: DataFrame, gamma: Double): DataFrame =
+    events.filter(col("value") > 0)
+      .groupBy(col("event_type"),
+        graft.operators.DdSketch.bucket(col("value"), gamma).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** File-source incremental processing — the production shape of "run the
     * streaming pipeline over whatever landed since last time": a parquet
     * directory is read AS A STREAM, aggregated with the same watermarked

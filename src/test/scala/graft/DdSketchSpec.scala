@@ -63,6 +63,35 @@ class DdSketchSpec extends SparkSpec {
     }
   }
 
+  test("streaming sketch state equals the batch sketch of the same events") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.UserEvent]
+    val events = (1 to 300).map { i =>
+      graft.streaming.UserEvent(i % 7L,
+        if (i % 2 == 0) "click" else "view",
+        new java.sql.Timestamp(i * 60000L), 0.01 * i)
+    }
+    val q = graft.streaming.EventStream
+      .streamingSketch(mem.toDF(), gamma)
+      .writeStream.format("memory").queryName("dd_sketch")
+      .outputMode("complete").start()
+    try {
+      // three micro-batches — the state must accumulate across them
+      events.grouped(100).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      val streamed = s.table("dd_sketch")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = DdSketch.sketch(events.toDF(), Seq("event_type"), "value",
+        gamma).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, "drained stream sketch differs from batch sketch")
+    } finally q.stop()
+  }
+
   test("a18's self-evidencing ok column holds at sf0.001") {
     val out = SparkEntry.queries("a18_ddsketch_quantiles")(spark, sfDir)
       .collect()

@@ -258,4 +258,26 @@ class PlanSpec extends SparkSpec {
         "aggregate must come from the materialized hourly table:\n" + p.take(1500))
     assert(p.contains("w10_hourly"), "materialized hourly table missing from plan")
   }
+
+  test("u4: the ledger merge scans events once (delta) — the base corpus " +
+      "is never rescanned") {
+    // incremental view maintenance's whole value: the merged plan reads
+    // the persisted ledger parquet plus ONE events scan (the delta
+    // partial-agg); a second events scan means the base recomputed.
+    val p = plan("u4_agg_ledger")
+    val eventScans = "events.parquet".r.findAllIn(p).length
+    assert(eventScans == 1,
+      s"u4 merge plan scans events $eventScans time(s), want exactly 1 " +
+        "(the delta batch):\n" + p.take(1500))
+    assert(p.contains("u4_ledger"), "persisted ledger missing from plan")
+  }
+
+  test("a18: sketch state partial-aggregates map-side and quantile " +
+      "windows are key-partitioned") {
+    val p = plan("a18_ddsketch_quantiles")
+    assert(!p.contains("windowspecdefinition(bucket"),
+      "a18's cumulative walk lost its key partitioning:\n" + p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "bucket counts must partial-aggregate before the shuffle:\n" + p.take(1500))
+  }
 }
