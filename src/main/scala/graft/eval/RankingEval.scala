@@ -26,6 +26,14 @@ final case class RankingSummary(
   * (binary relevance; precision@k divides by k even when fewer predictions
   * exist; MAP divides by |truth|; NDCG idcg over min(|truth|, k)) and are
   * parity-tested against it in RankingEvalSpec.
+  *
+  * DOMAIN: a prediction list is a ranking of DISTINCT items — every
+  * ranking source in the engine (recommendForUserSubset, top-k windows)
+  * emits distinct ids. On duplicate predicted ids mllib's MAP counts each
+  * duplicate hit's precision mass and can exceed 1; this aggregator
+  * mirrors that by parity contract rather than silently deduplicating
+  * (scalacheck surfaced the out-of-domain case in round 9 —
+  * RankingProperties generates distinct preds accordingly).
   */
 class RankingAggregator(k: Int)
     extends Aggregator[(Seq[Int], Seq[Int]), RankingBuf, RankingSummary] {
