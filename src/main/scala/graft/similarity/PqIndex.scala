@@ -100,9 +100,19 @@ object PqIndex {
       val scores = transform(cb, c => sqDist(sub, c))
       (array_position(scores, array_min(scores)) - 1).cast("int")
     }: _*)
-    val codes = emb.select(col("vec_id"), codesCol.as("codes"))
-    Model(m, subDim, codebooks, codes)
+    // MATERIALIZE the encoded corpus: the encode is a compressed WRITE —
+    // the codes table IS the stored index a production PQ ingest leaves
+    // behind. Left lazy, every ADC query re-ran the m*k argmin projection
+    // over the full corpus (e7/e8 doubled to ~4 s each in the r9 bench);
+    // materialized, queries scan the 16-byte/vector parquet instead.
+    val codesPath = graft.Scratch.dir(spark,
+      s"pq_codes_${buildCounter.incrementAndGet()}")
+    emb.select(col("vec_id"), codesCol.as("codes"))
+      .write.mode("overwrite").parquet(codesPath)
+    Model(m, subDim, codebooks, spark.read.parquet(codesPath))
   }
+
+  private val buildCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Squared euclidean distance between two double arrays. */
   private def sqDist(a: Column, b: Column): Column =
