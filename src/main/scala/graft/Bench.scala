@@ -140,7 +140,8 @@ object Bench {
     // 0.6 s query must not pay ~9 s of pretraining.
     val needsAls = selected.exists(Set("m4_als_recommend", "m5_als_rmse",
       "m6_item_similarity"))
-    val needsIvf = selected.exists(Set("e4_ann_ivf", "e6_semdedup", "e8_ivfpq"))
+    val needsIvf = selected.exists(Set("e4_ann_ivf", "e6_semdedup", "e8_ivfpq",
+      "e9_ivf_maintain"))
     val needsQc = selected.contains("c5_quality_classifier")
     val needsBuckets = selected.contains("b1_bucketed_join")
     if (needsAls) {

@@ -240,6 +240,7 @@ object DecisionAudit {
     "e6_semdedup" -> "SemdedupSpec",
     "e7_pq_adc" -> "PqIndexSpec",
     "e8_ivfpq" -> "PqIndexSpec",
+    "e9_ivf_maintain" -> "IvfIndexSpec",
     "o5_row_sample" -> "QueriesSmokeSpec",
     "m4_als_recommend" -> "AlsSpec",
     "m5_als_rmse" -> "AlsSpec",

@@ -1385,6 +1385,58 @@ object PipelineQueries {
       },
       None),
 
+    // E9: IVF index MAINTENANCE without refit — the d8/u4 ledger
+    // discipline applied to the vector index: the trained quantizer and
+    // its assigned table are persisted artifacts, and a delete batch
+    // (tombstone anti-join on the inverted lists) plus an insert batch
+    // (IvfIndex.assign routes new vectors map-side) produce the next
+    // index state with NO k-means refit and no corpus rescan. Search
+    // then runs against the maintained index. SELF-EVIDENCING: each
+    // query row asserts its planted duplicate (inserted at id+50000,
+    // cosine ~1) ranks first (`top1_planted`), carries zero results
+    // from the deleted set (`n_deleted_hits`), and repeats the exact
+    // n_after == n_base - n_del + n_ins bookkeeping. k-means cells are
+    // engine-specific -> rows-only (IvfIndexSpec holds the laws).
+    Q("e9_ivf_maintain",
+      (s, d) => {
+        import graft.similarity.IvfIndex
+        val emb = ivfEmb(s, d)
+        val ivf = ivfModel(s, d)
+        val deletes = ivf.assigned.filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id"))
+        val inserts = emb.filter(col("vec_id") < 3)
+          .select((col("vec_id") + 50000L).as("vec_id"),
+            transform(col("v"),
+              (x, i) => when(i === 0, x * 1.02 + 0.01).otherwise(x * 1.02))
+              .as("v"))
+        val maintained = IvfIndex.Model(ivf.centroids,
+          ivf.assigned.join(deletes, Seq("vec_id"), "left_anti")
+            .unionByName(IvfIndex.assign(ivf, inserts)
+              .select(col("vec_id"), col("v"), col("cell_id"), col("nrm"))))
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val hits = IvfIndex.topK(maintained, queries, k = 5, nprobe = 2)
+        val counts = ivf.assigned.agg(count(lit(1)).as("n_base"))
+          .crossJoin(deletes.agg(count(lit(1)).as("n_del")))
+          .crossJoin(inserts.agg(count(lit(1)).as("n_ins")))
+        hits.groupBy(col("q_id"))
+          .agg(min(when(col("rn") === 1, col("cand_id"))).as("top1_id"),
+            sum(when(col("cand_id") === col("q_id") + 50000L, 1)
+              .otherwise(0)).cast("long").as("planted_hits"),
+            sum(when(col("cand_id") % 10 === 3, 1).otherwise(0))
+              .cast("long").as("n_deleted_hits"),
+            count(lit(1)).as("n_results"))
+          .withColumn("top1_planted",
+            (col("top1_id") === col("q_id") + 50000L).cast("int"))
+          .crossJoin(broadcast(counts))
+          .select(col("q_id"), col("top1_id"), col("top1_planted"),
+            col("planted_hits"), col("n_deleted_hits"), col("n_results"),
+            col("n_base"), col("n_del"), col("n_ins"),
+            (col("n_base") - col("n_del") + col("n_ins")).as("n_after"))
+          .orderBy(col("q_id"))
+      },
+      None),
+
     // The synthetic embeddings have no natural near-dups (max pairwise
     // cosine ~0.51), so the query plants them the way d8 plants exact text
     // dups: vec_id < 25 re-enters at id+10000 scaled by 1.02 with one

@@ -58,4 +58,19 @@ class IvfIndexSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(rows(loaded) == rows(model), "loaded index search differs")
   }
+
+  test("e9: maintained index honors deletes/inserts without refit " +
+      "(planted insert ranks first, deleted ids never surface)") {
+    val out = SparkEntry.queries("e9_ivf_maintain")(spark, sfDir).collect()
+    assert(out.length == 3, s"expected 3 query rows, got ${out.length}")
+    out.foreach { r =>
+      assert(r.getAs[Int]("top1_planted") == 1,
+        s"planted duplicate not ranked first: $r")
+      assert(r.getAs[Long]("n_deleted_hits") == 0L,
+        s"deleted id surfaced in search results: $r")
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_base") - r.getAs[Long]("n_del") + r.getAs[Long]("n_ins"),
+        s"index bookkeeping broken: $r")
+    }
+  }
 }
