@@ -823,6 +823,76 @@ object GraphTemporalQueries {
     // pins the merge-equality law and the error law on planted data.
     // Rows-only: bucket indexes ride on ln() ulps, which no cross-engine
     // hash survives (DecisionAudit rowsOnlyCovered).
+    // T17: Misra-Gries heavy hitters (operators/MisraGries) — the third
+    // mergeable sketch beside a17 (HLL distinct) and a18 (DDSketch
+    // quantiles): per-source dominant terms in k counters, no full
+    // frequency table, no global sort. Two-level shape that a 100 TB
+    // corpus needs AND that pins determinism (MG is stream-order
+    // dependent, so the query fixes a canonical order the way w11 does):
+    // per-(source, doc-shard) sketches run the typed Aggregator over ONE
+    // partition per group in sorted (doc_id, pos) order — map-side,
+    // deterministic, shards set the parallelism; then the <= 8 shard
+    // sketches per source merge RELATIONALLY (pointwise sum, subtract
+    // the (k+1)-th largest, keep positives — Agarwal et al.'s mergeable-
+    // summaries rule, error bounds add to n/(k+1) total). The shuffle
+    // carries k counters per shard, never raw terms. SELF-EVIDENCING:
+    // every row checks undercount-only, the n/(k+1) error bound, and
+    // that no term above the bound was missed; MisraGriesSpec holds the
+    // aggregator laws. Rows-only: estimates are order-dependent by
+    // construction.
+    Q("t17_heavy_hitters",
+      (s, d) => {
+        val k = 8
+        val toks = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            posexplode(graft.functions.TextFunctions.tokens(col("text")))
+              .as(Seq("pos", "term")))
+        val mg = udaf(new graft.operators.MisraGriesAgg(k))
+        val shardSketch = toks
+          .withColumn("shard", pmod(col("doc_id"), lit(8)))
+          .repartition(col("source"), col("shard"))
+          .sortWithinPartitions(col("source"), col("shard"), col("doc_id"),
+            col("pos"))
+          .groupBy(col("source"), col("shard"))
+          .agg(mg(col("term")).as("items"))
+        val summed = shardSketch
+          .select(col("source"), explode(col("items")).as("it"))
+          .groupBy(col("source"), col("it.term").as("term"))
+          .agg(sum(col("it.est")).as("s"))
+        val wk = Window.partitionBy(col("source"))
+          .orderBy(desc("s"), col("term"))
+        val ranked = summed.withColumn("r", row_number().over(wk))
+        val cut = ranked.filter(col("r") === k + 1)
+          .select(col("source").as("c_src"), col("s").as("cut"))
+        val sketch = ranked
+          .join(cut, col("source") === col("c_src"), "left")
+          .select(col("source"), col("term"),
+            (col("s") - coalesce(col("cut"), lit(0L))).as("est"))
+          .filter(col("est") > 0)
+        val exact = toks.groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("exact"))
+        val n = toks.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"))
+          .withColumn("bound", expr(s"n_tokens div ${k + 1}"))
+        val missed = exact.join(n, Seq("source"))
+          .filter(col("exact") > col("bound"))
+          .join(sketch.select(col("source"), col("term")),
+            Seq("source", "term"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_missed_heavy"))
+        sketch.join(exact, Seq("source", "term"))
+          .join(n, Seq("source"))
+          .join(missed, Seq("source"), "left")
+          .select(col("source"), col("term"), col("est"), col("exact"),
+            col("n_tokens"), col("bound"),
+            (col("exact") - col("est")).as("under"),
+            (col("est") <= col("exact")
+              && col("exact") - col("est") <= col("bound")).cast("int")
+              .as("ok"),
+            coalesce(col("n_missed_heavy"), lit(0L)).as("n_missed_heavy"))
+          .orderBy(col("source"), desc("est"), col("term"))
+      },
+      None),
+
     Q("a18_ddsketch_quantiles",
       (s, d) => {
         import graft.operators.DdSketch
