@@ -272,6 +272,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("u4_ledger"), "persisted ledger missing from plan")
   }
 
+  test("w2: per-key top-N lowers to partial+final WindowGroupLimit — " +
+      "the shuffle carries <= k rows per key per map partition") {
+    // Spark 4's WindowGroupLimit pushes the rank <= k predicate below the
+    // exchange: each map partition keeps its own top-k per key (Partial)
+    // before the shuffle, and the reduce side finishes (Final). Without
+    // it the exchange carries EVERY row of every key — the difference
+    // between k rows and a key's full history at warehouse scale.
+    val p = plan("w2_topk_per_key")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      "w2 lost the map-side (Partial) group limit:\n" + p.take(1500))
+    assert("WindowGroupLimit.*Final".r.findFirstIn(p).isDefined,
+      "w2 lost the reduce-side (Final) group limit:\n" + p.take(1500))
+  }
+
   test("a18: sketch state partial-aggregates map-side and quantile " +
       "windows are key-partitioned") {
     val p = plan("a18_ddsketch_quantiles")
