@@ -1,0 +1,67 @@
+package graft
+
+/** Registry-wide join-shape guard — the global form of PlanSpec's
+  * per-query no-cartesian pins: a CartesianProduct anywhere in an
+  * executed plan is an N x M scale-killer and is forbidden outright;
+  * BroadcastNestedLoopJoin is legitimate ONLY for the scalar-frame
+  * crossJoin idiom (broadcasting a one-row aggregate onto every row —
+  * t14's corpus total, a18's quantile frame), so the exact set of
+  * queries allowed one is FROZEN here. A new query that introduces a
+  * BNLJ fails until it is reviewed and added — which is the review the
+  * guard exists to force.
+  */
+class JoinShapeGuardSpec extends SparkSpec {
+
+  // model-fitting queries execute training at construction (the
+  // WindowGuardSpec/LambdaCseGuardSpec skip-set rationale); their plan
+  // shapes are owned by their specs.
+  private val skip = Set("m1_indexer_pipeline", "m3_ranking_metrics",
+    "m4_als_recommend", "m5_als_rmse", "m6_item_similarity", "m7_sweep",
+    "m8_grid", "m9_curve", "m10_cv")
+
+  /** Queries whose BNLJ is the reviewed scalar-frame (or bounded
+    * dimension-frame) broadcast idiom: the broadcast side is a one-row
+    * aggregate, a literal quantile/config frame, or a model-sized
+    * centroid table joined without an equi-key by construction.
+    */
+  private val bnljAllowed = Set(
+    "a18_ddsketch_quantiles", // literal quantile frame x cumulative walk
+    "e1_cosine_topk",         // <= 3-row query frame x corpus (baseline op)
+    "e4_ann_ivf",             // query frame / centroid table broadcasts
+    "e6_semdedup", "e7_pq_adc", "e8_ivfpq", "e9_ivf_maintain", // same family
+    "t7_tfidf",               // 1-row corpus-size aggregate
+    "t14_unigram_surprisal",  // 1-row corpus-total aggregate
+    "t15_vocab_coverage",     // 1-row total-token aggregate
+    "u1_upsert", "u2_snapshot_diff" // 1-row max(doc_id)+1 insert offset
+  )
+
+  test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) }
+      .flatMap { case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cart =
+          if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct")
+          else Nil
+        val bnlj =
+          if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+            Seq(s"$name: unreviewed BroadcastNestedLoopJoin")
+          else Nil
+        cart ++ bnlj
+      }
+    assert(offenders.isEmpty,
+      "scale-killing join shape in a registered query (review it; if the " +
+        "broadcast side is provably scalar/model-sized, add it to " +
+        "bnljAllowed):\n" + offenders.mkString("\n"))
+  }
+
+  test("the allowlist stays minimal: every entry still plans a BNLJ") {
+    val stale = bnljAllowed.toSeq.sorted.filter { name =>
+      val p = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      !p.contains("BroadcastNestedLoopJoin")
+    }
+    assert(stale.isEmpty,
+      s"allowlist entries with no BNLJ anymore (remove them): $stale")
+  }
+}
