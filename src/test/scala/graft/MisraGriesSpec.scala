@@ -65,6 +65,23 @@ class MisraGriesSpec extends SparkSpec {
     assert(z.toSet == agg.finish(run(l)).toSet, "zero not identity")
   }
 
+  test("t17 output is partition-count invariant (canonical order, not luck)") {
+    // the query's shard + sortWithinPartitions canonicalization puts each
+    // (source, shard) group wholly inside one partition in one sorted
+    // order, so the MG fold sees the identical sequence no matter how
+    // many shuffle partitions the session runs — the property that makes
+    // an order-dependent sketch safe to register
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    def runWith(n: String) =
+      try {
+        spark.conf.set(key, n)
+        SparkEntry.queries("t17_heavy_hitters")(spark, sfDir).collect().toSeq
+      } finally spark.conf.set(key, old)
+    val a = runWith("3"); val b = runWith("7")
+    assert(a == b, "t17 changed output under a different partition count")
+  }
+
   test("t17's self-evidencing columns hold at sf0.001") {
     val out = SparkEntry.queries("t17_heavy_hitters")(spark, sfDir).collect()
     assert(out.nonEmpty)
