@@ -69,6 +69,8 @@ object DecisionAudit {
     if (sql.contains("round(")) found += "round"
     if (sql.contains("abs(")) found += "abs"
     if (sql.contains("sqrt(")) found += "sqrt"
+    if (Seq("ln(", "log(", "exp(", "pow(").exists(sql.contains))
+      found += "transcendental"
     if ("(>=|<=|<|>)\\s*-?\\d+\\.\\d".r.findFirstIn(sql).isDefined)
       found += "float-literal-cmp"
     found.result()
@@ -184,6 +186,13 @@ object DecisionAudit {
     "a5_map_from_entries" -> centsExact,
     "a9_argmax_map" -> centsExact,
     "g1_dominant_tag" -> centsExact,
+    "o13_weighted_sample" -> GrainMargin(1e-3,
+      "A-Res ranking compares key = ln(u)/w where u is hash-derived and " +
+        "ENGINE-IDENTICAL; ln/div may diverge by <= a few ulps across " +
+        "libms (~1e-16 relative) while adjacent key gaps on continuous " +
+        "hash uniforms are ~1e-2 — the per-stratum ranking cannot flip; " +
+        "only integer columns reach the hash",
+      Seq("ln(", "/ 4294967296.0")),
     "u4_agg_ledger" -> GrainMargin(0.5,
       centsExact.note + "; ledger merges then sum exact longs — the only " +
         "fp op is the per-row cents conversion",

@@ -1731,7 +1731,47 @@ object PipelineQueries {
              |    AS sum_cents,
              |  CAST(min(epoch_ns(ts)) AS BIGINT) AS first_ns,
              |  CAST(max(epoch_ns(ts)) AS BIGINT) AS last_ns
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // O13: WEIGHTED sampling without replacement (Efraimidis-Spirakis
+    // A-Res) — the data-mixture primitive o5/o8's uniform samplers can't
+    // express: sample k docs per source with probability proportional to
+    // a weight (here n_chars — "sample long documents more"). Each row
+    // computes key = ln(u) / w from a hash-derived uniform
+    // u = (md5_32 + 0.5) / 2^32 and the top-k keys per stratum win —
+    // fully parallel, one window per stratum, no driver state, and at
+    // 100 TB the same two-phase top-k lowering as w2/w9 applies. Unlike
+    // engine-seeded sample(), the hash-derived u is ENGINE-IDENTICAL, so
+    // the whole sample is oracled exactly (c2's split idiom extended to
+    // weighted selection). Decision path: the ranking compares ln()
+    // outputs — see DecisionAudit (key gaps are ~1e-2, libm divergence
+    // <= 1 ulp; the ranking cannot flip on any realistic data).
+    Q("o13_weighted_sample",
+      (s, d) => {
+        val u = (hash32(concat(lit("wsample:"), col("doc_id").cast("string")))
+          .cast("double") + 0.5) / 4294967296.0
+        val key = log(u) / col("n_chars")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(desc("k"), col("doc_id"))
+        documents(s, d)
+          .filter(col("n_chars") > 0)
+          .select(col("source"), col("doc_id"), col("n_chars"), key.as("k"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("source"), col("doc_id"), col("n_chars"), col("rn"))
+          .orderBy(col("source"), col("rn"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT source, doc_id, n_chars,
+              |    ln((${sqlH32("'wsample:' || CAST(doc_id AS VARCHAR)")} + 0.5)
+              |        / 4294967296.0) / n_chars AS k
+              |  FROM documents WHERE n_chars > 0)
+              |SELECT source, doc_id, n_chars, rn FROM (
+              |  SELECT source, doc_id, n_chars,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY k DESC, doc_id) AS BIGINT) AS rn
+              |  FROM s)
+              |WHERE rn <= 5 ORDER BY source, rn""".stripMargin))
   )
 
 }
