@@ -266,6 +266,7 @@ object DecisionAudit {
     "t17_heavy_hitters" -> "MisraGriesSpec",
     "o6_user_sample" -> "IndexingSpec",
     "o8_stratified_sample" -> "QueriesSmokeSpec",
-    "o11_compaction" -> "CompactionSpec"
+    "o11_compaction" -> "CompactionSpec",
+    "t19_compression_ratio" -> "DeflateLenSpec"
   )
 }

@@ -148,4 +148,12 @@ object TextFunctions {
     aggregate(
       transform(w, (t, i) => (i + 1).cast("long") * hash32(t)),
       lit(0L), (acc, x) => (acc + x) % 2147483647L)
+
+  /** DEFLATE-compressed byte length (expressions/DeflateLen, codegen'd) —
+    * the primitive of the t19 compression-ratio quality signal.
+    */
+  def deflateLen(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.DeflateLen(
+        org.apache.spark.sql.GraftBridge.expression(c)))
 }

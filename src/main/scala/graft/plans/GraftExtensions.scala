@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, Expres
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
-import graft.expressions.{DotProduct, Md5Hash32, MinHashSig, NormalizeNFC, ShinglesExpr, SimHash32Expr}
+import graft.expressions.{DeflateLen, DotProduct, Md5Hash32, MinHashSig, NormalizeNFC, ShinglesExpr, SimHash32Expr}
 
 /** Optimizer rule: collapse the composed 32-bit-md5 idiom
   * `cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint)` into the native
@@ -92,6 +92,9 @@ object GraftExtensions {
       args => { arity("graft_simhash32", 1, args); SimHash32Expr(args.head) }),
     ("graft_nfc", "graft_nfc(str) - Unicode NFC canonical normalization",
       args => { arity("graft_nfc", 1, args); NormalizeNFC(args.head) }),
+    ("graft_deflate_len",
+      "graft_deflate_len(str) - DEFLATE-compressed byte length (zlib default level)",
+      args => { arity("graft_deflate_len", 1, args); DeflateLen(args.head) }),
     ("graft_dot", "graft_dot(a, b) - dot product of two double arrays",
       args => { arity("graft_dot", 2, args); DotProduct(args.head, args(1)) }),
     // the c8 bloom probe from SQL text: the sketch arrives as a binary

@@ -596,6 +596,77 @@ object AdvancedQueries {
            |SELECT node, n_name, CAST(round(pr * 1000000) AS BIGINT) AS rank_x1e6
            |FROM pr8 JOIN nation ON node = n_nationkey
            |ORDER BY rank_x1e6 DESC, node""".stripMargin
-      })
+      }),
+
+    // T18: BM25 ranked retrieval — the relevance scoring a corpus-search /
+    // RAG-indexing pipeline runs over the curated corpus (the op t7's
+    // tf-idf weighting feeds). Query terms are DATA-DERIVED (the 3
+    // highest-df terms under a total df-desc/term order), so the query is
+    // regeneration-proof. All BM25 arithmetic is exact integer rationals
+    // (the t7/t14 no-float discipline): with k1 = 1.2, b = 0.75 and
+    // avgdl = TL/ND (TL total tokens, ND docs),
+    //   tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    // multiplied through by 10*TL becomes the all-integer rational
+    //   22*tf*TL / (10*tf*TL + 3*TL + 9*dl*ND),
+    // and the per-term contribution is idf_x1e4 * 22*tf*TL div (...) with
+    // idf_x1e4 = ND*10000 div df (t7's integer idf; the Robertson log idf
+    // is a one-line swap in real use). 64-bit headroom: the numerator is
+    // bounded by 1e4*ND * 22 * dl * TL ~ 1e16 at sf0.1 — 600x under
+    // Long.Max, and query terms are high-df so the realistic bound is far
+    // lower. Plan shape: the query-term table is 3 rows (broadcast), the
+    // corpus stats are a broadcast scalar, the per-doc score is one
+    // partial-combining aggregate, and top-20 lowers to
+    // TakeOrderedAndProject — no global sort, no driver collect. At
+    // 100 TB this is a scan + two small-side broadcasts, the shape an
+    // inverted-index build would feed.
+    Q("t18_bm25",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val qterms = dfreq.orderBy(desc("df"), col("term")).limit(3)
+        val stats = dl.agg(sum(col("dl")).cast("long").as("tl"),
+          count(lit(1)).as("nd"))
+        tf.join(broadcast(qterms), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib",
+            expr("""(nd * 10000 div df) * 22 * tf * tl
+                   | div (10 * tf * tl + 3 * tl + 9 * dl * nd)""".stripMargin))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_qterms"), sum(col("contrib")).as("score_x1e4"))
+          .orderBy(desc("score_x1e4"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok GROUP BY doc_id, term
+             |), dl AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             |  FROM tok GROUP BY doc_id
+             |), dfreq AS (
+             |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+             |), qterms AS (
+             |  SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 3
+             |), stats AS (
+             |  SELECT CAST(sum(dl) AS BIGINT) AS tl, CAST(count(*) AS BIGINT) AS nd
+             |  FROM dl
+             |), c AS (
+             |  SELECT tf.doc_id,
+             |    (nd * 10000 // df) * 22 * tf * tl
+             |      // (10 * tf * tl + 3 * tl + 9 * dl.dl * nd) AS contrib
+             |  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id)
+             |  CROSS JOIN stats
+             |)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_qterms,
+             |  CAST(sum(contrib) AS BIGINT) AS score_x1e4
+             |FROM c GROUP BY doc_id
+             |ORDER BY score_x1e4 DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

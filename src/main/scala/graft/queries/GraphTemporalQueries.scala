@@ -416,6 +416,81 @@ object GraphTemporalQueries {
              |  GROUP BY 1)
              |SELECT node, dist FROM d3 ORDER BY node""".stripMargin)),
 
+    // G6: bounded-hop WEIGHTED shortest path (distributed Bellman-Ford) —
+    // g5's BFS with a cost model: edge weight = 1000 div co-occurrence
+    // count, so strongly-tied parts are "close" (the similarity-distance
+    // a recommendation or substitution analysis walks). Weights are
+    // INTEGER (1000 div c — exact in both engines; a float -ln(c/max)
+    // affinity is a one-line swap), so min() relaxation never crosses a
+    // float comparator. Each of the 3 relaxation rounds is one equi-join
+    // on the frontier + one partial-combining min-aggregate — the same
+    // per-round scratch materialization as g5/g2 keeps lineage O(1) and
+    // never pins state in executor memory. Bounded hops IS the production
+    // contract at 100 TB (unbounded SSSP iterates to convergence with a
+    // frontier-empty check; the per-round plan is identical). Edge build
+    // derives its own weighted table from the fact table because
+    // coocEdges drops the count; the >= 2 support threshold still bounds
+    // the edge set linearly in orders.
+    Q("g6_weighted_sssp",
+      (s, d) => {
+        val pairs = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = pairs.as("x")
+          .join(pairs.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey")
+              && col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("u"), col("v"), expr("1000 div c").as("w"))
+        val nbPath = graft.Scratch.dir(s, "g6_nb")
+        e.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+          .union(e.select(col("v"), col("u"), col("w")))
+          .write.mode("overwrite").parquet(nbPath)
+        val nb = s.read.parquet(nbPath)
+        var dist = nb.select(col("node")).distinct()
+          .filter(col("node") < 100)
+          .select(col("node"), lit(0L).as("dist"))
+        for (round <- 1 to 3) {
+          val relaxed = nb
+            .join(dist.select(col("node").as("dn"), col("dist")),
+              col("nbr") === col("dn"))
+            .select(col("node"), (col("dist") + col("w")).as("dist"))
+          val next = dist.unionByName(relaxed)
+            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          val path = graft.Scratch.dir(s, s"g6_round$round")
+          next.write.mode("overwrite").parquet(path)
+          dist = s.read.parquet(path)
+        }
+        dist.orderBy(col("node"))
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+             |        CAST(1000 // count(*) AS BIGINT) AS w
+             |      FROM pairs a JOIN pairs b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |nb AS (SELECT u AS node, v AS nbr, w FROM e
+             |       UNION ALL SELECT v, u, w FROM e),
+             |d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist
+             |       FROM nb WHERE node < 100),
+             |d1 AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d0
+             |  UNION ALL
+             |  SELECT nb.node, d.dist + nb.w FROM nb JOIN d0 d ON nb.nbr = d.node)
+             |  GROUP BY 1),
+             |d2 AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d1
+             |  UNION ALL
+             |  SELECT nb.node, d.dist + nb.w FROM nb JOIN d1 d ON nb.nbr = d.node)
+             |  GROUP BY 1),
+             |d3 AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d2
+             |  UNION ALL
+             |  SELECT nb.node, d.dist + nb.w FROM nb JOIN d2 d ON nb.nbr = d.node)
+             |  GROUP BY 1)
+             |SELECT node, dist FROM d3 ORDER BY node""".stripMargin)),
+
     // F1: funnel analysis — ORDERED multi-step conversion: for each user
     // the first "view", the first "click" strictly AFTER that view, and
     // the first "purchase" strictly after that click; stage = how deep

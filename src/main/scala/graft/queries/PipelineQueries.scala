@@ -1771,7 +1771,62 @@ object PipelineQueries {
               |    CAST(row_number() OVER (PARTITION BY source
               |      ORDER BY k DESC, doc_id) AS BIGINT) AS rn
               |  FROM s)
-              |WHERE rn <= 5 ORDER BY source, rn""".stripMargin))
+              |WHERE rn <= 5 ORDER BY source, rn""".stripMargin)),
+
+    // O14: deterministic hash-bucket sampling — the sampling a 100 TB
+    // pipeline actually ships: membership is a pure function of the row
+    // KEY (md5-derived bucket), so the sample is (a) exactly reproducible
+    // on any engine — this is the EXACTLY-ORACLED counterpart of o5's
+    // seeded Bernoulli sample, whose rand(seed) stream no other engine
+    // can replay — and (b) REHASH-STABLE: re-running after new docs land
+    // never flips membership of existing ids, so downstream eval sets
+    // stay frozen across ingests (seeded sample() re-deals the whole
+    // corpus on every append). The salt prefix decorrelates this sample
+    // from every other hash consumer (o13's weighted keys, c2's split).
+    // Map-side filter, no shuffle; the scan prunes to the projected
+    // columns. ~10% target rate; the emitted bucket makes the decision
+    // input part of the row (DecisionAudit: integer equality, no float
+    // path).
+    Q("o14_hash_bucket_sample",
+      (s, d) => documents(s, d)
+        .withColumn("bucket",
+          hash32(concat(lit("o14:"), col("doc_id").cast("string"))) % 10)
+        .filter(col("bucket") === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, source, n_chars FROM documents
+              |WHERE ${sqlH32("'o14:' || CAST(doc_id AS VARCHAR)")} % 10 = 0
+              |ORDER BY doc_id""".stripMargin)),
+
+    // T19: compression-ratio quality signal (expressions/DeflateLen) — the
+    // language-agnostic repetition gate RedPajama-v2 and Dolma both ship
+    // beside the Gopher token-share signals (t12): templated/boilerplate
+    // text deflates far below ~0.4x, near-random prose sits ~0.6-0.9x.
+    // One codegen'd native-expression call per row, map-side, no shuffle —
+    // a full-corpus quality sweep at 100 TB is a single scan. Rows-only by
+    // design: the length is a pure function of input bytes for a given
+    // zlib build (one cluster = one JDK = identical everywhere), but no
+    // SQL engine reproduces another zlib's exact output length — so the
+    // row carries its own evidence instead: `bound_ok` pins the hard
+    // DEFLATE envelope (0 < deflate_len <= raw_len + 5*ceil(raw_len/16384)
+    // + 11, the stored-block worst case) and DeflateLenSpec pins the
+    // signal's ordering laws (repetitive < natural < incompressible),
+    // determinism, and SQL==column parity. The keep flag is
+    // integer-decided (ratio_x1000 threshold) like every curation gate.
+    Q("t19_compression_ratio",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("raw_len"),
+          deflateLen(col("text")).as("deflate_len"))
+        .filter(col("raw_len") > 0)
+        .withColumn("ratio_x1000", expr("deflate_len * 1000 div raw_len"))
+        .withColumn("bound_ok",
+          (col("deflate_len") > 0 &&
+            col("deflate_len") <=
+              col("raw_len") + lit(5) * ceil(col("raw_len") / 16384.0).cast("long")
+                + lit(11)).cast("int"))
+        .withColumn("keep", (col("ratio_x1000") >= 350).cast("int"))
+        .orderBy("doc_id"),
+      None)
   )
 
 }

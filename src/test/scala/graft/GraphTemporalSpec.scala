@@ -208,6 +208,45 @@ class GraphTemporalSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("g6: weighted relaxation beats the fewest-hop path on a toy graph") {
+    val s = spark
+    import s.implicits._
+    // 1-4 direct costs 25; 1-3-4 costs 1+1=2. BFS (hop metric) would take
+    // the direct edge; weighted Bellman-Ford must not.
+    val e = Seq((1, 2, 10L), (2, 4, 10L), (1, 3, 1L), (3, 4, 1L), (1, 4, 25L))
+      .toDF("u", "v", "w")
+    val nb = e.select($"u".as("node"), $"v".as("nbr"), $"w")
+      .union(e.select($"v", $"u", $"w"))
+    var dist = nb.select($"node").distinct().filter($"node" === 1)
+      .select($"node", lit(0L).as("dist"))
+    for (_ <- 1 to 3) {
+      val relaxed = nb
+        .join(dist.select($"node".as("dn"), $"dist"), $"nbr" === $"dn")
+        .select($"node", ($"dist" + $"w").as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+    }
+    val got = dist.as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 0L, 2 -> 10L, 3 -> 1L, 4 -> 2L))
+  }
+
+  test("g6 on sf0.001: seed/non-seed laws and BFS-consistency bound") {
+    val s = spark
+    import s.implicits._
+    val out = q("g6_weighted_sssp").cache()
+    try {
+      assert(out.filter($"dist" < 0).isEmpty)
+      assert(out.filter($"node" < 100 && $"dist" =!= 0).isEmpty,
+        "a seed node's weighted distance is not zero")
+      assert(out.filter($"node" >= 100 && $"dist" === 0).isEmpty,
+        "a non-seed node claims distance zero")
+      // every reached node is within 3 hops of a seed (same frontier as g5),
+      // and each hop costs at most 500 (max cost: 1000 div 2)
+      assert(out.filter($"dist" > 3L * 500L).isEmpty,
+        "a weighted distance exceeds the 3-round x max-edge-cost bound")
+    } finally out.unpersist()
+  }
+
   test("f3: paths are bounded at five steps and counts conserve users") {
     val s = spark
     import s.implicits._

@@ -30,6 +30,7 @@ class JoinShapeGuardSpec extends SparkSpec {
     "e4_ann_ivf",             // query frame / centroid table broadcasts
     "e6_semdedup", "e7_pq_adc", "e8_ivfpq", "e9_ivf_maintain", // same family
     "t7_tfidf",               // 1-row corpus-size aggregate
+    "t18_bm25",               // 1-row corpus-stats aggregate (TL, ND)
     "t14_unigram_surprisal",  // 1-row corpus-total aggregate
     "t15_vocab_coverage",     // 1-row total-token aggregate
     "u1_upsert", "u2_snapshot_diff" // 1-row max(doc_id)+1 insert offset
