@@ -176,7 +176,8 @@ object Bench {
     }
     // Shared co-occurrence edge table (g3/g4/g5): built once, queries then
     // time the graph algorithm instead of re-deriving the edge list.
-    if (selected.exists(Set("g3_triangle_count", "g4_label_prop", "g5_bfs"))) {
+    if (selected.exists(Set("g3_triangle_count", "g4_label_prop", "g5_bfs",
+        "g6_weighted_sssp"))) {
       record("_edges_build",
         try timed(graft.queries.GraphTemporalQueries.pretrainEdges(spark, sfDir))
         catch { case _: Throwable => -1.0 })
