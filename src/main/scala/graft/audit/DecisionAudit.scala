@@ -197,6 +197,12 @@ object DecisionAudit {
       centsExact.note + "; ledger merges then sum exact longs — the only " +
         "fp op is the per-row cents conversion",
       Seq("round(value * 100)")),
+    "j15_interp_asof" -> GrainMargin(0.5,
+      centsExact.note + "; bracketing and interpolation then run on exact " +
+        "non-negative longs (micros timestamps, cents, cross-form " +
+        "numerator), where truncating div == flooring //",
+      Seq("round(value * 100)",
+        "(p_cents * (n_t - t_us) + n_cents * (t_us - p_t)) // (n_t - p_t)")),
     "j12_attribution" -> GrainMargin(0.005,
       "round(value, 2) is an identity on 2-dp-quantized stored values"),
     "j8_asof_join" -> GrainMargin(0.005,

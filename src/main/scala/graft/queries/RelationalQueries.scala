@@ -536,6 +536,87 @@ object RelationalQueries {
              |FROM events JOIN bands ON value >= lo AND value < hi
              |ORDER BY event_id, band""".stripMargin)),
 
+    // J15: INTERPOLATING as-of join — the temporal op past j8's
+    // last-value-carry: each click is priced at the LINEAR INTERPOLATION
+    // of the user's surrounding purchase values (the sensor/market-data
+    // standard where "the last observation" is too stale). Implemented
+    // as the merge-streams window shape: union both streams, one shuffle
+    // on user_id, and two frames over the SAME sort (last-non-null
+    // preceding = bracket left, first-non-null following = bracket
+    // right) — no inequality join, no per-row probe; state is one
+    // ordered pass per user at any scale. Exactness discipline: all
+    // arithmetic is non-negative integers — timestamps as exact micros
+    // (nanos div 1000; micros NOT nanos so cents*span stays ~600x under
+    // Long.Max at multi-year spans), values as cents, and the
+    // interpolation in the cross form vp*(tn-t) + vn*(t-tp) (every term
+    // >= 0, so Spark's truncating `div` and DuckDB's flooring `//`
+    // agree). Quotes sort BEFORE clicks at equal timestamps (kind 0 < 1),
+    // so a quote exactly at t brackets left and interp collapses to vp
+    // exactly; (t_us, kind, id) is a total per-user order.
+    Q("j15_interp_asof",
+      (s, d) => {
+        val ev = events(s, d).withColumn("t_us", expr("ts div 1000"))
+        val m = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("t_us"), lit(0).as("kind"),
+            col("event_id").as("id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .unionByName(ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("t_us"), lit(1).as("kind"),
+              col("event_id").as("id"), lit(null).cast("long").as("cents")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t_us"), col("kind"), col("id"))
+        val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val qt = when(col("kind") === 0, col("t_us"))
+        m.withColumn("p_cents", last(col("cents"), ignoreNulls = true).over(wp))
+          .withColumn("p_t", last(qt, ignoreNulls = true).over(wp))
+          .withColumn("n_cents", first(col("cents"), ignoreNulls = true).over(wn))
+          .withColumn("n_t", first(qt, ignoreNulls = true).over(wn))
+          .filter(col("kind") === 1
+            && col("p_cents").isNotNull && col("n_cents").isNotNull
+            && col("n_t") > col("p_t"))
+          .select(col("user_id"), col("id").as("event_id"), col("t_us"),
+            col("p_cents"), col("n_cents"),
+            (col("t_us") - col("p_t")).as("dt_prev_us"),
+            (col("n_t") - col("t_us")).as("dt_next_us"),
+            expr("(p_cents * (n_t - t_us) + n_cents * (t_us - p_t)) div (n_t - p_t)")
+              .as("interp_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id AS id, epoch_ns(ts) // 1000 AS t_us,
+             |    event_type, value
+             |  FROM events
+             |), m AS (
+             |  SELECT user_id, t_us, 0 AS kind, id,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM ev WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, t_us, 1, id, NULL
+             |  FROM ev WHERE event_type = 'click'
+             |), x AS (
+             |  SELECT *,
+             |    last_value(cents IGNORE NULLS) OVER wp AS p_cents,
+             |    last_value(CASE WHEN kind = 0 THEN t_us END IGNORE NULLS)
+             |      OVER wp AS p_t,
+             |    first_value(cents IGNORE NULLS) OVER wn AS n_cents,
+             |    first_value(CASE WHEN kind = 0 THEN t_us END IGNORE NULLS)
+             |      OVER wn AS n_t
+             |  FROM m
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY t_us, kind, id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wn AS (PARTITION BY user_id ORDER BY t_us, kind, id
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |)
+             |SELECT user_id, id AS event_id, t_us, p_cents, n_cents,
+             |  t_us - p_t AS dt_prev_us, n_t - t_us AS dt_next_us,
+             |  (p_cents * (n_t - t_us) + n_cents * (t_us - p_t)) // (n_t - p_t)
+             |    AS interp_cents
+             |FROM x
+             |WHERE kind = 1 AND p_cents IS NOT NULL AND n_cents IS NOT NULL
+             |  AND n_t > p_t
+             |ORDER BY event_id""".stripMargin)),
+
     // ----- §2.6 sorts / limits / top-k / sampling ------------------------
     // O1: global sort (param_train_1st.py:58).
     Q("o1_sort",

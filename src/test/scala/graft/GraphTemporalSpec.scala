@@ -247,6 +247,24 @@ class GraphTemporalSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("j15: interpolation is convex (between brackets) and collapses at dt=0") {
+    val s = spark
+    import s.implicits._
+    val out = q("j15_interp_asof").cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(
+        $"interp_cents" < least($"p_cents", $"n_cents") ||
+          $"interp_cents" > greatest($"p_cents", $"n_cents")).isEmpty,
+        "an interpolated value escaped its bracket")
+      // a quote exactly at the click instant means interp == that quote
+      assert(out.filter($"dt_prev_us" === 0 && $"interp_cents" =!= $"p_cents")
+        .isEmpty)
+      assert(out.filter($"dt_prev_us" < 0 || $"dt_next_us" <= 0).isEmpty,
+        "bracket deltas must be >= 0 (prev) and > 0 (next)")
+    } finally out.unpersist()
+  }
+
   test("f3: paths are bounded at five steps and counts conserve users") {
     val s = spark
     import s.implicits._
