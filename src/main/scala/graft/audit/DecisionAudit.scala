@@ -197,6 +197,11 @@ object DecisionAudit {
       centsExact.note + "; ledger merges then sum exact longs — the only " +
         "fp op is the per-row cents conversion",
       Seq("round(value * 100)")),
+    "w12_rolling_median" -> GrainMargin(0.5,
+      centsExact.note + "; the frame median then SELECTS an element of " +
+        "the exact-long list (lower median, integer index) — no fp op " +
+        "after the per-row cents conversion",
+      Seq("round(value * 100)", "(len(arr) + 1) // 2")),
     "j15_interp_asof" -> GrainMargin(0.5,
       centsExact.note + "; bracketing and interpolation then run on exact " +
         "non-negative longs (micros timestamps, cents, cross-form " +

@@ -210,6 +210,46 @@ object GraphTemporalQueries {
              |  count(sv) AS n_observed, round(sum(sv_ff), 2) AS filled_total
              |FROM filled GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
+    // W12: rolling EXACT median over a trailing row frame — the robust
+    // smoother where w8's trailing mean is outlier-poisoned (one fat-
+    // fingered reading drags a mean for the whole frame; the median
+    // shrugs). Median is LOWER median (sorted[(n+1) div 2], 1-indexed) on
+    // integer cents, so no even-count averaging ever touches a float and
+    // both engines pick the identical element. The frame is 5 rows, so
+    // the per-row sort is O(1) and window state is bounded by the frame,
+    // not the key's history; partitioning is per event_type here (data
+    // shape — w7's convention), per entity key in a real deployment.
+    Q("w12_rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, Window.currentRow)
+        events(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+          .select(col("event_id"), col("event_type"), col("cents"),
+            size(col("arr")).cast("long").as("n_in_frame"),
+            element_at(col("arr"), expr("(size(arr) + 1) div 2").cast("int"))
+              .as("med_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, event_type, epoch_ns(ts) AS tns,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events
+             |), f AS (
+             |  SELECT event_id, event_type, cents,
+             |    list_sort(list(cents) OVER (
+             |      PARTITION BY event_type ORDER BY tns, event_id
+             |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+             |  FROM b
+             |)
+             |SELECT event_id, event_type, cents,
+             |  CAST(len(arr) AS BIGINT) AS n_in_frame,
+             |  arr[(len(arr) + 1) // 2] AS med_cents
+             |FROM f ORDER BY event_id""".stripMargin)),
+
     // A16: per-key anomaly detection — z-score each event against ITS
     // USER's mean/stddev and count |z| >= 2 outliers per user. Two
     // passes over events (stats agg, then a broadcast-able join back);

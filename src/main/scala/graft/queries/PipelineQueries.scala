@@ -1813,6 +1813,61 @@ object PipelineQueries {
     // signal's ordering laws (repetitive < natural < incompressible),
     // determinism, and SQL==column parity. The keep flag is
     // integer-decided (ratio_x1000 threshold) like every curation gate.
+    // A19: randomized-response privatized counts (Warner 1965; the RAPPOR
+    // mechanism's core) — release per-source rates of a sensitive bit
+    // (here lang='en') without any row revealing its truth: with prob 1/2
+    // a row reports its true bit, else a fair coin. The debiasing
+    // estimator 2*mean - 1/2 recovers the population rate; per-row
+    // plausible deniability holds regardless. Chosen over Laplace noise
+    // because the whole decision path is INTEGER (hash-parity coins,
+    // integer-scaled estimator) — engine-identical and therefore exactly
+    // oracled, where ln()-derived noise would put a transcendental under
+    // a rounding boundary (the a16 fragility class). The estimator's
+    // division emits the +0.5-shifted value (20000*yes div n, always
+    // non-negative) and subtracts 5000 AFTER — raw 2*yes - n/2 can go
+    // negative, where Spark's truncating div and DuckDB's flooring //
+    // disagree. Map-side coins, one partial-combining aggregate; at
+    // 100 TB this is a scan.
+    Q("a19_randomized_response",
+      (s, d) => documents(s, d)
+        .select(col("source"),
+          (col("lang") === "en").cast("long").as("truth"),
+          (hash32(concat(lit("rr1:"), col("doc_id").cast("string"))) % 2)
+            .as("keep_truth"),
+          (hash32(concat(lit("rr2:"), col("doc_id").cast("string"))) % 2)
+            .as("coin"))
+        .select(col("source"), col("truth"),
+          when(col("keep_truth") === 1, col("truth")).otherwise(col("coin"))
+            .as("reported"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("reported")).as("n_yes"),
+          sum(col("truth")).as("n_true"))
+        .select(col("source"), col("n"), col("n_yes"), col("n_true"),
+          (expr("20000 * n_yes div n") - 5000L).as("est_x1e4"),
+          expr("10000 * n_true div n").as("true_x1e4"))
+        .orderBy("source"),
+      Some(s"""WITH r AS (
+              |  SELECT source,
+              |    CAST(lang = 'en' AS BIGINT) AS truth,
+              |    ${sqlH32("'rr1:' || CAST(doc_id AS VARCHAR)")} % 2 AS keep_truth,
+              |    ${sqlH32("'rr2:' || CAST(doc_id AS VARCHAR)")} % 2 AS coin
+              |  FROM documents
+              |), m AS (
+              |  SELECT source, truth,
+              |    CASE WHEN keep_truth = 1 THEN truth ELSE coin END AS reported
+              |  FROM r
+              |), g AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(reported) AS BIGINT) AS n_yes,
+              |    CAST(sum(truth) AS BIGINT) AS n_true
+              |  FROM m GROUP BY source
+              |)
+              |SELECT source, n, n_yes, n_true,
+              |  20000 * n_yes // n - 5000 AS est_x1e4,
+              |  10000 * n_true // n AS true_x1e4
+              |FROM g ORDER BY source""".stripMargin)),
+
     Q("t19_compression_ratio",
       (s, d) => documents(s, d)
         .select(col("doc_id"), octet_length(col("text")).cast("long").as("raw_len"),

@@ -161,4 +161,33 @@ class PipelineOpsSpec extends SparkSpec {
       assert(out.filter($"best_agree" < 0 || $"best_agree" > 16).isEmpty)
     } finally out.unpersist()
   }
+
+  test("a19: debiasing estimator recovers the global rate; coins are balanced") {
+    val s = spark
+    import s.implicits._
+    val out = SparkEntry.queries("a19_randomized_response")(spark, sfDir).cache()
+    try {
+      // per-source bookkeeping is consistent
+      assert(out.filter($"n_yes" < 0 || $"n_yes" > $"n").isEmpty)
+      assert(out.filter($"n_true" < 0 || $"n_true" > $"n").isEmpty)
+      // global estimator: |est - true| well inside the RR sampling noise
+      // (sd of the estimator ~ sqrt(3/4n); at n=500 that's ~550 x1e4
+      // units — 2000 is ~3.6 sigma)
+      val g = out.agg(sum($"n").as("n"), sum($"n_yes").as("yes"),
+        sum($"n_true").as("tru")).head()
+      val (n, yes, tru) = (g.getLong(0), g.getLong(1), g.getLong(2))
+      val est = 20000L * yes / n - 5000L
+      val tr = 10000L * tru / n
+      assert(math.abs(est - tr) < 2000L,
+        s"estimator $est strayed from true rate $tr (n=$n)")
+      // the hash-parity coin is balanced enough to debias (6-sigma band)
+      val coins = Tables.documents(spark, sfDir)
+        .select((hash32(concat(lit("rr1:"), $"doc_id".cast("string"))) % 2)
+          .as("c"))
+      val heads = coins.agg(sum($"c")).head().getLong(0)
+      val total = coins.count()
+      assert(math.abs(heads - total / 2.0) < 6 * math.sqrt(total / 4.0),
+        s"keep-truth coin unbalanced: $heads/$total")
+    } finally out.unpersist()
+  }
 }
