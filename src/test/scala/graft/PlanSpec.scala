@@ -294,4 +294,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial count"),
       "bucket counts must partial-aggregate before the shuffle:\n" + p.take(1500))
   }
+
+  test("t18: retrieval keeps the broadcast + top-k shape (no global sort, " +
+      "no shuffled query-term join)") {
+    val p = plan("t18_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "t18's top-20 materialized a global sort:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 3-row query-term side must broadcast:\n" + p.take(1500))
+  }
+
+  test("j15: both bracket frames run over ONE user_id exchange (merge-" +
+      "streams shape, no second shuffle between the windows)") {
+    val p = plan("j15_interp_asof")
+    val shuffles = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(shuffles == 1,
+      s"j15 should shuffle on user_id exactly once, saw $shuffles:\n" +
+        p.take(1500))
+  }
 }
