@@ -278,6 +278,7 @@ object DecisionAudit {
     "o6_user_sample" -> "IndexingSpec",
     "o8_stratified_sample" -> "QueriesSmokeSpec",
     "o11_compaction" -> "CompactionSpec",
-    "t19_compression_ratio" -> "DeflateLenSpec"
+    "t19_compression_ratio" -> "DeflateLenSpec",
+    "m11_rec_coverage" -> "AlsSpec"
   )
 }

@@ -387,6 +387,45 @@ object MlQueries {
             round(avg(col("p_keep")) * 1000).cast("long").as("mean_p_x1000"))
           .orderBy("decile")
       },
+      None),
+
+    // M11: recommendation COVERAGE and NOVELTY — the beyond-accuracy
+    // audit a recsys ships beside MAP/NDCG (m2/m3): what fraction of the
+    // catalog does the recommender ever surface (aggregate diversity —
+    // a popularity-collapsed model scores high accuracy while showing
+    // everyone the same 50 items), and how popular is the average
+    // recommended item (novelty as the integer self-information class of
+    // its interaction share — t14's frequency-class discipline, so the
+    // metric is exact integers over model output). Shape: recommend is
+    // the cached model's blocked matmul; the popularity side is a
+    // partial-combining aggregate; catalog totals are 1-row broadcasts;
+    // the final rollup is a single scalar row. Rows-only by design
+    // (model output); AlsSpec holds the structural laws.
+    Q("m11_rec_coverage",
+      (s, d) => {
+        val model = alsModel(s, d)
+        val ratings = ratingsOf(s, d)
+        val users = ratings.select(col("user_idx")).distinct()
+        val recs = AlsTrainer.recommendLists(model, users, 5)
+          .select(col("user_idx"), explode(col("pred")).as("item_idx"))
+        val pop = ratings.groupBy(col("item_idx"))
+          .agg(round(sum(col("count"))).cast("long").as("n_inter"))
+        val tot = pop.agg(sum(col("n_inter")).cast("long").as("total"),
+          count(lit(1)).as("catalog"))
+        recs.join(pop, Seq("item_idx"))
+          .crossJoin(broadcast(tot))
+          .select(col("user_idx"), col("item_idx"), col("catalog"),
+            (length(bin(expr("total div n_inter"))) - 1).cast("long").as("cls"))
+          .groupBy(col("catalog"))
+          .agg(count_distinct(col("user_idx")).as("n_users"),
+            count(lit(1)).as("n_pairs"),
+            count_distinct(col("item_idx")).as("n_distinct_items"),
+            sum(col("cls")).as("scls"))
+          .select(col("n_users"), col("n_pairs"), col("n_distinct_items"),
+            col("catalog"),
+            expr("n_distinct_items * 10000 div catalog").as("coverage_x1e4"),
+            expr("scls * 1000 div n_pairs").as("mean_novelty_x1000"))
+      },
       None)
   )
 

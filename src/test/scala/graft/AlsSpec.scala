@@ -70,4 +70,23 @@ class AlsSpec extends SparkSpec {
     val unseen = Seq((999, 0, 1f)).toDF("user_idx", "item_idx", "count")
     assert(AlsTrainer.scores(model, unseen).count() == 0)
   }
+
+  test("m11: coverage/novelty rollup obeys its structural laws") {
+    val row = SparkEntry.queries("m11_rec_coverage")(spark, sfDir).head()
+    val nUsers = row.getAs[Long]("n_users")
+    val nPairs = row.getAs[Long]("n_pairs")
+    val nItems = row.getAs[Long]("n_distinct_items")
+    val catalog = row.getAs[Long]("catalog")
+    val coverage = row.getAs[Long]("coverage_x1e4")
+    val novelty = row.getAs[Long]("mean_novelty_x1000")
+    assert(nUsers > 0 && nPairs == nUsers * 5,
+      s"every user must get exactly 5 recs: users=$nUsers pairs=$nPairs")
+    assert(nItems > 0 && nItems <= catalog,
+      "recommended-distinct cannot exceed the catalog")
+    assert(coverage == nItems * 10000 / catalog)
+    assert(coverage > 0 && coverage <= 10000)
+    // self-information class of an interaction share is >= 0 and bounded
+    // by the class of the rarest possible item (share 1/total)
+    assert(novelty >= 0 && novelty <= 64000)
+  }
 }
