@@ -129,6 +129,7 @@ object DecisionAudit {
       Seq("list_reduce", "ORDER BY ts, event_id")),
     "e1_cosine_topk" -> arrayFold,
     "e2_ann_buckets" -> arrayFold,
+    "e10_mips" -> arrayFold,
     "e3_embed_neardup" -> BitPinned(
       arrayFold.note + "; the cos > 0.45 keep-threshold therefore compares " +
         "bit-identical doubles and cannot flip",
@@ -197,6 +198,10 @@ object DecisionAudit {
       centsExact.note + "; ledger merges then sum exact longs — the only " +
         "fp op is the per-row cents conversion",
       Seq("round(value * 100)")),
+    "o15_block_sample" -> GrainMargin(0.5,
+      centsExact.note + "; block membership is an integer hash rule and " +
+        "the HT estimator multiplies exact long sums",
+      Seq("round(l_extendedprice * 100)", "sum(cents) * 10")),
     "w12_rolling_median" -> GrainMargin(0.5,
       centsExact.note + "; the frame median then SELECTS an element of " +
         "the exact-long list (lower median, integer index) — no fp op " +

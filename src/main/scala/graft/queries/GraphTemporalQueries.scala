@@ -623,6 +623,52 @@ object GraphTemporalQueries {
     // aggregate; the top-k lowers to TakeOrderedAndProject, never a
     // global sort. Tie-break on the path string keeps the cut
     // deterministic.
+    // F4: first-order Markov transition matrix over event types — the
+    // sequence model behind next-action prediction and funnel-leak
+    // analysis (where do users GO after a view?), one step deeper than
+    // f3's literal path strings. Per user, consecutive event pairs come
+    // from one lead() over the (ts, event_id) order — a single user_id
+    // shuffle, state bounded by the window frame; the transition count
+    // and the per-source normalizer are partial-combining aggregates.
+    // Probabilities are integer-scaled exact (n_pair*10000 div n_from) —
+    // no float on the decision path.
+    Q("f4_markov_transitions",
+      (s, d) => {
+        val pairs = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))))
+          .filter(col("to_type").isNotNull)
+          .withColumnRenamed("event_type", "from_type")
+        val counts = pairs.groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n_pair"))
+        val fromTotals = counts.groupBy(col("from_type"))
+          .agg(sum(col("n_pair")).as("n_from"))
+        counts.join(fromTotals, Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n_pair"),
+            col("n_from"), expr("n_pair * 10000 div n_from").as("p_x1e4"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+             |    event_type AS from_type,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+             |      AS to_type
+             |  FROM events
+             |), c AS (
+             |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_pair
+             |  FROM ev WHERE to_type IS NOT NULL GROUP BY 1, 2
+             |), t AS (
+             |  SELECT from_type, CAST(sum(n_pair) AS BIGINT) AS n_from
+             |  FROM c GROUP BY 1
+             |)
+             |SELECT from_type, to_type, n_pair, n_from,
+             |  n_pair * 10000 // n_from AS p_x1e4
+             |FROM c JOIN t USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
     Q("f3_top_paths",
       (s, d) => {
         events(s, d)

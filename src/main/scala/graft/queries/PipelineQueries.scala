@@ -1773,6 +1773,105 @@ object PipelineQueries {
               |  FROM s)
               |WHERE rn <= 5 ORDER BY source, rn""".stripMargin)),
 
+    // E10: max-inner-product search (MIPS) — the recommendation-SERVING
+    // primitive (user·item factor score) the cosine family doesn't
+    // express: the maximizer of x·q is NOT the cosine maximizer unless
+    // all norms are equal. Exact top-k here is e1's shape (broadcast
+    // query frame, one stream over the corpus, per-query rank window,
+    // never a global sort); the SCALE path is the Bachrach et al.
+    // (RecSys'14) reduction — append sqrt(M^2 - |x|^2) to every corpus
+    // vector and 0 to the query, making every augmented norm equal M so
+    // MIPS becomes cosine and e2/e4's LSH/IVF machinery applies
+    // unchanged. The reduction's order-preservation law is pinned in
+    // SimilarityScaleSpec (augmented-cosine ranking == ip ranking,
+    // augmented norms == M); the oracle pins the exact scores through
+    // the e1 fold discipline (identical element-order dot fold in both
+    // engines, round at 5dp after).
+    Q("e10_mips",
+      (s, d) => {
+        val emb = ivfEmb(s, d)
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"),
+            round(dot(col("v"), col("qv")), 5).as("ip"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(desc("ip"), col("cand_id")))
+            .cast("long"))
+          .filter(col("rn") <= 5)
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |), q AS (
+             |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3
+             |), p AS (
+             |  SELECT q_id, e.vec_id AS cand_id,
+             |    round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]), 5)
+             |      AS ip
+             |  FROM e CROSS JOIN q WHERE e.vec_id != q_id
+             |), r AS (
+             |  SELECT q_id, cand_id, ip,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY q_id ORDER BY ip DESC, cand_id) AS BIGINT) AS rn
+             |  FROM p
+             |)
+             |SELECT q_id, cand_id, ip, rn FROM r WHERE rn <= 5
+             |ORDER BY q_id, rn""".stripMargin)),
+
+    // O15: block sampling + Horvitz-Thompson estimation — the approximate-
+    // query-processing primitive row sampling can't give you at 100 TB:
+    // sampling WHOLE blocks (here: 100-order key ranges; in production,
+    // files or row groups) means the scan touches ~10% of the DATA, not
+    // 100% of it with 90% of rows discarded — block membership is decided
+    // per block key, so pruning happens before any row is read. Inclusion
+    // probability is exactly 1/10 by construction (hash-bucket on the
+    // block id, o14's engine-portable rule), so the HT estimator is
+    // sampled_sum * 10 in exact cents. The exact full-scan totals ride
+    // along as evidence columns (the correctness surface pays for the
+    // full scan so the estimator's error is visible in-row; production
+    // omits them — that is the point of the operator).
+    Q("o15_block_sample",
+      (s, d) => {
+        val base = lineitem(s, d)
+          .select(col("l_returnflag"), expr("l_orderkey div 100").as("blk"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val sampled = base
+          .filter(hash32(concat(lit("o15:"), col("blk").cast("string"))) % 10 === 0)
+        val est = sampled.groupBy(col("l_returnflag"))
+          .agg(count_distinct(col("blk")).as("n_blocks"),
+            count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("sampled_cents"))
+          .select(col("l_returnflag"), col("n_blocks"), col("n_rows"),
+            col("sampled_cents"),
+            (col("sampled_cents") * 10).as("est_cents"))
+        val exact = base.groupBy(col("l_returnflag"))
+          .agg(sum(col("cents")).as("exact_cents"))
+        est.join(exact, Seq("l_returnflag"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT l_returnflag, l_orderkey // 100 AS blk,
+              |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              |  FROM lineitem
+              |), s AS (
+              |  SELECT l_returnflag,
+              |    CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+              |    CAST(count(*) AS BIGINT) AS n_rows,
+              |    CAST(sum(cents) AS BIGINT) AS sampled_cents,
+              |    CAST(sum(cents) * 10 AS BIGINT) AS est_cents
+              |  FROM b
+              |  WHERE ${sqlH32("'o15:' || CAST(blk AS VARCHAR)")} % 10 = 0
+              |  GROUP BY l_returnflag
+              |), x AS (
+              |  SELECT l_returnflag, CAST(sum(cents) AS BIGINT) AS exact_cents
+              |  FROM b GROUP BY l_returnflag
+              |)
+              |SELECT s.l_returnflag, n_blocks, n_rows, sampled_cents,
+              |  est_cents, exact_cents
+              |FROM s JOIN x USING (l_returnflag)
+              |ORDER BY l_returnflag""".stripMargin)),
+
     // O14: deterministic hash-bucket sampling — the sampling a 100 TB
     // pipeline actually ships: membership is a pure function of the row
     // KEY (md5-derived bucket), so the sample is (a) exactly reproducible

@@ -126,4 +126,36 @@ class SimilarityScaleSpec extends SparkSpec {
       .select(signBucket(col("v"), prodDims)).distinct().count()
     assert(cells == 1L)
   }
+
+  test("e10: the norm-augmentation reduction preserves the MIPS order " +
+      "(augmented norms == M, augmented-cosine rank == ip rank)") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // M = max corpus norm (the reduction's constant)
+    val m = emb.select(max(l2Norm(col("v"))).as("m")).head().getDouble(0)
+    val aug = emb.select(col("vec_id"),
+      concat(col("v"), array(sqrt(lit(m * m) - dot(col("v"), col("v")))))
+        .as("va"))
+    // every augmented norm equals M (the property that makes MIPS
+    // indexable by any cosine/L2 structure)
+    val worst = aug.select(max(abs(l2Norm(col("va")) - lit(m)))).head().getDouble(0)
+    assert(worst < 1e-9 * math.max(1.0, m), s"augmented norm strays: $worst")
+    // ranking parity: for a query, order by ip == order by cosine of
+    // augmented vectors (query augmented with 0 — its extra term adds 0)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("v").as("qv")).head().getSeq[Double](0)
+    val s2 = spark
+    import s2.implicits._
+    val qlit = typedLit(q)
+    val ranked = emb.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), dot(col("v"), qlit).as("ip"),
+        (dot(col("v"), qlit) / (lit(m) * lit(math.sqrt(q.map(x => x * x).sum))))
+          .as("cos_aug"))
+      .orderBy(desc("ip"), col("vec_id"))
+      .limit(50).collect()
+    val byIp = ranked.map(_.getLong(0)).toSeq
+    val byCos = ranked.sortBy(r => (-r.getDouble(2), r.getLong(0)))
+      .map(_.getLong(0)).toSeq
+    assert(byIp == byCos, "augmented-cosine order diverged from ip order")
+  }
 }
