@@ -113,6 +113,12 @@ object DecisionAudit {
         "rounded on identical inputs, so |z| >= 2 decides identically on " +
         "any data",
       Seq("round(sum(value), 6)", "round(sum(value * value), 6)")),
+    "a20_ab_welch" -> BitPinned(
+      "Welch t from per-arm exact-ified (n, round(s1,6), round(s2,6)) " +
+        "triples — a16's discipline on a two-sample statistic: identical " +
+        "inputs -> correctly-rounded scalar chain -> bit-identical t, so " +
+        "round(t*1e4) and |t| >= 1.96 decide identically on any data",
+      Seq("round(sum(value), 6)", "round(sum(value * value), 6)")),
     "a10_rmse" -> BitPinned(
       "rmse from exact-ified group sums (round(ssq,4), round(sv,2), n): " +
         "identical inputs -> identical scalar op chain in both engines",
@@ -198,6 +204,7 @@ object DecisionAudit {
       centsExact.note + "; ledger merges then sum exact longs — the only " +
         "fp op is the per-row cents conversion",
       Seq("round(value * 100)")),
+    "p12_unpivot" -> storedPass,
     "o15_block_sample" -> GrainMargin(0.5,
       centsExact.note + "; block membership is an integer hash rule and " +
         "the HT estimator multiplies exact long sums",

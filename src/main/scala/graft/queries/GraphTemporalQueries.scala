@@ -307,6 +307,67 @@ object GraphTemporalQueries {
              |  sum(CASE WHEN abs(z) >= 2 THEN 1 ELSE 0 END) AS n_anomalies
              |FROM z GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
+    // A20: A/B experiment readout — Welch's t statistic per experiment
+    // (event_type) between two deterministic arms (user_id parity: the
+    // c2 hash-split idiom, so assignment is reproducible and
+    // user-sticky). The decision discipline is a16's, applied to a TWO-
+    // sample statistic: both engines derive each arm's mu and variance
+    // from the same exact-ified (n, round(s1,6), round(s2,6)) triple,
+    // and from identical inputs the -, *, /, sqrt chain is correctly-
+    // rounded IEEE — t is bit-identical, so round(t*1e4) and the
+    // |t| >= 1.96 significance flag cannot disagree on any
+    // regeneration. Shape: one partial-combining aggregate to 2 rows
+    // per experiment, then a 5-row self-join — nothing here grows with
+    // data volume except the one aggregate scan.
+    Q("a20_ab_welch",
+      (s, d) => {
+        val sums = events(s, d)
+          .groupBy(col("event_type"), (col("user_id") % 2).as("arm"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 6).as("s1"),
+            round(sum(col("value") * col("value")), 6).as("s2"))
+          .filter(col("n") > 1)
+          .withColumn("mu", col("s1") / col("n"))
+          .withColumn("v",
+            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .filter(col("v") > 0)
+        val a = sums.filter(col("arm") === 0)
+          .select(col("event_type"), col("n").as("n_a"),
+            col("mu").as("mu_a"), col("v").as("v_a"))
+        val b = sums.filter(col("arm") === 1)
+          .select(col("event_type").as("et_b"), col("n").as("n_b"),
+            col("mu").as("mu_b"), col("v").as("v_b"))
+        a.join(b, col("event_type") === col("et_b"))
+          .withColumn("t",
+            (col("mu_a") - col("mu_b"))
+              / sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            round(col("t") * 10000).cast("long").as("t_x1e4"),
+            (abs(col("t")) >= 1.96).cast("int").as("significant"))
+          .orderBy("event_type")
+      },
+      Some("""WITH sums AS (
+             |  SELECT event_type, user_id % 2 AS arm, count(*) AS n,
+             |    round(sum(value), 6) AS s1,
+             |    round(sum(value * value), 6) AS s2
+             |  FROM events GROUP BY 1, 2
+             |), st AS (
+             |  SELECT event_type, arm, n, s1 / n AS mu,
+             |    (s2 - s1 * s1 / n) / (n - 1) AS v
+             |  FROM sums
+             |  WHERE n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+             |), j AS (
+             |  SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+             |    (a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n) AS t
+             |  FROM st a JOIN st b
+             |    ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+             |)
+             |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(n_b AS BIGINT) AS n_b,
+             |  CAST(round(t * 10000) AS BIGINT) AS t_x1e4,
+             |  CAST(abs(t) >= 1.96 AS INT) AS significant
+             |FROM j ORDER BY event_type""".stripMargin)),
+
     // G4: label propagation (community detection) — the third classic on
     // the co-occurrence graph after PageRank (g2) and connected
     // components (d7). Synchronous LPA: every node starts as its own

@@ -392,6 +392,42 @@ object RelationalQueries {
              |  count(*) FILTER (event_type = 'purchase') AS purchase
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // P12: unpivot/melt — a13's inverse, the wide->long reshape every
+    // metrics pipeline runs before a generic per-metric aggregation.
+    // Spark's native Dataset.unpivot lowers to Expand (each input row
+    // emits one output row per value column in a single pass — no
+    // shuffle, no join); the oracle states the same reshape as the
+    // explicit UNION ALL it is equivalent to. Values are 2-dp-quantized
+    // on disk, so round(v, 2) is the identity on both engines
+    // (storedPass discipline).
+    Q("p12_unpivot",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "v")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          round(col("v"), 2).as("v"))
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |    l_discount
+             |  FROM lineitem WHERE l_orderkey < 2000
+             |)
+             |SELECT l_orderkey, l_linenumber, metric, round(v, 2) AS v FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             |    l_quantity AS v FROM base
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+             |  FROM base
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base
+             |)
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
     // ----- §2.5 windows --------------------------------------------------
     // W2: per-key top-N by score (the top-500-per-user pattern, O4/W2).
     Q("w2_topk_per_key",
