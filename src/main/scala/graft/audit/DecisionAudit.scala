@@ -133,6 +133,12 @@ object DecisionAudit {
       "per-key EWMA folds the identically-ordered (ts, event_id) series " +
         "sequentially in both engines — bit-equal before round(.,4)",
       Seq("list_reduce", "ORDER BY ts, event_id")),
+    "w13_holt" -> BitPinned(
+      "w11's ordered-fold discipline with a (level, trend) struct state: " +
+        "identical element order, identical op order per step (the " +
+        "coalesce-seeded first step included), smoothing constants " +
+        "0.5/0.25/0.75 exactly representable — bit-equal before round(.,4)",
+      Seq("list_reduce", "ORDER BY ts, event_id", "0.25::DOUBLE")),
     "e1_cosine_topk" -> arrayFold,
     "e2_ann_buckets" -> arrayFold,
     "e10_mips" -> arrayFold,

@@ -466,6 +466,71 @@ object GraphTemporalQueries {
              |  FROM events GROUP BY user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // W13: Holt double-exponential smoothing (level + trend) — the
+    // forecasting recurrence one step past w11's EWMA: the state is a
+    // (level, trend) PAIR, still inexpressible by window functions, so
+    // the same ordered-collect + sequential fold shape applies with a
+    // struct accumulator. Seeds: l=x1, t=0. Smoothing constants are
+    // 0.5 / 0.25 — chosen EXACTLY representable in binary so the only
+    // cross-engine question is op order, which both lambdas state
+    // identically (w11's BitPinned fold discipline; the oracle's
+    // duplicated l_new subexpression is IEEE-deterministic). Emits the
+    // one-step-ahead forecast level + trend. Per-user state is one
+    // struct; the fold is map-side after one user_id shuffle.
+    Q("w13_holt",
+      (s, d) => {
+        val fold = (acc: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column) => {
+          val lPrev = acc.getField("l")
+          val tPrev = acc.getField("t")
+          val lNew = lit(0.5) * x + lit(0.5) * (lPrev + tPrev)
+          val tNew = lit(0.25) * (lNew - lPrev) + lit(0.75) * tPrev
+          when(lPrev.isNull,
+            struct(x.as("l"), lit(0.0).as("t")))
+            .otherwise(struct(lNew.as("l"), tNew.as("t")))
+        }
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(
+            col("ts"), col("event_id"), col("value")))).as("xs"))
+          .select(col("user_id"), size(col("xs")).as("n_events"),
+            aggregate(
+              transform(col("xs"), x => x.getField("value")),
+              struct(lit(null).cast("double").as("l"),
+                lit(null).cast("double").as("t")),
+              fold).as("st"))
+          .select(col("user_id"), col("n_events"),
+            round(col("st.l"), 4).as("level"),
+            round(col("st.t"), 4).as("trend"),
+            round(col("st.l") + col("st.t"), 4).as("forecast"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(len(xs) AS INT) AS n_events,
+             |  round(st[1], 4) AS level, round(st[2], 4) AS trend,
+             |  round(st[1] + st[2], 4) AS forecast
+             |FROM (
+             |  -- The accumulator is a LIST [l, t], NOT a struct: DuckDB's
+             |  -- list_reduce mutates a struct accumulator IN PLACE field by
+             |  -- field, so a struct 't' formula reads the already-updated
+             |  -- 'l' (measured: [10,12,14] gives t=0.390625 instead of
+             |  -- 0.59375; nesting the struct does not help). List
+             |  -- accumulators evaluate against the unmodified previous
+             |  -- state. Seeding: list_reduce seeds with the first element
+             |  -- [x1, 0.0] — exactly the Spark fold's first-step state —
+             |  -- and a one-event series returns it untouched (trend 0.0).
+             |  SELECT user_id, xs,
+             |    list_reduce(
+             |      [[CAST(x AS DOUBLE), 0.0::DOUBLE] for x in xs],
+             |      (acc, e) ->
+             |        [0.5::DOUBLE * e[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+             |         0.25::DOUBLE * ((0.5::DOUBLE * e[1]
+             |           + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+             |           + 0.75::DOUBLE * acc[2]]) AS st
+             |  FROM (
+             |    SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+             |    FROM events GROUP BY user_id)
+             |) ORDER BY user_id""".stripMargin)),
+
     // G5: k-hop BFS from a seed set — multi-source shortest paths,
     // bounded at 3 hops (the "blast radius" query: what does this seed
     // set reach, and how fast). Per round: one join of the frontier
