@@ -1773,6 +1773,90 @@ object PipelineQueries {
               |  FROM s)
               |WHERE rn <= 5 ORDER BY source, rn""".stripMargin)),
 
+    // U5: atomic versioned snapshot publish (operators/SnapshotStore) —
+    // the table-format kernel under u1/u2/u3: data written completely
+    // under v<N>, then ONE pointer file swapped by atomic rename; a
+    // reader never sees a half-written version and a crash before the
+    // swap leaves the old version live (SnapshotStoreSpec stages that
+    // crash). The query publishes two versions (the even-id half, then
+    // the full corpus), reads BOTH back through the store, and emits
+    // per-version count + an order-insensitive id digest — all derivable
+    // from the source table, so the round-trip through the versioned
+    // store is exactly oracled.
+    Q("u5_snapshot_publish",
+      (s, d) => {
+        import graft.operators.SnapshotStore
+        val root = graft.Scratch.dir(s, "u5_store")
+        val docs = documents(s, d).select(col("doc_id"), col("source"))
+        SnapshotStore.publish(docs.filter(col("doc_id") % 2 === 0), root)
+        SnapshotStore.publish(docs, root)
+        val vCur = SnapshotStore.currentVersion(s, root).get
+        Seq(vCur - 1, vCur).map { v =>
+          SnapshotStore.readVersion(s, root, v)
+            .agg(count(lit(1)).as("n_rows"),
+              md5(concat_ws(",",
+                transform(sort_array(collect_list(col("doc_id"))),
+                  _.cast("string")))).as("id_digest"))
+            .select(lit(v).cast("long").as("version"), col("n_rows"),
+              col("id_digest"))
+        }.reduce(_.unionByName(_)).orderBy("version")
+      },
+      Some("""SELECT 1::BIGINT AS version, CAST(count(*) AS BIGINT) AS n_rows,
+             |  md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS id_digest
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT 2::BIGINT, CAST(count(*) AS BIGINT),
+             |  md5(string_agg(doc_id, ',' ORDER BY doc_id))
+             |FROM documents
+             |ORDER BY version""".stripMargin)),
+
+    // C10: temporal (leakage-safe) train/validation split — the split a
+    // forecasting or recommendation pipeline MUST use where c2's hash
+    // split would leak the future into training: cut at a time point,
+    // train strictly before, validate at-or-after. The cutoff is derived
+    // in exact integer nanos ((min+max) div 2 over the corpus — a
+    // broadcast scalar, regeneration-proof), and every row carries the
+    // no-leakage evidence: per user, max train ts < min val ts BY
+    // CONSTRUCTION, emitted as a leak flag the oracle reproduces.
+    // Map-side assignment after one broadcast; the rollup is one
+    // partial-combining aggregate.
+    Q("c10_temporal_split",
+      (s, d) => {
+        val ev = events(s, d)
+        val cut = ev.agg(expr("(min(ts) + max(ts)) div 2").as("cut"))
+        ev.crossJoin(broadcast(cut))
+          .select(col("user_id"), col("ts"),
+            (col("ts") < col("cut")).cast("int").as("is_train"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("is_train")).as("n_train"),
+            sum(lit(1) - col("is_train")).as("n_val"),
+            max(when(col("is_train") === 1, col("ts"))).as("max_train_ts"),
+            min(when(col("is_train") === 0, col("ts"))).as("min_val_ts"))
+          .withColumn("leak",
+            (coalesce(col("max_train_ts"), lit(Long.MinValue))
+              >= coalesce(col("min_val_ts"), lit(Long.MaxValue))).cast("int"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns FROM events
+             |), c AS (
+             |  SELECT (min(tns) + max(tns)) // 2 AS cut FROM ev
+             |), m AS (
+             |  SELECT user_id, tns,
+             |    CAST(tns < cut AS INT) AS is_train
+             |  FROM ev CROSS JOIN c
+             |)
+             |SELECT user_id,
+             |  CAST(sum(is_train) AS BIGINT) AS n_train,
+             |  CAST(sum(1 - is_train) AS BIGINT) AS n_val,
+             |  max(CASE WHEN is_train = 1 THEN tns END) AS max_train_ts,
+             |  min(CASE WHEN is_train = 0 THEN tns END) AS min_val_ts,
+             |  CAST(coalesce(max(CASE WHEN is_train = 1 THEN tns END),
+             |      -9223372036854775808)
+             |    >= coalesce(min(CASE WHEN is_train = 0 THEN tns END),
+             |      9223372036854775807) AS INT) AS leak
+             |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // E10: max-inner-product search (MIPS) — the recommendation-SERVING
     // primitive (user·item factor score) the cosine family doesn't
     // express: the maximizer of x·q is NOT the cosine maximizer unless
