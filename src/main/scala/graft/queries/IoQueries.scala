@@ -373,6 +373,53 @@ object IoQueries {
              |SELECT m.o_custkey,
              |  array_to_string(list(m.o_orderkey ORDER BY m.o_orderkey), ',') AS argmax_keys
              |FROM m JOIN mx ON m.o_custkey = mx.o_custkey AND m.p = mx.mp
-             |GROUP BY m.o_custkey ORDER BY m.o_custkey""".stripMargin))
+             |GROUP BY m.o_custkey ORDER BY m.o_custkey""".stripMargin)),
+
+    // S11: corrupt-record-tolerant semi-structured ingest — what a real
+    // feed does that the clean p10 path doesn't model: some payloads are
+    // truncated/garbled, and the pipeline must COUNT and QUARANTINE
+    // them, not crash or silently drop. Corruption is planted
+    // deterministically (every 10th record loses its closing brace) so
+    // the same rows are corrupt in both engines. Spark's from_json is
+    // PERMISSIVE by design here — a malformed document yields NULL, the
+    // per-row quarantine flag; DuckDB guards with json_valid (its
+    // json_extract THROWS on malformed input — fail-closed engines need
+    // the explicit guard; the premise "every valid payload has k" is the
+    // generator contract p10 already rests on). Map-side flagging, one
+    // partial-combining rollup; the quarantined count is the operator's
+    // monitoring contract.
+    Q("s11_corrupt_json",
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          when(col("event_id") % 10 === 0,
+            expr("substring(props, 1, length(props) - 1)"))
+            .otherwise(col("props")).as("payload"))
+        .select(col("event_type"),
+          from_json(col("payload"), "k LONG", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("k")).as("n_valid"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+          sum(col("k")).as("sum_k"))
+        .orderBy("event_type"),
+      Some("""WITH p AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 10 = 0
+             |      THEN substring(props, 1, length(props) - 1)
+             |      ELSE props END AS payload
+             |  FROM events
+             |), x AS (
+             |  SELECT event_type,
+             |    CASE WHEN json_valid(payload)
+             |      THEN json_extract(payload, '$.k')::BIGINT END AS k
+             |  FROM p
+             |)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(count(k) AS BIGINT) AS n_valid,
+             |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_quarantined,
+             |  CAST(sum(k) AS BIGINT) AS sum_k
+             |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
