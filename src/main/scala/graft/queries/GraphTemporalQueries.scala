@@ -16,6 +16,12 @@ import graft.{Q, Tables}
 object GraphTemporalQueries {
   import Tables._
 
+  /** DuckDB SQL fragment: 32-bit md5-derived hash (mirror of
+    * TextFunctions.hash32; same fragment as PipelineQueries.sqlH32).
+    */
+  private def sqlH32(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
   /** Materialized part co-occurrence edge table (parts appearing together
     * in >= 2 orders, canonically oriented u < v) shared by g3 (triangles),
     * g4 (label propagation) and g5 (BFS). Built ONCE per (session, sfDir)
@@ -749,6 +755,75 @@ object GraphTemporalQueries {
     // aggregate; the top-k lowers to TakeOrderedAndProject, never a
     // global sort. Tie-break on the path string keeps the cut
     // deterministic.
+    // G7: deterministic random walks over the co-occurrence graph — the
+    // sampling primitive under DeepWalk/node2vec-style graph embedding:
+    // a corpus of short walks IS the training data the skip-gram stage
+    // consumes. Next-hop choice is hash-derived (md5 of
+    // walk:id:step:cur — o13's engine-identical-uniform idiom on a
+    // categorical draw), so the walk corpus is reproducible run-to-run,
+    // engine-portable, and therefore exactly oracled — the property
+    // seeded RNG walks can't give you. Shape: the adjacency-list table
+    // (node -> sorted neighbor array) is built once from the shared
+    // edge artifact; each step is one equi-join of the walk frontier
+    // onto it plus a map-side pick — at 100 TB the frontier is
+    // (nodes x walks/node) rows of fixed width and the adjacency table
+    // is the reused artifact, so cost is steps x one join, never a
+    // per-walk driver loop.
+    Q("g7_random_walks",
+      (s, d) => {
+        val e = coocEdgesWeighted(s, d)
+        val nb = e.select(col("u").as("node"), col("v").as("nbr"))
+          .union(e.select(col("v"), col("u")))
+          .groupBy(col("node"))
+          .agg(sort_array(collect_list(col("nbr"))).as("ns"))
+        var walks = nb.select(col("node")).filter(col("node") < 50)
+          .select(col("node").as("walk_id"), col("node").as("cur"),
+            col("node").cast("string").as("path"))
+        for (step <- 1 to 3) {
+          walks = walks.join(nb, col("cur") === col("node"))
+            .withColumn("idx",
+              (graft.functions.TextFunctions.hash32(
+                concat(lit("walk:"), col("walk_id").cast("string"),
+                  lit(s":$step:"), col("cur").cast("string")))
+                % size(col("ns"))).cast("int"))
+            .select(col("walk_id"),
+              element_at(col("ns"), col("idx") + 1).as("cur"),
+              concat(col("path"), lit("->"),
+                element_at(col("ns"), col("idx") + 1).cast("string"))
+                .as("path"))
+        }
+        walks.select(col("walk_id"), col("cur").as("end_node"), col("path"))
+          .orderBy("walk_id")
+      },
+      Some {
+        def stepSql(i: Int, prev: String) =
+          s"""w$i AS (
+             |  SELECT walk_id,
+             |    ns[CAST((${sqlH32(s"'walk:' || CAST(walk_id AS VARCHAR) || ':$i:' || CAST(cur AS VARCHAR)")})
+             |      % len(ns) AS INT) + 1] AS cur,
+             |    path || '->' || CAST(ns[CAST((${sqlH32(s"'walk:' || CAST(walk_id AS VARCHAR) || ':$i:' || CAST(cur AS VARCHAR)")})
+             |      % len(ns) AS INT) + 1] AS VARCHAR) AS path
+             |  FROM $prev JOIN nbrs ON $prev.cur = nbrs.node
+             |)""".stripMargin
+        s"""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+           |      FROM pairs a JOIN pairs b
+           |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |      GROUP BY 1, 2 HAVING count(*) >= 2),
+           |nb AS (SELECT u AS node, v AS nbr FROM e
+           |       UNION ALL SELECT v, u FROM e),
+           |nbrs AS (SELECT node, list(nbr ORDER BY nbr) AS ns
+           |         FROM nb GROUP BY node),
+           |w0 AS (SELECT node AS walk_id, node AS cur,
+           |         CAST(node AS VARCHAR) AS path
+           |       FROM nbrs WHERE node < 50),
+           |${stepSql(1, "w0")},
+           |${stepSql(2, "w1")},
+           |${stepSql(3, "w2")}
+           |SELECT walk_id, cur AS end_node, path FROM w3
+           |ORDER BY walk_id""".stripMargin
+      }),
+
     // F4: first-order Markov transition matrix over event types — the
     // sequence model behind next-action prediction and funnel-leak
     // analysis (where do users GO after a view?), one step deeper than
