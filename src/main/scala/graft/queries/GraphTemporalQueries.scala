@@ -824,6 +824,85 @@ object GraphTemporalQueries {
            |ORDER BY walk_id""".stripMargin
       }),
 
+    // T20: skip-gram pair extraction over g7's walk corpus — the last
+    // data-side step of the DeepWalk pipeline: (center, context)
+    // co-occurrence counts with window ±1, the exact table a skip-gram
+    // embedding trainer consumes (negative draws happen at training
+    // time against the node-frequency table; this op owns the
+    // positives). The walks are REGENERATED with g7's identical hash
+    // draws (same salt, same arithmetic), so the two queries describe
+    // one corpus — and the oracle replays the same unrolled steps
+    // carrying the node columns instead of a path string. Shape: the
+    // walk unroll is g7's join-per-step; pair extraction is a map-side
+    // union of projections; the final count partial-aggregates.
+    Q("t20_skipgram_pairs",
+      (s, d) => {
+        val e = coocEdgesWeighted(s, d)
+        val nb = e.select(col("u").as("node"), col("v").as("nbr"))
+          .union(e.select(col("v"), col("u")))
+          .groupBy(col("node"))
+          .agg(sort_array(collect_list(col("nbr"))).as("ns"))
+        var walks = nb.select(col("node")).filter(col("node") < 50)
+          .select(col("node").as("walk_id"), col("node").as("n0"))
+        for (step <- 1 to 3) {
+          val cur = s"n${step - 1}"
+          walks = walks.join(nb, col(cur) === col("node"))
+            .withColumn("idx",
+              (graft.functions.TextFunctions.hash32(
+                concat(lit("walk:"), col("walk_id").cast("string"),
+                  lit(s":$step:"), col(cur).cast("string")))
+                % size(col("ns"))).cast("int"))
+            .withColumn(s"n$step", element_at(col("ns"), col("idx") + 1))
+            .drop("node", "ns", "idx")
+        }
+        Seq((0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2))
+          .map { case (a, b) =>
+            walks.select(col(s"n$a").as("center"), col(s"n$b").as("context"))
+          }
+          .reduce(_.unionByName(_))
+          .groupBy(col("center"), col("context"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("center", "context")
+      },
+      Some {
+        def stepSql(i: Int, prev: String) = {
+          val cur = s"n${i - 1}"
+          val h = sqlH32(
+            s"'walk:' || CAST(walk_id AS VARCHAR) || ':$i:' || CAST($cur AS VARCHAR)")
+          val kept = (0 until i).map(j => s"n$j").mkString(", ")
+          s"""w$i AS (
+             |  SELECT walk_id, $kept,
+             |    ns[CAST(($h) % len(ns) AS INT) + 1] AS n$i
+             |  FROM $prev JOIN nbrs ON $prev.$cur = nbrs.node
+             |)""".stripMargin
+        }
+        s"""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+           |      FROM pairs a JOIN pairs b
+           |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |      GROUP BY 1, 2 HAVING count(*) >= 2),
+           |nb AS (SELECT u AS node, v AS nbr FROM e
+           |       UNION ALL SELECT v, u FROM e),
+           |nbrs AS (SELECT node, list(nbr ORDER BY nbr) AS ns
+           |         FROM nb GROUP BY node),
+           |w0 AS (SELECT node AS walk_id, node AS n0
+           |       FROM nbrs WHERE node < 50),
+           |${stepSql(1, "w0")},
+           |${stepSql(2, "w1")},
+           |${stepSql(3, "w2")},
+           |sg AS (
+           |  SELECT n0 AS center, n1 AS context FROM w3
+           |  UNION ALL SELECT n1, n0 FROM w3
+           |  UNION ALL SELECT n1, n2 FROM w3
+           |  UNION ALL SELECT n2, n1 FROM w3
+           |  UNION ALL SELECT n2, n3 FROM w3
+           |  UNION ALL SELECT n3, n2 FROM w3
+           |)
+           |SELECT center, context, CAST(count(*) AS BIGINT) AS n
+           |FROM sg GROUP BY center, context
+           |ORDER BY center, context""".stripMargin
+      }),
+
     // F4: first-order Markov transition matrix over event types — the
     // sequence model behind next-action prediction and funnel-leak
     // analysis (where do users GO after a view?), one step deeper than
