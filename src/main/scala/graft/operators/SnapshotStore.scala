@@ -52,10 +52,15 @@ object SnapshotStore {
     try out.write(next.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // rename is the atomic commit point; clobber any previous pointer
-    val dst = new Path(root, Pointer)
-    if (f.exists(dst)) f.delete(dst, false)
-    require(f.rename(tmp, dst), s"pointer swap failed for $root v$next")
+    // rename-with-OVERWRITE is the atomic commit point. FileSystem.rename
+    // refuses to clobber, and delete-then-rename would open a window where
+    // a concurrent reader finds NO pointer at all — FileContext's
+    // Options.Rename.OVERWRITE is the posix-rename form that replaces the
+    // old pointer in one metadata op.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(root, Pointer),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 
