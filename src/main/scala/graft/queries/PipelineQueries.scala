@@ -1786,7 +1786,13 @@ object PipelineQueries {
     Q("u5_snapshot_publish",
       (s, d) => {
         import graft.operators.SnapshotStore
-        val root = graft.Scratch.dir(s, "u5_store")
+        // fresh store per EXECUTION: re-running the query in one session
+        // must re-publish v1/v2 into an empty root, not append v3/v4 to
+        // the last run's store — the emitted version numbers are part of
+        // the deterministic output (QueriesSmokeSpec's stability law,
+        // which protects the driver's single-run hash compare)
+        val root = graft.Scratch.dir(s,
+          s"u5_store_${java.util.UUID.randomUUID().toString.take(8)}")
         val docs = documents(s, d).select(col("doc_id"), col("source"))
         SnapshotStore.publish(docs.filter(col("doc_id") % 2 === 0), root)
         SnapshotStore.publish(docs, root)
