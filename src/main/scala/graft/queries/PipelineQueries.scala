@@ -280,6 +280,56 @@ object PipelineQueries {
               |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // C11: QUALITY-AWARE dedup survivor policy — d6 keeps the min-id
+    // member of each near-dup group (arbitrary but deterministic); real
+    // curation keeps the BEST member (Lee et al. and every production
+    // dedup keep the longest / highest-quality copy — the survivors are
+    // the training data). Dominance rule: a doc is dropped iff some
+    // band-sharing candidate has more chars (tie: lower id) — pairwise,
+    // so it needs no component materialization, and the survivor set is
+    // well-defined for any clique. Same banded equi-join as d6 with the
+    // dominance residual; the rollup emits chars_kept so the policy's
+    // value (quality retained vs d6's arbitrary pick) is visible in-row.
+    Q("c11_quality_survivor",
+      (s, d) => {
+        val bands = lshBandFrame(s, d)
+        val meta = documents(s, d).select(col("doc_id"), col("n_chars"))
+        val bx = bands.join(meta, Seq("doc_id"))
+        val losers = bx.as("x")
+          .join(bx.as("y").hint("shuffle_hash"),
+            col("x.band_idx") === col("y.band_idx")
+              && col("x.band_key") === col("y.band_key")
+              && (col("x.n_chars") > col("y.n_chars")
+                || (col("x.n_chars") === col("y.n_chars")
+                  && col("x.doc_id") < col("y.doc_id"))))
+          .select(col("y.doc_id").as("doc_id"))
+          .distinct()
+        documents(s, d)
+          .join(losers, Seq("doc_id"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $sqlTok, $sqlSig, bands AS (
+              |  SELECT s.doc_id, bi.b AS band_idx,
+              |    array_to_string(sig[bi.b*4 + 1 : bi.b*4 + 4], '_') AS band_key,
+              |    d.n_chars
+              |  FROM sig s JOIN documents d ON s.doc_id = d.doc_id
+              |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bi
+              |), losers AS (
+              |  SELECT DISTINCT y.doc_id
+              |  FROM bands x JOIN bands y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |    AND (x.n_chars > y.n_chars
+              |      OR (x.n_chars = y.n_chars AND x.doc_id < y.doc_id))
+              |)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+              |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+              |FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // D8: INCREMENTAL dedup — the ingest shape: a new batch is deduped
     // against the persisted ledger of everything already accepted, without
     // ever reprocessing the historical corpus. The ledger (content hash ->
