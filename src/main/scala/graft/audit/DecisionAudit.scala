@@ -211,6 +211,10 @@ object DecisionAudit {
         "fp op is the per-row cents conversion",
       Seq("round(value * 100)")),
     "p12_unpivot" -> storedPass,
+    "f5_rfm_segments" -> GrainMargin(0.5,
+      centsExact.note + "; ntile then ranks exact longs under total " +
+        "tie-break orders — no fp on the quartile path",
+      Seq("round(value * 100)", "ORDER BY cents DESC, user_id")),
     "o15_block_sample" -> GrainMargin(0.5,
       centsExact.note + "; block membership is an integer hash rule and " +
         "the HT estimator multiplies exact long sums",

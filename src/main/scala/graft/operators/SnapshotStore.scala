@@ -67,6 +67,22 @@ object SnapshotStore {
   def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
     s.read.parquet(s"$root/v$v")
 
+  /** Retention: delete data directories of versions older than the
+    * `keep` most recent (the current version is always retained; keep
+    * >= 1). Returns the versions removed. Orphan directories from
+    * crashed publishes (data written, pointer never swapped) at numbers
+    * ABOVE current are untouched — the next publish overwrites them.
+    */
+  def vacuum(s: SparkSession, root: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val cur = currentVersion(s, root).getOrElse(return Nil)
+    val f = fs(s, root)
+    (1 to cur - keep).filter { v =>
+      val p = new Path(s"$root/v$v")
+      f.exists(p) && f.delete(p, true)
+    }
+  }
+
   /** The live snapshot (throws if nothing was ever published). */
   def read(s: SparkSession, root: String): DataFrame = {
     val v = currentVersion(s, root).getOrElse(

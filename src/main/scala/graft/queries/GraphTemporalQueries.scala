@@ -824,6 +824,56 @@ object GraphTemporalQueries {
            |ORDER BY walk_id""".stripMargin
       }),
 
+    // F5: RFM segmentation — the classic warehouse customer model
+    // (recency / frequency / monetary quartiles, segment code "RFM"):
+    // one per-user aggregate (exact nanos recency, counts, exact cents),
+    // then three ntile(4) windows over the user table with total
+    // tie-break orders so the quartile boundaries are engine-identical
+    // (w7's discipline). The windows partition over a constant because
+    // the USER TABLE is the windowed set — fine at any scale where the
+    // customer dimension fits a partition set; at true web scale the
+    // ntile swaps for a15's percentile cut points computed once and
+    // joined back (shape documented here, same output contract).
+    Q("f5_rfm_segments",
+      (s, d) => {
+        val byUser = events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(max(col("ts")).as("last_ts"),
+            count(lit(1)).as("freq"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+        // TinyWindow: the windowed set is the post-aggregate USER table
+        // (one row per purchasing user — bounded by the customer
+        // dimension, not the event volume)
+        import graft.operators.TinyWindow
+        byUser
+          .withColumn("r", ntile(4).over(
+            TinyWindow.total(col("user_id"))(desc("last_ts"), col("user_id"))))
+          .withColumn("f", ntile(4).over(
+            TinyWindow.total(col("user_id"))(desc("freq"), col("user_id"))))
+          .withColumn("m", ntile(4).over(
+            TinyWindow.total(col("user_id"))(desc("cents"), col("user_id"))))
+          .select(col("user_id"), col("last_ts"), col("freq"), col("cents"),
+            col("r"), col("f"), col("m"),
+            (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+          .orderBy("user_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, max(epoch_ns(ts)) AS last_ts,
+             |    CAST(count(*) AS BIGINT) AS freq,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+             |)
+             |SELECT user_id, last_ts, freq, cents,
+             |  ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
+             |  ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+             |  ntile(4) OVER (ORDER BY cents DESC, user_id) AS m,
+             |  ntile(4) OVER (ORDER BY last_ts DESC, user_id) * 100
+             |    + ntile(4) OVER (ORDER BY freq DESC, user_id) * 10
+             |    + ntile(4) OVER (ORDER BY cents DESC, user_id) AS segment
+             |FROM u ORDER BY user_id""".stripMargin)),
+
     // T20: skip-gram pair extraction over g7's walk corpus — the last
     // data-side step of the DeepWalk pipeline: (center, context)
     // co-occurrence counts with window ±1, the exact table a skip-gram

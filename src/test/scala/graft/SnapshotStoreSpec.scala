@@ -45,6 +45,27 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 2L)
   }
 
+  test("vacuum removes only versions past the retention window") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    (1 to 4).foreach(i =>
+      SnapshotStore.publish(Seq((i.toLong, s"v$i")).toDF("id", "x"), root))
+    val removed = SnapshotStore.vacuum(spark, root, keep = 2)
+    assert(removed == Seq(1, 2))
+    // retained window fully readable; vacuumed versions gone
+    assert(SnapshotStore.readVersion(spark, root, 3).count() == 1L)
+    assert(SnapshotStore.read(spark, root).as[(Long, String)].head()
+      == ((4L, "v4")))
+    intercept[Exception] {
+      SnapshotStore.readVersion(spark, root, 1).count()
+    }
+    // idempotent; never touches the current version even at keep=1
+    assert(SnapshotStore.vacuum(spark, root, keep = 2).isEmpty)
+    assert(SnapshotStore.vacuum(spark, root, keep = 1) == Seq(3))
+    assert(SnapshotStore.read(spark, root).count() == 1L)
+  }
+
   test("reading an unpublished root fails loudly") {
     val root = freshRoot()
     intercept[IllegalStateException] {
