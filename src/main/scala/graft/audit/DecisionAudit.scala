@@ -30,9 +30,19 @@ package graft.audit
   *     fp op runs in a pinned identical order on identical inputs — a
   *     sequential fold over an array (array order is data, not plan), a
   *     single correctly-rounded op chain over exact integers, or scalar
-  *     arithmetic over exact-ified (pre-rounded) aggregates. Rounding or
-  *     thresholding a bit-identical double can never disagree, regardless
-  *     of how close to a boundary it lands.
+  *     arithmetic over exact-ified (pre-rounded) aggregates. Thresholding
+  *     a bit-identical double cannot disagree. CAVEAT (round-9 a21
+  *     finding): EMITTING round(x, k) of a bit-identical double is not
+  *     quite as safe — the engines' round() implementations differ
+  *     (BigDecimal-exact vs scaled multiply), and a value whose binary
+  *     expansion sits within ulps of the decimal half-way point can round
+  *     differently (~1e-9/row for generic reals; a21's first cut hit it
+  *     once at sf0.1 because round(sum, 6) of on-grid sums is itself
+  *     ulp-divergent and the CUSUM fold amplified it). Queries whose fold
+  *     ARITHMETIC is exact-integer-expressible should take that route
+  *     (a21's 100n scaling); the remaining BitPinned round() emits
+  *     (w11/w13/e1-class) carry that documented residual, with their
+  *     FLAGS still margin- or integer-decided.
   *   - GrainMargin(grain): the true (infinite-precision) value is quantized
   *     at a decimal grain, so it sits at distance >= grain/2 from every
   *     rounding boundary, while cross-engine divergence (summation order,
@@ -133,6 +143,16 @@ object DecisionAudit {
       "per-key EWMA folds the identically-ordered (ts, event_id) series " +
         "sequentially in both engines — bit-equal before round(.,4)",
       Seq("list_reduce", "ORDER BY ts, event_id")),
+    "a21_cusum" -> IntegerDecided(
+      "the recurrence is multiplied through by 100n so the entire fold " +
+        "(d_i = n*c_i - sum_cents - 50n, S_i = max(0, S+d)) and the " +
+        "S >= 300n breach run in exact longs; the only fp op is the " +
+        "per-row cents conversion (0.5 margin). The first cut folded " +
+        "doubles and lost one sf0.1 row to cross-engine round() " +
+        "implementation divergence on a boundary-adjacent real — " +
+        "arbitrary reals have no emit-grain margin",
+      Seq("round(value * 100)", "ORDER BY ce.tns, ce.event_id",
+        "mx >= 300 * n_events")),
     "w13_holt" -> BitPinned(
       "w11's ordered-fold discipline with a (level, trend) struct state: " +
         "identical element order, identical op order per step (the " +

@@ -374,6 +374,84 @@ object GraphTemporalQueries {
              |  CAST(abs(t) >= 1.96 AS INT) AS significant
              |FROM j ORDER BY event_type""".stripMargin)),
 
+    // A21: CUSUM change-point detection per key — the drift monitor
+    // beside a16's outlier flags (a16 catches single spikes; CUSUM
+    // catches a sustained small SHIFT in the mean long before any
+    // single point is anomalous). Recurrence s_i = max(0, s_{i-1} +
+    // (x_i - mu - slack)) over the time-ordered series — an ordered
+    // fold (w11/w13's class), made INTEGER throughout: multiplying the
+    // recurrence by 100n (cents, and n clears the mean's division)
+    // gives d_i = n*c_i - sum_cents - 50n and S_i = max(0, S_{i-1} +
+    // d_i) in exact longs, so neither the fold nor the breach ever
+    // touches a float. This is stricter than the first cut of this
+    // query, which folded doubles and emitted round(mx, 4): the inputs
+    // were bit-identical but an arbitrary real has NO margin at the
+    // rounding boundary, and the two engines' round() implementations
+    // (BigDecimal-exact vs scaled-multiply) disagreed by 1e-4 on one
+    // sf0.1 row — the emit-grain analog of the a16 lesson. The
+    // accumulator is a LIST in the oracle (the w13 finding: DuckDB
+    // mutates struct accumulators in place) seeded by PREPENDING the
+    // natural zero state, so the lambda treats every element uniformly.
+    // Output unit: cents*n (exact); breach mx/(100n) >= 3 is the
+    // integer comparison S >= 300n.
+    Q("a21_cusum",
+      (s, d) => {
+        val cents = events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"), round(col("value") * 100).cast("long").as("c"))
+        val stats = cents.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+          .filter(col("n") > 1)
+          .select(col("user_id").as("s_user"), col("n"), col("sc"))
+        val fold = (acc: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column) => {
+          val sNew = greatest(lit(0L),
+            acc.getField("s")
+              + (col("n") * x - col("sc") - lit(50L) * col("n")))
+          struct(sNew.as("s"), greatest(acc.getField("mx"), sNew).as("mx"))
+        }
+        cents
+          .join(broadcast(stats), col("user_id") === col("s_user"))
+          .groupBy(col("user_id"), col("n"), col("sc"))
+          .agg(sort_array(collect_list(struct(
+            col("ts"), col("event_id"), col("c")))).as("xs"))
+          .select(col("user_id"), col("n").as("n_events"),
+            aggregate(
+              transform(col("xs"), x => x.getField("c")),
+              struct(lit(0L).as("s"), lit(0L).as("mx")),
+              fold).getField("mx").as("mx"))
+          .select(col("user_id"), col("n_events"),
+            col("mx").as("cusum_max_centsxn"),
+            (col("mx") >= lit(300L) * col("n_events")).cast("int").as("shifted"))
+          .orderBy("user_id")
+      },
+      Some("""WITH cents AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |), stats AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(c) AS BIGINT) AS sc
+             |  FROM cents GROUP BY 1 HAVING count(*) > 1
+             |), series AS (
+             |  SELECT ce.user_id, st.n, st.sc,
+             |    list(ce.c ORDER BY ce.tns, ce.event_id) AS xs
+             |  FROM cents ce JOIN stats st ON ce.user_id = st.user_id
+             |  GROUP BY ce.user_id, st.n, st.sc
+             |), folded AS (
+             |  SELECT user_id, n AS n_events,
+             |    list_reduce(
+             |      [[0::BIGINT, 0::BIGINT]] || [[c, 0::BIGINT] for c in xs],
+             |      (acc, e) -> [
+             |        greatest(0::BIGINT, acc[1] + (n * e[1] - sc - 50 * n)),
+             |        greatest(acc[2],
+             |          greatest(0::BIGINT,
+             |            acc[1] + (n * e[1] - sc - 50 * n)))])[2] AS mx
+             |  FROM series
+             |)
+             |SELECT user_id, n_events, mx AS cusum_max_centsxn,
+             |  CAST(mx >= 300 * n_events AS INT) AS shifted
+             |FROM folded ORDER BY user_id""".stripMargin)),
+
     // G4: label propagation (community detection) — the third classic on
     // the co-occurrence graph after PageRank (g2) and connected
     // components (d7). Synchronous LPA: every node starts as its own
