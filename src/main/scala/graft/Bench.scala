@@ -139,7 +139,7 @@ object Bench {
     // when the name filter selects no query that uses them — a filtered
     // 0.6 s query must not pay ~9 s of pretraining.
     val needsAls = selected.exists(Set("m4_als_recommend", "m5_als_rmse",
-      "m6_item_similarity", "m11_rec_coverage"))
+      "m6_item_similarity", "m11_rec_coverage", "m12_fold_in"))
     val needsIvf = selected.exists(Set("e4_ann_ivf", "e6_semdedup", "e8_ivfpq",
       "e9_ivf_maintain"))
     val needsQc = selected.contains("c5_quality_classifier")

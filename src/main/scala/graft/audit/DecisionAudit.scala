@@ -321,6 +321,7 @@ object DecisionAudit {
     "o8_stratified_sample" -> "QueriesSmokeSpec",
     "o11_compaction" -> "CompactionSpec",
     "t19_compression_ratio" -> "DeflateLenSpec",
-    "m11_rec_coverage" -> "AlsSpec"
+    "m11_rec_coverage" -> "AlsSpec",
+    "m12_fold_in" -> "FoldInSpec"
   )
 }

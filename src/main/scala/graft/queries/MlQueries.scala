@@ -426,6 +426,57 @@ object MlQueries {
             expr("n_distinct_items * 10000 div catalog").as("coverage_x1e4"),
             expr("scls * 1000 div n_pairs").as("mean_novelty_x1000"))
       },
+      None),
+
+    // M12: implicit-ALS FOLD-IN serving (model/FoldIn) — factors for
+    // users who arrived AFTER training, from the frozen item factors:
+    // the closed-form per-user solve of the same normal equations ALS's
+    // user half-step runs ("retrain nightly, fold in continuously" — no
+    // deployment refits per new user). The query simulates arrivals by
+    // re-keying 20 existing users (+100000), folds them in, serves
+    // top-3 by dot product against the item factors, and carries its
+    // own evidence: `overlap3` = agreement with the model's OWN recs
+    // for the original user (the fold-in of identical behavior must
+    // rank like the trained factor; FoldInSpec pins the cosine floor
+    // and this overlap). Rows-only by design (model output). Scale:
+    // YtY is one broadcast k x k aggregate, each fold is an 8x8 solve
+    // over the user's own history, and serving is a broadcast of the
+    // small folded side — no refit, no full-table shuffle.
+    Q("m12_fold_in",
+      (s, d) => {
+        val model = alsModel(s, d)
+        val orig = ratingsOf(s, d).filter(col("user_idx") < 20)
+        val newbies = orig.select(
+          (col("user_idx") + 100000).cast("int").as("user_idx"),
+          col("item_idx"), col("count"))
+        val folded = graft.model.FoldIn
+          .userFactors(model, newbies, alsCfg.alpha, alsCfg.regParam)
+          .select(col("user_idx"), col("features").as("x"))
+        val items = model.itemFactors.select(col("id").as("item_idx"),
+          col("features").cast("array<double>").as("y"))
+        val served = items.crossJoin(broadcast(folded))
+          .select(col("user_idx"), col("item_idx"),
+            graft.functions.VectorFunctions.dot(col("x"), col("y")).as("sc"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_idx"))
+              .orderBy(desc("sc"), col("item_idx"))))
+          .filter(col("rn") <= 3)
+          .groupBy(col("user_idx"))
+          .agg(sort_array(collect_list(struct(col("rn"), col("item_idx"))))
+            .getField("item_idx").as("pred_folded"))
+        val modelRecs = AlsTrainer
+          .recommendLists(model, orig.select("user_idx").distinct(), 3)
+          .select((col("user_idx") + 100000).as("user_idx"),
+            col("pred").as("pred_model"))
+        served.join(modelRecs, Seq("user_idx"))
+          .select(col("user_idx"),
+            array_join(col("pred_folded").cast("array<string>"), ",")
+              .as("pred_folded"),
+            size(array_intersect(col("pred_folded"), col("pred_model")))
+              .cast("long").as("overlap3"))
+          .orderBy("user_idx")
+      },
       None)
   )
 

@@ -60,7 +60,7 @@ class LambdaCseGuardSpec extends SparkSpec {
   // plans are model-shaped (no text HOFs) and AlsSpec/SweepsSpec own them
   private val skip = Set("m1_indexer_pipeline", "m3_ranking_metrics",
     "m4_als_recommend", "m5_als_rmse", "m6_item_similarity", "m7_sweep",
-    "m11_rec_coverage")
+    "m11_rec_coverage", "m12_fold_in")
 
   test("no registered query evaluates an expensive loop-invariant " +
       "expression inside a HOF lambda") {

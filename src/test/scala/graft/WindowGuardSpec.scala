@@ -33,7 +33,7 @@ class WindowGuardSpec extends SparkSpec {
   // and its 3 classifier fits are cheap at sf0.001.
   private val skip = Set("m1_indexer_pipeline", "m3_ranking_metrics",
     "m4_als_recommend", "m5_als_rmse", "m6_item_similarity", "m7_sweep",
-    "m8_grid", "m9_curve", "m11_rec_coverage")
+    "m8_grid", "m9_curve", "m11_rec_coverage", "m12_fold_in")
 
   test("no registered query plans a Window with an empty partitionSpec") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
