@@ -174,10 +174,13 @@ object Bench {
         catch { case _: Throwable => -1.0 })
       flush(partial = true)
     }
-    // Shared co-occurrence edge table (g3/g4/g5): built once, queries then
-    // time the graph algorithm instead of re-deriving the edge list.
+    // Shared co-occurrence edge table: built once, queries then time the
+    // graph algorithm instead of re-deriving the edge list. The trigger
+    // set must list EVERY coocEdgesWeighted consumer (r9 advice: a
+    // filtered run of just g7/t20 was paying the edge build inside query
+    // timing).
     if (selected.exists(Set("g3_triangle_count", "g4_label_prop", "g5_bfs",
-        "g6_weighted_sssp"))) {
+        "g6_weighted_sssp", "g7_random_walks", "t20_skipgram_pairs"))) {
       record("_edges_build",
         try timed(graft.queries.GraphTemporalQueries.pretrainEdges(spark, sfDir))
         catch { case _: Throwable => -1.0 })
@@ -199,6 +202,24 @@ object Bench {
           val learned = graft.operators.BpeTrainer.train(wc, "word", "cnt",
             merges = 64, checkpointDir = Some(Scratch.dir(spark, "bench_bpe64")))
           require(learned.nonEmpty, "BPE bench point learned no merges")
+        } catch { case _: Throwable => -1.0 })
+      flush(partial = true)
+      // The batched trainer on the SAME corpus and merge budget: the r9 #4
+      // scale fix. "_bpe_batch64_rounds" records driver-synchronized
+      // rounds (unit abuse is deliberate and self-describing): greedy
+      // pays 64; the batched point must come in >= 5x lower, and its
+      // wall-clock shows the per-round amortization directly.
+      record("_bpe_batch64",
+        try timed {
+          val wc = Tables.documents(spark, sfDir)
+            .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("word"))
+            .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          val res = graft.operators.BpeTrainer.trainBatched(wc, "word", "cnt",
+            merges = 64, batch = 16,
+            checkpointDir = Some(Scratch.dir(spark, "bench_bpe_batch64")))
+          require(res.merges.nonEmpty, "batched BPE bench learned no merges")
+          record("_bpe_batch64_rounds", res.rounds.toDouble)
         } catch { case _: Throwable => -1.0 })
       flush(partial = true)
     }

@@ -316,6 +316,7 @@ object DecisionAudit {
     "t5_approx_sketches" -> "QueriesSmokeSpec",
     "c8_bloom_decontaminate" -> "BloomSpec",
     "t16_bpe_merges" -> "BpeTrainerSpec",
+    "t21_bpe_encode" -> "BpeTrainerSpec",
     "t17_heavy_hitters" -> "MisraGriesSpec",
     "o6_user_sample" -> "IndexingSpec",
     "o8_stratified_sample" -> "QueriesSmokeSpec",

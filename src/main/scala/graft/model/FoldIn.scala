@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   * (Hu-Koren-Volinsky), given item factors Y, a user with confidences
   * c_i = 1 + alpha*r_i over observed items has the closed form
   *
-  *   x_u = (YtY + sum_i alpha*r_i * y_i y_i^T + lambda*I)^-1
-  *         * sum_i (1 + alpha*r_i) y_i
+  *   x_u = (YtY + sum_i alpha*|r_i| * y_i y_i^T + n_u*lambda*I)^-1
+  *         * sum_{i: r_i > 0} (1 + alpha*r_i) y_i
+  *
+  * where n_u counts the user's r_i > 0 interactions — Spark scales the
+  * ridge by numExplicits before solving (ALS.computeFactors), so the
+  * fold-in must too or heavy users come out under-regularized by n_u
   *
   * — exactly one least-squares solve per user against the SAME normal
   * equations ALS's user half-step solves, so a fold-in of a user the
@@ -117,22 +121,35 @@ object FoldIn {
       .select(col("user_idx"), col("count"), col("features"))
     withY.groupByKey(_.getInt(0))
       .mapGroups { (uid: Int, rows: Iterator[Row]) =>
+        // Mirrors spark-mllib's implicit-ALS half-step exactly (ALS
+        // .computeFactors / NormalEquation.add in 4.1.2): confidence from
+        // |r| so it is never negative; A accumulates c1*y*y^T for EVERY
+        // rating but b only for r > 0 (the preference of a non-positive
+        // rating is 0); and the ridge term is numExplicits * regParam —
+        // Spark counts the user's r > 0 ratings and SCALES the
+        // regularizer by it before LeastSquaresNESolver.solve. A flat
+        // +regParam (the pre-r10 bug) under-regularizes every user with
+        // n > 1 interactions by a factor of n, so fold-in would drift
+        // from the trained factors exactly for the heavy users that
+        // matter most in serving.
         val a = yty.value.clone()
         val b = new Array[Double](k)
-        var i = 0
-        while (i < k) { a(i * k + i) += regParam; i += 1 }
+        var nExplicit = 0L
         rows.foreach { row =>
           val r = row.getDouble(1)
           val y = row.getSeq[Float](2).map(_.toDouble).toArray
-          val c1 = alpha * r
+          val c1 = alpha * math.abs(r)
+          val pref = if (r > 0.0) { nExplicit += 1; 1.0 + c1 } else 0.0
           var p = 0
           while (p < k) {
             var q = 0
             while (q < k) { a(p * k + q) += c1 * y(p) * y(q); q += 1 }
-            b(p) += (1.0 + c1) * y(p)
+            b(p) += pref * y(p)
             p += 1
           }
         }
+        var i = 0
+        while (i < k) { a(i * k + i) += regParam * nExplicit; i += 1 }
         val x = solve(a, b)
         if (nonnegative) { var j = 0; while (j < k) { if (x(j) < 0) x(j) = 0.0; j += 1 } }
         (uid, x)

@@ -89,6 +89,113 @@ object BpeTrainer {
     learned.result()
   }
 
+  /** Result of a [[trainBatched]] run: the learned table plus the number
+    * of driver-synchronized rounds it cost — the metric the batched
+    * trainer exists to shrink (greedy pays exactly one round per merge).
+    */
+  final case class BatchedResult(merges: Seq[Merge], rounds: Int)
+
+  /** Batched-merge BPE training — the VOCABULARY-SCALE path (VERDICT r9
+    * #4). Greedy [[train]] is inherently one driver round-trip per merge;
+    * at a realistic 10k-50k vocabulary the scheduler latency of those
+    * round-trips dominates wall-clock. This trainer amortizes them: each
+    * round fetches the top candidate pairs once, admits up to `batch`
+    * NON-INTERACTING pairs on the driver (two pairs interact when they
+    * share a symbol — or a later pair names an earlier pair's merged
+    * token — because applying one changes the other's adjacency counts),
+    * applies the whole batch sequentially in ONE projection, and
+    * checkpoints once. A K-merge vocabulary costs ~K/batch rounds
+    * instead of K.
+    *
+    * Fidelity contract, stated exactly:
+    *  - `batch = 1` degenerates to greedy BIT-IDENTICALLY on any corpus
+    *    (same argmax, same tie order — BpeTrainerSpec pins the law on
+    *    random corpora).
+    *  - When the admitted candidates don't interact with anything a
+    *    prior admitted merge creates (the planted-spec regime, and the
+    *    common regime for Zipf-ish corpora where top pairs live in
+    *    disjoint symbol neighborhoods), the table equals greedy's.
+    *  - In general the SELECTION ORDER may diverge from greedy: a merge
+    *    can create a pair (e.g. th+e after t+h) that true greedy would
+    *    rank next, while the batch has already committed to lower-count
+    *    disjoint pairs. This is the standard batched-BPE approximation
+    *    (every admitted pair's count IS its true corpus count at
+    *    admission time — interacting candidates are deferred to the next
+    *    round's fresh recount, never applied on stale counts).
+    * Greedy remains the oracle of record; use this when round count, not
+    * exactness-to-greedy, is the binding constraint.
+    */
+  def trainBatched(wordCounts: DataFrame, wordCol: String, cntCol: String,
+      merges: Int, batch: Int = 16,
+      checkpointDir: Option[String] = None): BatchedResult = {
+    require(batch >= 1 && batch <= MaxFusedMerges,
+      s"batch=$batch must be in [1, $MaxFusedMerges] — the whole batch is " +
+        "applied as one fused projection")
+    require(merges <= MaxTrainRounds * batch,
+      s"merges=$merges exceeds MaxTrainRounds*batch")
+    val spark = wordCounts.sparkSession
+    def ckpt(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val p = s"$dir/batch_iter_$round"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => df
+    }
+    var syms = wordCounts.select(
+      col(cntCol).cast("long").as("cnt"),
+      split(col(wordCol), "").as("syms"))
+    val learned = Seq.newBuilder[Merge]
+    var step = 1
+    var rounds = 0
+    var exhausted = false
+    // scan depth: enough ranked candidates that a full batch of disjoint
+    // pairs is usually found even when top pairs share symbols heavily
+    // (English-ish text: vowels appear in most top pairs); bounded so the
+    // driver transfer stays a few KB.
+    val scanDepth = math.max(batch * 16, 64)
+    while (step <= merges && !exhausted && rounds < MaxTrainRounds) {
+      val want = merges - step + 1
+      val top = adjacentPairs(syms)
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(desc("n"), asc("a"), asc("b"))
+        .limit(scanDepth).collect()
+      rounds += 1
+      if (top.isEmpty) exhausted = true
+      else {
+        // skip-rule admission in rank order: a candidate joins the batch
+        // iff its {left, right, merged} set is disjoint from every
+        // admitted merge's set — guaranteeing its counted frequency is
+        // still exact when its turn in the fused apply comes.
+        val admitted = Seq.newBuilder[Merge]
+        val used = scala.collection.mutable.HashSet.empty[String]
+        var k = 0
+        var n = 0
+        val cap = math.min(batch, want)
+        while (n < cap && k < top.length) {
+          val (a, b, c) =
+            (top(k).getString(0), top(k).getString(1), top(k).getLong(2))
+          val m = a + b
+          if (!used(a) && !used(b) && !used(m)) {
+            admitted += Merge(step + n, a, b, m, c)
+            used += a; used += b; used += m
+            n += 1
+          }
+          k += 1
+        }
+        val chosen = admitted.result()
+        learned ++= chosen
+        step += chosen.size
+        syms = ckpt(
+          chosen.foldLeft(syms)((df, mg) => df.select(col("cnt"),
+            applyMerge(col("syms"), mg.left, mg.right).as("syms"))),
+          rounds)
+      }
+    }
+    BatchedResult(learned.result(), rounds)
+  }
+
   /** (cnt, a, b) for every adjacent symbol pair of every word. */
   private def adjacentPairs(syms: DataFrame): DataFrame =
     syms.filter(size(col("syms")) >= 2)

@@ -41,12 +41,37 @@ object SnapshotStore {
 
   /** Write `df` as the next version and atomically make it current.
     * Returns the published version number.
+    *
+    * WRITER-vs-WRITER safety (r9 advice): version allocation is a
+    * read-modify-write of _CURRENT, so two concurrent publishers would
+    * pick the same N and silently clobber each other's v<N> directory.
+    * The commit is therefore CONDITIONAL: before writing any data, the
+    * publisher claims its version by creating `v<N>._claim` with
+    * overwrite=false — an atomic create-exclusive on HDFS and local
+    * filesystems — and a collision fails the publish loudly instead of
+    * losing a commit. Claim markers persist after publish (deleting one
+    * would re-open the race for a still-running publisher that read the
+    * old pointer); vacuum removes them with their data directories. A
+    * publisher that crashes between claim and pointer swap leaves its
+    * claim blocking that version number — the previous version stays
+    * live, and the error message names the marker to delete once the
+    * dead publisher is confirmed gone.
     */
   def publish(df: DataFrame, root: String): Int = {
     val s = df.sparkSession
     val next = currentVersion(s, root).getOrElse(0) + 1
-    df.write.mode("overwrite").parquet(s"$root/v$next")
     val f = fs(s, root)
+    f.mkdirs(new Path(root))
+    val claim = new Path(root, s"v$next._claim")
+    val claimed =
+      try { f.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed)
+      throw new IllegalStateException(
+        s"publish collision on version $next under $root: another " +
+          s"publisher holds $claim (concurrent publish, or a crashed one " +
+          "— delete the marker only once that publisher is confirmed dead)")
+    df.write.mode("overwrite").parquet(s"$root/v$next")
     val tmp = new Path(root, s"$Pointer.tmp")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes(
@@ -79,7 +104,9 @@ object SnapshotStore {
     val f = fs(s, root)
     (1 to cur - keep).filter { v =>
       val p = new Path(s"$root/v$v")
-      f.exists(p) && f.delete(p, true)
+      val removed = f.exists(p) && f.delete(p, true)
+      if (removed) f.delete(new Path(s"$root/v$v._claim"), false)
+      removed
     }
   }
 

@@ -275,6 +275,12 @@ object GraphTemporalQueries {
     // double ops, so mu, sd, and every z are BIT-IDENTICAL across
     // engines and the |z| >= 2 comparison cannot disagree — no
     // margin needed, on any data.
+    //
+    // ORACLE TYPE: DuckDB widens integer sum() to HUGEINT (int128),
+    // which serializes as a different dtype than Spark's BIGINT even
+    // when every value is identical — hence the explicit CAST(... AS
+    // BIGINT) on n_anomalies (the a20_ab_welch discipline; see
+    // OracleTypeGuardSpec for the registry-wide ban).
     Q("a16_zscore_anomaly",
       (s, d) => {
         val stats = events(s, d).groupBy(col("user_id"))
@@ -310,7 +316,8 @@ object GraphTemporalQueries {
              |  SELECT e.user_id, (e.value - s.mu) / s.sd AS z
              |  FROM events e JOIN stats s ON e.user_id = s.user_id)
              |SELECT user_id, count(*) AS n_events,
-             |  sum(CASE WHEN abs(z) >= 2 THEN 1 ELSE 0 END) AS n_anomalies
+             |  CAST(sum(CASE WHEN abs(z) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_anomalies
              |FROM z GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
     // A20: A/B experiment readout — Welch's t statistic per experiment
@@ -932,8 +939,10 @@ object GraphTemporalQueries {
           .withColumn("m", ntile(4).over(
             TinyWindow.total(col("user_id"))(desc("cents"), col("user_id"))))
           .select(col("user_id"), col("last_ts"), col("freq"), col("cents"),
-            col("r"), col("f"), col("m"),
-            (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+            col("r").cast("long").as("r"), col("f").cast("long").as("f"),
+            col("m").cast("long").as("m"),
+            (col("r") * 100 + col("f") * 10 + col("m")).cast("long")
+              .as("segment"))
           .orderBy("user_id")
       },
       Some("""WITH u AS (
@@ -1357,7 +1366,7 @@ object GraphTemporalQueries {
           .groupBy(col("pk1"))
           .agg(min(struct(col("dist"), col("pk2"))).as("best"))
           .select(col("pk1"), col("best.pk2").as("best_pk2"),
-            col("best.dist").as("best_dist"))
+            col("best.dist").cast("long").as("best_dist"))
           .orderBy(col("pk1"))
       },
       Some("""WITH named AS (

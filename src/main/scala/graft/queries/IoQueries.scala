@@ -106,7 +106,8 @@ object IoQueries {
           .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
           .orderBy("nk")
       },
-      Some("""SELECT n_nationkey AS nk, n_name FROM nation ORDER BY nk""".stripMargin)),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name
+             |FROM nation ORDER BY nk""".stripMargin)),
 
     // S8: JSON lines sink + schema-inferred source — the interchange format
     // every labeling/annotation stage in a training-data pipeline speaks.

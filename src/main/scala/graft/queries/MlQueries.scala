@@ -135,7 +135,8 @@ object MlQueries {
           .agg(collect_list(col("o_orderkey")).as("truth"))
         pred.join(truth, Seq("o_custkey"))
           .select(col("o_custkey"),
-            size(array_intersect(col("pred"), col("truth"))).as("hits"),
+            size(array_intersect(col("pred"), col("truth"))).cast("long")
+              .as("hits"),
             round(size(array_intersect(col("pred"), col("truth"))) * lit(1000.0) / 3)
               .cast("long").as("prec_x1000"))
           .orderBy("o_custkey")

@@ -422,7 +422,7 @@ object PipelineQueries {
         batch.join(res, col("doc_id") === col("b_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-            coalesce(col("best_agree"), lit(0)).as("best_agree"))
+            coalesce(col("best_agree"), lit(0)).cast("long").as("best_agree"))
           .withColumn("is_dup", when(col("best_agree") >= 8, 1).otherwise(0))
           .orderBy("doc_id")
       },
@@ -492,6 +492,87 @@ object PipelineQueries {
               |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
               |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
               |ORDER BY span""".stripMargin)),
+
+    // D12: exact substring EXCISION accounting — d9 detects duplicated
+    // spans; this op extends it to the corpus-level dedup Lee et al. 2022
+    // actually apply: every occurrence of a cross-document k-token span
+    // OUTSIDE its survivor document (min doc_id keeps its text) is marked
+    // for removal, overlapping marks are merged per document (the classic
+    // interval-union sweep as a PARTITIONED window: sort marks by start,
+    // "new coverage" = end - max(start-1, running max of prior ends)),
+    // and each document reports exact kept/removed token counts. This is
+    // the suffix-array-free form: suffix arrays don't distribute, but
+    // anchor k-grams + interval union compute the SAME removal set for
+    // spans >= k tokens, entirely in joins/windows that shuffle (span,
+    // doc, pos) — never text bodies. A longer duplicated region appears
+    // as overlapping k-gram marks and the sweep merges them to one
+    // interval, so the count equals full-substring-match removal on any
+    // region length >= k. All-integer arithmetic: regeneration-proof by
+    // construction.
+    Q("d12_span_excise",
+      (s, d) => {
+        val k = 8
+        val occ = tokenized(s, d)
+          .select(col("doc_id"),
+            posexplode(shinglesNative(col("text"), k)).as(Seq("p0", "span")))
+        val dup = occ.groupBy(col("span"))
+          .agg(count_distinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("min_doc"))
+          .filter(col("n_docs") >= 2)
+          .select(col("span"), col("min_doc"))
+        val marked = occ.join(dup, Seq("span"))
+          .filter(col("doc_id") =!= col("min_doc"))
+          .select(col("doc_id"), (col("p0") + 1).as("s"),
+            (col("p0") + lit(k)).as("e"))
+        val byDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("s"), col("e"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val covered = marked
+          .withColumn("prev_end", max(col("e")).over(byDoc))
+          .select(col("doc_id"),
+            greatest(lit(0), col("e") - greatest(col("s") - 1,
+              coalesce(col("prev_end"), lit(0)))).as("add"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("add")).as("n_dup"))
+        tokenized(s, d)
+          .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+          .join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup_tokens"),
+            (col("n_tokens") - coalesce(col("n_dup"), lit(0L)))
+              .as("n_kept_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlTok, occ AS (
+              |  SELECT doc_id, CAST(u.i AS INTEGER) AS s,
+              |    CAST(u.i + 7 AS INTEGER) AS e,
+              |    array_to_string(w[u.i:u.i+7], ' ') AS span
+              |  FROM tok, unnest(range(1, len(w) - 6)) AS u(i)
+              |), dup AS (
+              |  SELECT span, min(doc_id) AS min_doc
+              |  FROM occ GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+              |), marked AS (
+              |  SELECT o.doc_id, o.s, o.e
+              |  FROM occ o JOIN dup dd ON o.span = dd.span
+              |  WHERE o.doc_id <> dd.min_doc
+              |), swept AS (
+              |  SELECT doc_id, s, e,
+              |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      AS prev_end
+              |  FROM marked
+              |), covered AS (
+              |  SELECT doc_id,
+              |    CAST(sum(greatest(0, e - greatest(s - 1,
+              |      coalesce(prev_end, 0)))) AS BIGINT) AS n_dup
+              |  FROM swept GROUP BY doc_id
+              |)
+              |SELECT t.doc_id AS doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+              |  coalesce(c.n_dup, 0) AS n_dup_tokens,
+              |  CAST(len(t.w) AS BIGINT) - coalesce(c.n_dup, 0)
+              |    AS n_kept_tokens
+              |FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id
+              |ORDER BY t.doc_id""".stripMargin)),
 
     // D7: near-dup CLUSTERS — LSH emits pairs, but the keep/drop decision
     // needs components (a–b and b–c collapse to one survivor even though
@@ -675,7 +756,8 @@ object PipelineQueries {
         val es = size(filter(col("w"), t => t.isin("el", "la", "los")))
         val de = size(filter(col("w"), t => t.isin("der", "die", "und")))
         tokenized(s, d)
-          .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+          .select(col("doc_id"), en.cast("long").as("en_hits"),
+            es.cast("long").as("es_hits"), de.cast("long").as("de_hits"),
             when(en >= es && en >= de, "en")
               .when(es >= de, "es").otherwise("de").as("pred_lang"),
             col("lang"))
@@ -711,7 +793,7 @@ object PipelineQueries {
           t => t.isin("the", "a", "of", "and", "to")))
         val punct = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
         tokenized(s, d)
-          .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+          .select(col("doc_id"), col("n_chars"), nTok.cast("long").as("n_tokens"),
             round(charSum * 1000 / nTok).cast("long").as("mean_tok_len_x1000"),
             round(stopHits * lit(1000.0) / nTok).cast("long").as("stop_ratio_x1000"),
             punct.cast("long").as("punct_chars"))
@@ -738,9 +820,9 @@ object PipelineQueries {
     Q("t3_token_count",
       (s, d) => tokenized(s, d)
         .select(col("doc_id"),
-          size(col("w")).as("ws_tokens"),
+          size(col("w")).cast("long").as("ws_tokens"),
           size(regexp_extract_all(lower(col("text")),
-            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"),
           aggregate(transform(col("w"), t => ceil(length(t) / lit(4.0)).cast("long")),
             lit(0L), (a, x) => a + x).as("subword_est"))
         .orderBy("doc_id"),
@@ -1234,7 +1316,8 @@ object PipelineQueries {
              |    + (CASE WHEN embedding[43] > 0 THEN 4 ELSE 0 END) AS bucket
              |  FROM embeddings
              |), p AS (
-             |  SELECT x.vec_id AS vec_id, x.bucket AS bucket, y.vec_id AS neighbor,
+             |  SELECT x.vec_id AS vec_id, CAST(x.bucket AS BIGINT) AS bucket,
+             |    y.vec_id AS neighbor,
              |    round(list_sum([x.v[i] * y.v[i] for i in range(1, len(x.v) + 1)])
              |      / (sqrt(list_sum([a*a for a in x.v])) * sqrt(list_sum([b*b for b in y.v]))),
              |      5) AS cos

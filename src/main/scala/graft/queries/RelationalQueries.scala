@@ -269,9 +269,9 @@ object RelationalQueries {
           col("event_id"), round(col("value") * 100).cast("long").as("v")))))).as("event_values"))
         .orderBy("user_id"),
       Some("""SELECT user_id,
-             |  to_json(map_from_entries(list(
+             |  CAST(to_json(map_from_entries(list(
              |    row(event_id, CAST(round(value * 100) AS BIGINT)) ORDER BY event_id)))
-             |    AS event_values
+             |    AS VARCHAR) AS event_values
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // A6: rank over an aggregate (EDA cell 86 genre popularity rank).

@@ -98,6 +98,75 @@ class BpeTrainerSpec extends SparkSpec {
     assert(plain === ck)
   }
 
+  // ----- batched trainer (the vocabulary-scale path, VERDICT r9 #4) -----
+
+  test("trainBatched(batch=1) degenerates to greedy bit-identically") {
+    for (corpus <- Seq(fixture,
+        Seq(("abc", 4L), ("ab", 3L)),
+        Seq(("banana", 3L), ("bandana", 2L), ("nab", 5L)))) {
+      val greedy = BpeTrainer.train(corpus.toDF("word", "cnt"), "word", "cnt", 5)
+      val batched = BpeTrainer.trainBatched(corpus.toDF("word", "cnt"),
+        "word", "cnt", merges = 5, batch = 1)
+      assert(batched.merges === greedy,
+        s"batch=1 must equal greedy on $corpus")
+      // one round per learned merge, plus at most one empty-probe round
+      // when the corpus exhausts before the merge budget
+      assert(batched.rounds >= greedy.size &&
+        batched.rounds <= greedy.size + 1,
+        s"batch=1 rounds=${batched.rounds} vs ${greedy.size} merges")
+    }
+  }
+
+  test("non-interacting top pairs: batched == greedy in ONE round") {
+    // each doubled-pair word keeps its (x,y) count strictly above every
+    // pair that shares a symbol with it ((y,x), (y,'') trailers), and the
+    // four alphabets are disjoint — so greedy's first four merges are
+    // exactly the four admitted candidates, in the same order.
+    val corpus = Seq(("abab", 9L), ("cdcd", 8L), ("efef", 7L), ("ghgh", 6L))
+    val greedy = BpeTrainer.train(corpus.toDF("word", "cnt"), "word", "cnt", 4)
+    val batched = BpeTrainer.trainBatched(corpus.toDF("word", "cnt"),
+      "word", "cnt", merges = 4, batch = 4)
+    assert(greedy.map(m => (m.left, m.right, m.pairCount)) ===
+      Seq(("a", "b", 18L), ("c", "d", 16L), ("e", "f", 14L), ("g", "h", 12L)))
+    assert(batched.merges === greedy)
+    assert(batched.rounds === 1, "4 disjoint merges amortize to one round")
+  }
+
+  test("interacting candidates are deferred to a fresh recount, never " +
+      "applied on stale counts") {
+    // (p,q) and (q,x) tie at 10 but share q: the batch admits (p,q),
+    // SKIPS (q,x), and fills with disjoint (r,s) — while greedy's step 2
+    // is the (pq,x) pair its first merge creates. The documented
+    // divergence regime, pinned exactly.
+    val corpus = Seq(("pqx", 10L), ("rs", 4L))
+    val batched = BpeTrainer.trainBatched(corpus.toDF("word", "cnt"),
+      "word", "cnt", merges = 2, batch = 2)
+    assert(batched.merges.map(m => (m.left, m.right, m.pairCount)) ===
+      Seq(("p", "q", 10L), ("r", "s", 4L)))
+    assert(batched.rounds === 1)
+    val greedy = BpeTrainer.train(corpus.toDF("word", "cnt"), "word", "cnt", 2)
+    assert(greedy.map(m => (m.left, m.right, m.pairCount)) ===
+      Seq(("p", "q", 10L), ("pq", "x", 10L)))
+    // the deferred (q,x) pair is impossible after (p,q) merges — the
+    // next ROUND's recount sees it gone, so it is never learned stale
+    assert(!batched.merges.exists(m => m.left == "q" && m.right == "x"))
+  }
+
+  test("batched checkpointing keeps the table identical and rounds scale " +
+      "as ~merges/batch") {
+    val corpus = Seq(("abab", 9L), ("cdcd", 8L), ("efef", 7L), ("ghgh", 6L),
+      ("ijij", 5L), ("klkl", 4L), ("mnmn", 3L), ("opop", 2L))
+    val dir = Scratch.dir(spark, "bpe_batch_spec")
+    val plain = BpeTrainer.trainBatched(corpus.toDF("word", "cnt"),
+      "word", "cnt", merges = 8, batch = 4)
+    val ck = BpeTrainer.trainBatched(corpus.toDF("word", "cnt"),
+      "word", "cnt", merges = 8, batch = 4, checkpointDir = Some(dir))
+    assert(plain === ck)
+    assert(plain.rounds <= 3,
+      s"8 merges at batch=4 over disjoint alphabets should take ~2 rounds, " +
+        s"got ${plain.rounds}")
+  }
+
   test("train refuses past MaxTrainRounds (one driver round-trip per " +
       "merge — vocabulary scale needs a batched trainer)") {
     val e = intercept[IllegalArgumentException] {

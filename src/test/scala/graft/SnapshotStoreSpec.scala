@@ -33,16 +33,47 @@ class SnapshotStoreSpec extends SparkSpec {
     import s.implicits._
     val root = freshRoot()
     SnapshotStore.publish(Seq((1L, "a")).toDF("id", "x"), root)
-    // simulate a crash AFTER the v2 data write, BEFORE the pointer swap
+    // simulate a crash AFTER claim + v2 data write, BEFORE the pointer
+    // swap — exactly what a dying publisher leaves behind
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(root, "v2._claim"), false).close()
     Seq((9L, "half")).toDF("id", "x").write.parquet(s"$root/v2")
     assert(SnapshotStore.currentVersion(spark, root).contains(1),
       "an unswapped pointer must leave the previous version live")
     assert(SnapshotStore.read(spark, root).count() == 1L)
-    // the next successful publish must not be confused by the orphan:
-    // it reads the POINTER for the next version, so it overwrites v2
+    // the stale claim blocks version 2 LOUDLY (never a silent clobber)…
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.publish(Seq((2L, "b")).toDF("id", "x"), root)
+    }
+    assert(e.getMessage.contains("collision"))
+    // …and documented recovery (delete the dead publisher's marker)
+    // makes the slot publishable again, overwriting the orphan data
+    fs.delete(new org.apache.hadoop.fs.Path(root, "v2._claim"), false)
     val v = SnapshotStore.publish(Seq((2L, "b"), (3L, "c")).toDF("id", "x"), root)
     assert(v == 2)
     assert(SnapshotStore.read(spark, root).count() == 2L)
+  }
+
+  test("concurrent publishers cannot allocate the same version (claim is exclusive)") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "x"), root)
+    // both racers read _CURRENT=1 and target v2; the claim serializes
+    // them: exactly one wins, the loser fails instead of clobbering
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence(Seq("x", "y").map { tag =>
+      Future(
+        try Right(SnapshotStore.publish(Seq((2L, tag)).toDF("id", "x"), root))
+        catch { case e: IllegalStateException => Left(e) })
+    }), 2.minutes)
+    assert(results.count(_.isRight) == 1, s"expected one winner, got $results")
+    assert(results.count(_.isLeft) == 1, s"expected one loser, got $results")
+    assert(SnapshotStore.currentVersion(spark, root).contains(2))
+    assert(SnapshotStore.read(spark, root).count() == 1L)
   }
 
   test("vacuum removes only versions past the retention window") {
