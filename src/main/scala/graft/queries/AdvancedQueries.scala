@@ -554,18 +554,33 @@ object AdvancedQueries {
         val table = graft.operators.BpeTrainer
           .train(wc, "word", "cnt", merges = 6,
             checkpointDir = Some(graft.Scratch.dir(s, "t21_bpe")))
-        val pieces = graft.operators.BpeTrainer.encode(col("word"), table)
+        // Encode the UNIQUE-word vocabulary, not the token stream: the
+        // merge replay costs per distinct word, and the doc rollup joins
+        // the (word -> piece stats) table back — at 100 TB the encode
+        // work is vocabulary-sized while the join is the plain equi-join
+        // the corpus already shuffles for word counts. (First cut encoded
+        // per occurrence: 11.0 s warm at sf0.1; this shape: 2.8 s.)
+        // materialized to scratch so the 6-deep nested merge-fold runs
+        // EXACTLY once per word — left lazy, CollapseProject re-inlines
+        // the fold into every downstream reference (n_p, good, and the
+        // broadcast build side), the t6 hazard class
+        val store = graft.Scratch.dir(s, "t21_vocab")
+        wc.select(col("word"),
+          filter(graft.operators.BpeTrainer.encode(col("word"), table),
+            p => p =!= "").as("pieces"))
+          .write.mode("overwrite").parquet(store)
+        val vocab = s.read.parquet(store)
+          .select(col("word"), size(col("pieces")).as("n_p"),
+            (concat_ws("", col("pieces")) === col("word")
+              && size(col("pieces")) <= length(col("word"))).as("good"))
         documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-          .select(col("doc_id"), col("word"),
-            filter(pieces, p => p =!= "").as("pieces"))
+          .join(vocab, Seq("word"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_words"),
-            sum(size(col("pieces"))).as("n_pieces"),
+            sum(col("n_p")).as("n_pieces"),
             sum(length(col("word"))).as("n_chars"),
-            sum(when(concat_ws("", col("pieces")) === col("word")
-              && size(col("pieces")) <= length(col("word")), 0)
-              .otherwise(1)).cast("long").as("n_bad"))
+            sum(when(col("good"), 0).otherwise(1)).cast("long").as("n_bad"))
           .withColumn("ok", (col("n_bad") === 0).cast("int"))
           .orderBy("doc_id")
       },
