@@ -180,7 +180,8 @@ object Bench {
     // filtered run of just g7/t20 was paying the edge build inside query
     // timing).
     if (selected.exists(Set("g3_triangle_count", "g4_label_prop", "g5_bfs",
-        "g6_weighted_sssp", "g7_random_walks", "t20_skipgram_pairs"))) {
+        "g6_weighted_sssp", "g7_random_walks", "t20_skipgram_pairs",
+        "g8_kcore"))) {
       record("_edges_build",
         try timed(graft.queries.GraphTemporalQueries.pretrainEdges(spark, sfDir))
         catch { case _: Throwable => -1.0 })

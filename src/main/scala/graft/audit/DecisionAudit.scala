@@ -226,6 +226,14 @@ object DecisionAudit {
         "hash uniforms are ~1e-2 — the per-stratum ranking cannot flip; " +
         "only integer columns reach the hash",
       Seq("ln(", "/ 4294967296.0")),
+    "o16_poisson_bootstrap" -> GrainMargin(0.5,
+      centsExact.note + "; everything downstream is integer — Poisson " +
+        "draws compare the md5 hash against hard-coded floor(CDF*2^32) " +
+        "BIGINT literals (identical in both engines by construction), " +
+        "replicate and point means are integer division of exact cents, " +
+        "and the CI bounds are order statistics picked by row_number " +
+        "under a total (mean_c, r) tie-break — no fp on any decision path",
+      Seq("round(value * 100)", "1580030168", "ORDER BY mean_c, r")),
     "u4_agg_ledger" -> GrainMargin(0.5,
       centsExact.note + "; ledger merges then sum exact longs — the only " +
         "fp op is the per-row cents conversion",

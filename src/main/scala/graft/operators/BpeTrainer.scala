@@ -38,10 +38,11 @@ object BpeTrainer {
     * ROUND COUNT is therefore the budget. Fine through a few hundred
     * rounds (`_bpe_train64` pins the measured per-merge cost in every
     * bench artifact); pathological at a realistic 10k-50k vocabulary,
-    * where one scheduler round-trip per merge dominates — that regime
-    * needs a batched-merge trainer (apply the top-B non-overlapping
-    * pairs per round), not this operator. [[train]] enforces the bound
-    * the same way [[encode]] enforces [[MaxFusedMerges]].
+    * where one scheduler round-trip per merge dominates — that regime is
+    * [[trainBatched]]'s (top-B non-interacting pairs per round: measured
+    * 6 rounds / 2.3 s for the 64-merge bench table vs 64 rounds / 26 s
+    * greedy). [[train]] enforces the bound the same way [[encode]]
+    * enforces [[MaxFusedMerges]].
     */
   val MaxTrainRounds = 1024
 

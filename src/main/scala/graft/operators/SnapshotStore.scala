@@ -63,9 +63,21 @@ object SnapshotStore {
     val f = fs(s, root)
     f.mkdirs(new Path(root))
     val claim = new Path(root, s"v$next._claim")
+    // HDFS's create(overwrite=false) is namenode-atomic, but the LOCAL
+    // FileSystem implements it as exists()-then-create — a TOCTOU window
+    // two concurrent publishers can both slip through (caught by the
+    // SnapshotStoreSpec race test). On file: URIs go through NIO's
+    // createFile, the O_CREAT|O_EXCL form the kernel serializes.
     val claimed =
-      try { f.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      if (f.getScheme == "file")
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(claim.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else
+        try { f.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
     if (!claimed)
       throw new IllegalStateException(
         s"publish collision on version $next under $root: another " +

@@ -117,6 +117,89 @@ object GraphTemporalQueries {
              |  UNION ALL SELECT c FROM tri)
              |GROUP BY 1 ORDER BY n_tri DESC, p_partkey LIMIT 100""".stripMargin)),
 
+    // G8: k-core decomposition (fixed k=2) by iterative peel — the graph
+    // curation primitive behind "keep the densely-linked subweb"
+    // filtering (Batagelj-Zaversnik peel, distributed form): each round
+    // drops nodes whose degree in the SURVIVING subgraph is < k, exactly
+    // like g2's fixed-iteration discipline — 6 peel rounds, each one
+    // semi-join pair (edges among survivors) + one partial-combining
+    // degree aggregate, per-round scratch checkpoint so lineage stays
+    // O(1), NO driver value ever (even the convergence flag is computed
+    // relationally: |a7| == |a8| as two broadcast one-row aggregates).
+    // The output carries that `converged` flag as in-row evidence that 8
+    // rounds reached the true k-core fixpoint on this data (measured: 1 /
+    // 4 / 6 rounds to fixpoint at sf0.001/0.01/0.1); the oracle unrolls
+    // the identical 8 rounds as chained MATERIALIZED CTEs.
+    Q("g8_kcore",
+      (s, d) => {
+        val kk = 2
+        val rounds = 8
+        val scratch = graft.Scratch.dir(s, "g8")
+        def ckpt(df: org.apache.spark.sql.DataFrame, name: String) = {
+          df.write.mode("overwrite").parquet(s"$scratch/$name")
+          s.read.parquet(s"$scratch/$name")
+        }
+        val e0 = coocEdges(s, d)
+        def among(act: org.apache.spark.sql.DataFrame) = e0
+          .join(act.select(col("n").as("u")), Seq("u"), "left_semi")
+          .join(act.select(col("n").as("v")), Seq("v"), "left_semi")
+        def degrees(ee: org.apache.spark.sql.DataFrame) = ee
+          .select(col("u").as("n")).union(ee.select(col("v")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        var act = ckpt(e0.select(col("u").as("n"))
+          .union(e0.select(col("v"))).distinct(), "a0")
+        var prev = act
+        for (r <- 1 to rounds) {
+          prev = act
+          act = ckpt(degrees(among(act)).filter(col("deg") >= kk)
+            .select(col("n")), s"a$r")
+        }
+        val degF = degrees(among(act))
+        val cPrev = prev.agg(count(lit(1)).as("np"))
+        val cCur = act.agg(count(lit(1)).as("nc"))
+        act.join(degF, Seq("n"), "left")
+          .crossJoin(broadcast(cPrev)).crossJoin(broadcast(cCur))
+          .select(col("n").as("p_partkey"),
+            coalesce(col("deg"), lit(0L)).as("deg_core"),
+            (col("np") === col("nc")).cast("int").as("converged"))
+          .orderBy("p_partkey")
+      },
+      Some {
+        // every CTE is MATERIALIZED: each round references the previous
+        // active set twice and the edge table once, so inlined CTEs blow
+        // up exponentially over 6 rounds (DuckDB re-opened lineitem
+        // dozens of times — "Too many open files" before it got slow)
+        def round(r: Int): String = {
+          val pa = s"a${r - 1}"
+          s"""e$r AS MATERIALIZED (SELECT e.u, e.v FROM e
+             |  JOIN $pa x ON e.u = x.n JOIN $pa y ON e.v = y.n),
+             |d$r AS MATERIALIZED (SELECT n, count(*) AS deg FROM
+             |  (SELECT u AS n FROM e$r UNION ALL SELECT v FROM e$r)
+             |  GROUP BY n),
+             |a$r AS MATERIALIZED (SELECT n FROM d$r WHERE deg >= 2)""".stripMargin
+        }
+        s"""WITH pairs AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+           |      FROM pairs a JOIN pairs b
+           |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |      GROUP BY 1, 2 HAVING count(*) >= 2),
+           |a0 AS MATERIALIZED (SELECT u AS n FROM e UNION SELECT v FROM e),
+           |${(1 to 8).map(round).mkString(",\n")},
+           |ef AS (SELECT e.u, e.v FROM e
+           |  JOIN a8 x ON e.u = x.n JOIN a8 y ON e.v = y.n),
+           |df AS (SELECT n, count(*) AS deg FROM
+           |  (SELECT u AS n FROM ef UNION ALL SELECT v FROM ef) GROUP BY n),
+           |cp AS (SELECT count(*) AS np FROM a7),
+           |cc AS (SELECT count(*) AS nc FROM a8)
+           |SELECT a8.n AS p_partkey,
+           |  CAST(coalesce(df.deg, 0) AS BIGINT) AS deg_core,
+           |  CAST(np = nc AS INT) AS converged
+           |FROM a8 LEFT JOIN df ON a8.n = df.n
+           |CROSS JOIN cp CROSS JOIN cc
+           |ORDER BY p_partkey""".stripMargin
+      }),
+
     // U3: SCD2 (slowly-changing-dimension type 2) history build from a
     // change log — each order is a change event to its customer's
     // priority "state"; one lead() window per key turns the log into

@@ -574,6 +574,89 @@ object PipelineQueries {
               |FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id
               |ORDER BY t.doc_id""".stripMargin)),
 
+    // D13: shingle CONTAINMENT scoring (Broder 1997's asymmetric twin of
+    // resemblance) — |A∩B|/|A| vs |A∩B|/|B| tells near-SUPERSET apart
+    // from near-duplicate: a short doc quoted whole inside a long one has
+    // low Jaccard (d5 misses it) but containment ~1 on the short side —
+    // the boilerplate/quotation hazard a training-data dedup pass needs
+    // to see. Candidate generation is RARE-ANCHOR BLOCKING, the
+    // entity-resolution idiom for asymmetric pairs LSH banding can't
+    // surface: self-join only on shingles with 2 <= df <= 8, so the
+    // candidate blow-up is bounded by sum(df^2) over anchors (the df cap
+    // is the knob; frequent shingles never join). The exact intersection
+    // then runs ONLY among candidate documents (semi-join shrinks the
+    // shingle table first), and the containment ratios cross the
+    // comparator as exact integer div — no float decision anywhere.
+    Q("d13_containment",
+      (s, d) => {
+        val k = 6
+        val sh = tokenized(s, d)
+          .select(col("doc_id"), explode(shinglesNative(col("text"), k)).as("g"))
+          .distinct()
+        val anchors = sh.groupBy(col("g"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 8))
+          .select(col("g"))
+        val shAnch = sh.join(anchors, Seq("g"))
+        val cand = shAnch.as("x")
+          .join(shAnch.as("y").hint("shuffle_hash"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val cdocs = cand.select(col("a_id").as("d"))
+          .union(cand.select(col("b_id"))).distinct()
+        val shc = sh.join(cdocs, col("doc_id") === col("d"), "left_semi")
+        val inter = shc.as("x")
+          .join(shc.as("y").hint("shuffle_hash"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(cand, Seq("a_id", "b_id"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        inter
+          .join(sizes.select(col("doc_id").as("a_id"), col("n").as("n_a")),
+            Seq("a_id"))
+          .join(sizes.select(col("doc_id").as("b_id"), col("n").as("n_b")),
+            Seq("b_id"))
+          .select(col("a_id"), col("b_id"), col("n_common"),
+            col("n_a"), col("n_b"),
+            expr("n_common * 1000 div n_a").as("contain_a_x1000"),
+            expr("n_common * 1000 div n_b").as("contain_b_x1000"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $sqlTok, sh AS (
+              |  SELECT DISTINCT doc_id, array_to_string(w[u.i:u.i+5], ' ') AS g
+              |  FROM tok, unnest(range(1, len(w) - 4)) AS u(i)
+              |), anchors AS (
+              |  SELECT g FROM sh GROUP BY g HAVING count(*) BETWEEN 2 AND 8
+              |), sha AS (
+              |  SELECT sh.doc_id, sh.g FROM sh JOIN anchors USING (g)
+              |), cand AS (
+              |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+              |  FROM sha x JOIN sha y ON x.g = y.g AND x.doc_id < y.doc_id
+              |), cdocs AS (
+              |  SELECT DISTINCT dd FROM
+              |    (SELECT a_id AS dd FROM cand UNION SELECT b_id FROM cand)
+              |), shc AS (
+              |  SELECT sh.doc_id, sh.g FROM sh JOIN cdocs ON sh.doc_id = cdocs.dd
+              |), inter AS (
+              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_common
+              |  FROM shc x JOIN shc y ON x.g = y.g AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2
+              |), ic AS (
+              |  SELECT i.* FROM inter i JOIN cand c
+              |    ON i.a_id = c.a_id AND i.b_id = c.b_id
+              |), sizes AS (
+              |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+              |)
+              |SELECT i.a_id, i.b_id, CAST(i.n_common AS BIGINT) AS n_common,
+              |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+              |  CAST(i.n_common * 1000 // sa.n AS BIGINT) AS contain_a_x1000,
+              |  CAST(i.n_common * 1000 // sb.n AS BIGINT) AS contain_b_x1000
+              |FROM ic i JOIN sizes sa ON i.a_id = sa.doc_id
+              |JOIN sizes sb ON i.b_id = sb.doc_id
+              |ORDER BY a_id, b_id""".stripMargin)),
+
     // D7: near-dup CLUSTERS — LSH emits pairs, but the keep/drop decision
     // needs components (a–b and b–c collapse to one survivor even though
     // (a, c) was never a candidate pair). Iterative min-label propagation
@@ -1905,6 +1988,99 @@ object PipelineQueries {
               |      ORDER BY k DESC, doc_id) AS BIGINT) AS rn
               |  FROM s)
               |WHERE rn <= 5 ORDER BY source, rn""".stripMargin)),
+
+    // O16: one-pass Poisson bootstrap — confidence intervals for a
+    // per-group mean computed the only way 100 TB allows (Chamandy et
+    // al., "Estimating Uncertainty for Massive Data Streams": resampling
+    // with replacement is a per-row Poisson(1) weight per replicate, so
+    // ALL 32 replicates ride one scan + one partial-combining aggregate;
+    // no data pass is ever repeated). Every float hazard is engineered
+    // out: the Poisson draw is an integer comparison of the 32-bit md5
+    // hash against hard-coded CDF thresholds (floor(CDF * 2^32) — the
+    // same literals in both engines, so draws are bit-identical and
+    // regeneration-proof); values enter as exact cents; replicate means
+    // and the point estimate are integer division; the CI is an ORDER
+    // STATISTIC (2nd / 31st of the 32 sorted replicate means — a ~94%
+    // interval), not an interpolated percentile. The window runs over 32
+    // rows per group — replicate aggregates, never raw events.
+    Q("o16_poisson_bootstrap",
+      (s, d) => {
+        val th = Seq(1580030168L, 3160060337L, 3950075421L,
+          4213413783L, 4279248373L, 4292415291L)
+        val base = events(s, d).select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val rep = base
+          .select(col("event_type"), col("cents"), col("event_id"),
+            explode(sequence(lit(0), lit(31))).as("r"))
+          .withColumn("h", hash32(concat(lit("bs:"),
+            col("event_id").cast("string"), lit(":"),
+            col("r").cast("string"))))
+          .withColumn("w", th.zipWithIndex.foldRight(lit(6L): org.apache.spark.sql.Column) {
+            case ((t, k), rest) => when(col("h") < t, k.toLong).otherwise(rest)
+          })
+        val reps = rep.groupBy(col("event_type"), col("r"))
+          .agg(sum(col("w")).as("sw"), sum(col("w") * col("cents")).as("swc"))
+          .filter(col("sw") > 0)
+          .select(col("event_type"), col("r"), expr("swc div sw").as("mean_c"))
+        val byType = Window.partitionBy(col("event_type"))
+        val st = reps
+          .withColumn("rn", row_number().over(byType.orderBy(col("mean_c"), col("r"))))
+          .withColumn("nrep", count(lit(1)).over(byType))
+          .filter(col("nrep") === 32)
+        val lo = st.filter(col("rn") === 2)
+          .select(col("event_type"), col("mean_c").as("ci_lo_cents"))
+        val hi = st.filter(col("rn") === 31)
+          .select(col("event_type").as("et2"), col("mean_c").as("ci_hi_cents"))
+        base.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            expr("sum(cents) div count(1)").as("mean_cents"))
+          .join(lo, Seq("event_type"))
+          .join(hi, col("event_type") === col("et2"))
+          .select(col("event_type"), col("n_events"), col("mean_cents"),
+            col("ci_lo_cents"), col("ci_hi_cents"),
+            (col("ci_hi_cents") - col("ci_lo_cents")).as("ci_width_cents"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT event_type, event_id,
+              |    CAST(round(value * 100) AS BIGINT) AS cents
+              |  FROM events
+              |), rep AS (
+              |  SELECT event_type, cents,
+              |    CAST(u.r AS INTEGER) AS r,
+              |    ${sqlH32("'bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(u.r AS VARCHAR)")} AS h
+              |  FROM base, unnest(range(0, 32)) AS u(r)
+              |), ww AS (
+              |  SELECT event_type, r, cents,
+              |    CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
+              |         WHEN h < 3950075421 THEN 2 WHEN h < 4213413783 THEN 3
+              |         WHEN h < 4279248373 THEN 4 WHEN h < 4292415291 THEN 5
+              |         ELSE 6 END AS w
+              |  FROM rep
+              |), reps AS (
+              |  SELECT event_type, r,
+              |    CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_c
+              |  FROM ww GROUP BY 1, 2 HAVING sum(w) > 0
+              |), st AS (
+              |  SELECT event_type, r, mean_c,
+              |    row_number() OVER (PARTITION BY event_type
+              |      ORDER BY mean_c, r) AS rn,
+              |    count(*) OVER (PARTITION BY event_type) AS nrep
+              |  FROM reps
+              |), point AS (
+              |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              |    CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+              |  FROM base GROUP BY 1
+              |)
+              |SELECT p.event_type, p.n_events, p.mean_cents,
+              |  lo.mean_c AS ci_lo_cents, hi.mean_c AS ci_hi_cents,
+              |  hi.mean_c - lo.mean_c AS ci_width_cents
+              |FROM point p
+              |JOIN (SELECT event_type, mean_c FROM st
+              |      WHERE rn = 2 AND nrep = 32) lo USING (event_type)
+              |JOIN (SELECT event_type, mean_c FROM st
+              |      WHERE rn = 31 AND nrep = 32) hi USING (event_type)
+              |ORDER BY p.event_type""".stripMargin)),
 
     // U5: atomic versioned snapshot publish (operators/SnapshotStore) —
     // the table-format kernel under u1/u2/u3: data written completely

@@ -35,7 +35,8 @@ class JoinShapeGuardSpec extends SparkSpec {
     "t14_unigram_surprisal",  // 1-row corpus-total aggregate
     "c10_temporal_split",     // 1-row time-cutoff aggregate
     "t15_vocab_coverage",     // 1-row total-token aggregate
-    "u1_upsert", "u2_snapshot_diff" // 1-row max(doc_id)+1 insert offset
+    "u1_upsert", "u2_snapshot_diff", // 1-row max(doc_id)+1 insert offset
+    "g8_kcore"                // two 1-row count aggregates (convergence flag)
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {

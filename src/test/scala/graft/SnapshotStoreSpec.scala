@@ -70,10 +70,22 @@ class SnapshotStoreSpec extends SparkSpec {
         try Right(SnapshotStore.publish(Seq((2L, tag)).toDF("id", "x"), root))
         catch { case e: IllegalStateException => Left(e) })
     }), 2.minutes)
-    assert(results.count(_.isRight) == 1, s"expected one winner, got $results")
-    assert(results.count(_.isLeft) == 1, s"expected one loser, got $results")
-    assert(SnapshotStore.currentVersion(spark, root).contains(2))
-    assert(SnapshotStore.read(spark, root).count() == 1L)
+    // The safety property is NO LOST COMMIT: either the claim serialized
+    // the racers onto one version (one winner, one loud loser) or they
+    // never actually raced (one finished before the other read _CURRENT)
+    // and both succeeded on DISTINCT versions. Two Rights on the SAME
+    // version — the silent clobber this fix exists for — must be
+    // impossible, and every successful publish must be durably readable.
+    val wins = results.collect { case Right(v) => v }
+    assert(wins.nonEmpty, s"at least one publish must succeed: $results")
+    assert(wins.distinct.size == wins.size,
+      s"two publishes claimed the same version (lost commit): $results")
+    assert(results.count(_.isLeft) == 2 - wins.size)
+    wins.foreach { v =>
+      assert(SnapshotStore.readVersion(spark, root, v).count() == 1L,
+        s"published version $v must be readable")
+    }
+    assert(SnapshotStore.currentVersion(spark, root).contains(wins.max))
   }
 
   test("vacuum removes only versions past the retention window") {
