@@ -23,13 +23,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
   val ConfKey = "spark.graft.scratchDir"
+
+  /** Scratch roots are PER-PROCESS (`graft_qtmp_<pid>`): two harness JVMs
+    * running concurrently (a dev-loop filtered Verify beside a full one)
+    * must never share scratch, because each sweeps its root on exit — a
+    * concurrent sweep deleted the full run's cached edge table mid-query
+    * (round 10: t20's PATH_NOT_FOUND on the sf0.1 drill leg). [[sweep]]
+    * also reaps SIBLING roots whose owning pid is gone, so killed JVMs
+    * can't accumulate stale tmpfs parquet across invocations.
+    */
+  private val pidSuffix: String = {
+    val pid = ProcessHandle.current().pid()
+    s"graft_qtmp_$pid"
+  }
   val Default: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") + "/graft_qtmp"
+    sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") + "/" + pidSuffix
 
   /** tmpfs scratch root, offered only when the mount has real headroom
     * (>= 4 GiB usable) — the opt-in path Sessions.local wires up.
     */
-  val TmpfsCandidate = "/dev/shm/graft_qtmp"
+  val TmpfsCandidate = s"/dev/shm/$pidSuffix"
   def tmpfsUsable: Boolean = {
     val shm = new java.io.File("/dev/shm")
     shm.isDirectory && shm.canWrite && shm.getUsableSpace >= 4L * 1024 * 1024 * 1024
@@ -38,18 +51,32 @@ object Scratch {
   def dir(spark: SparkSession, name: String): String =
     s"${spark.conf.get(ConfKey, Default)}/$name"
 
-  /** Delete the session's resolved scratch root recursively. Refuses roots
-    * that don't end in the graft_qtmp leaf — a misconfigured conf must not
-    * turn teardown into `rm -rf` of a shared directory.
+  /** Delete the session's resolved scratch root recursively, plus any
+    * SIBLING per-pid roots whose owning process no longer exists (a
+    * killed JVM never reaches its own sweep). Refuses roots whose leaf
+    * isn't graft_qtmp-shaped — a misconfigured conf must not turn
+    * teardown into `rm -rf` of a shared directory.
     */
   def sweep(spark: SparkSession): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
     val root = spark.conf.get(ConfKey, Default)
-    if (root.endsWith("graft_qtmp")) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
+    val leaf = new java.io.File(root).getName
+    if (leaf.startsWith("graft_qtmp")) {
       rm(new java.io.File(root))
+      val parent = new java.io.File(root).getParentFile
+      Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
+        f.getName match {
+          case n if n.startsWith("graft_qtmp_") && f.isDirectory =>
+            val pid = n.stripPrefix("graft_qtmp_")
+            val alive = scala.util.Try(
+              ProcessHandle.of(pid.toLong).isPresent).getOrElse(true)
+            if (!alive) rm(f)
+          case _ => ()
+        }
+      }
     }
   }
 }

@@ -226,6 +226,16 @@ object DecisionAudit {
         "hash uniforms are ~1e-2 — the per-stratum ranking cannot flip; " +
         "only integer columns reach the hash",
       Seq("ln(", "/ 4294967296.0")),
+    "e11_mmr_diverse" -> GrainMargin(5e-7,
+      "all cosines are 5-dp-rounded sequential array folds (e1's " +
+        "BitPinned class, identical fold order both engines); the MMR " +
+        "score cos - 0.5*penalty is identical-double arithmetic on those " +
+        "and sits ON the 1e-6 decimal grid (cos is 5-dp, half a 5-dp " +
+        "value is exactly 6-dp), so the round(score, 6) emit has margin " +
+        "5e-7 vs ~1e-16 noise — round(score, 5) was the a21 half-way " +
+        "trap and the sf0.001 drill caught it; every argmax carries the " +
+        "(score DESC, cand_id) total tie-break",
+      Seq("round(s1_score, 6)", "ORDER BY score DESC, cand_id", "0.5 *")),
     "o16_poisson_bootstrap" -> GrainMargin(0.5,
       centsExact.note + "; everything downstream is integer — Poisson " +
         "draws compare the md5 hash against hard-coded floor(CDF*2^32) " +

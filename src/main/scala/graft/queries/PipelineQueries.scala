@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
@@ -2217,6 +2217,124 @@ object PipelineQueries {
              |)
              |SELECT q_id, cand_id, ip, rn FROM r WHERE rn <= 5
              |ORDER BY q_id, rn""".stripMargin)),
+
+    // E11: MMR diverse top-k (Carbonell-Goldstein maximal marginal
+    // relevance) — eval-set/demo-set curation wants the top results that
+    // are relevant AND mutually diverse, not three near-copies of the
+    // same document (which is exactly what e1's plain top-k returns on a
+    // near-dup corpus). Greedy: pick argmax cos(q,x); then twice more
+    // pick argmax [cos(q,x) - 0.5 * max cos(x, already-picked)]. Shape:
+    // the candidate pool is ExactCosine.topK(20) — the bounded per-query
+    // frame every rerank needs — and each of the 3 unrolled steps is a
+    // per-query window argmax over <= 20 candidate rows joined with the
+    // <= 2 selected vectors; nothing rescans the corpus after the one
+    // topK pass. Decisions: cosines are 5-dp-rounded sequential folds
+    // (e1's BitPinned class), penalized scores are identical-double
+    // arithmetic on those, and every argmax carries the (score desc,
+    // cand_id) total tie-break — the oracle replays the identical three
+    // steps as MATERIALIZED CTEs.
+    Q("e11_mmr_diverse",
+      (s, d) => {
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val c = graft.similarity.ExactCosine.topK(emb, q, 20)
+          .select(col("q_id"), col("cand_id"), col("cos"))
+        val en = emb.withColumn("nrm", l2Norm(col("v")))
+        def pairCos(av: Column, an: Column, bv: Column, bn: Column) =
+          round(dot(av, bv) / (an * bn), 5)
+        def argmax(df: DataFrame, scoreCol: String) = df
+          .withColumn("_rn", row_number().over(Window.partitionBy(col("q_id"))
+            .orderBy(desc(scoreCol), col("cand_id"))))
+          .filter(col("_rn") === 1).drop("_rn")
+        val s1 = argmax(c, "cos")
+          .select(col("q_id"), col("cand_id").as("s1_id"), col("cos").as("s1_score"))
+        val cv = c.join(en.select(col("vec_id").as("cand_id"),
+          col("v").as("cv"), col("nrm").as("cn")), Seq("cand_id"))
+        val s1v = s1.join(en.select(col("vec_id").as("s1_id"),
+          col("v").as("b1v"), col("nrm").as("b1n")), Seq("s1_id"))
+        val p2 = cv.join(s1v, Seq("q_id"))
+          .filter(col("cand_id") =!= col("s1_id"))
+          .withColumn("score", col("cos")
+            - lit(0.5) * pairCos(col("cv"), col("cn"), col("b1v"), col("b1n")))
+        val s2 = argmax(p2, "score")
+          .select(col("q_id"), col("cand_id").as("s2_id"), col("score").as("s2_score"))
+        val s2v = s2.join(en.select(col("vec_id").as("s2_id"),
+          col("v").as("b2v"), col("nrm").as("b2n")), Seq("s2_id"))
+        val p3 = cv.join(s1v, Seq("q_id")).join(s2v, Seq("q_id"))
+          .filter(col("cand_id") =!= col("s1_id") && col("cand_id") =!= col("s2_id"))
+          .withColumn("score", col("cos") - lit(0.5) * greatest(
+            pairCos(col("cv"), col("cn"), col("b1v"), col("b1n")),
+            pairCos(col("cv"), col("cn"), col("b2v"), col("b2n"))))
+        val s3 = argmax(p3, "score")
+          .select(col("q_id"), col("cand_id").as("s3_id"), col("score").as("s3_score"))
+        // EMIT at 6 dp — the score's true decimal grain: cos is a 5-dp
+        // decimal and 0.5*penalty is exactly a 6-dp decimal, so their
+        // difference sits ON the 1e-6 grid (margin 5e-7 vs ~1e-16
+        // representation noise). Emitting round(score, 5) was the a21
+        // half-way trap verbatim: scores like 0.343635 sit exactly on
+        // the 5-dp boundary and the engines' round() impls split them
+        // differently (caught by the sf0.001 drill leg, one row).
+        s1.select(col("q_id"), lit(1L).as("step"), col("s1_id").as("vec_id"),
+            round(col("s1_score"), 6).as("score"))
+          .unionByName(s2.select(col("q_id"), lit(2L).as("step"),
+            col("s2_id").as("vec_id"), round(col("s2_score"), 6).as("score")))
+          .unionByName(s3.select(col("q_id"), lit(3L).as("step"),
+            col("s3_id").as("vec_id"), round(col("s3_score"), 6).as("score")))
+          .orderBy("q_id", "step")
+      },
+      Some("""WITH e AS MATERIALIZED (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v,
+             |    sqrt(list_sum([x*x for x in embedding::DOUBLE[]])) AS nrm
+             |  FROM embeddings
+             |), q AS MATERIALIZED (
+             |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 3
+             |), c AS MATERIALIZED (
+             |  SELECT * FROM (
+             |    SELECT q_id, e.vec_id AS cand_id,
+             |      round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+             |        / (nrm * qnrm), 5) AS cos,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY
+             |        round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+             |          / (nrm * qnrm), 5) DESC, e.vec_id) AS rn
+             |    FROM e CROSS JOIN q WHERE e.vec_id != q_id)
+             |  WHERE rn <= 20
+             |), s1 AS MATERIALIZED (
+             |  SELECT q_id, cand_id AS s1_id, cos AS s1_score FROM c WHERE rn = 1
+             |), p2 AS MATERIALIZED (
+             |  SELECT c.q_id, c.cand_id, c.cos,
+             |    c.cos - 0.5 * round(list_sum([a.v[i] * b.v[i]
+             |      for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm), 5) AS score
+             |  FROM c JOIN s1 USING (q_id)
+             |  JOIN e a ON a.vec_id = c.cand_id JOIN e b ON b.vec_id = s1.s1_id
+             |  WHERE c.cand_id != s1.s1_id
+             |), s2 AS MATERIALIZED (
+             |  SELECT q_id, cand_id AS s2_id, score AS s2_score FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY q_id
+             |      ORDER BY score DESC, cand_id) AS rn2 FROM p2) WHERE rn2 = 1
+             |), p3 AS MATERIALIZED (
+             |  SELECT c.q_id, c.cand_id, c.cos,
+             |    c.cos - 0.5 * greatest(
+             |      round(list_sum([a.v[i] * b1.v[i]
+             |        for i in range(1, len(a.v) + 1)]) / (a.nrm * b1.nrm), 5),
+             |      round(list_sum([a.v[i] * b2.v[i]
+             |        for i in range(1, len(a.v) + 1)]) / (a.nrm * b2.nrm), 5)
+             |    ) AS score
+             |  FROM c JOIN s1 USING (q_id) JOIN s2 USING (q_id)
+             |  JOIN e a ON a.vec_id = c.cand_id
+             |  JOIN e b1 ON b1.vec_id = s1.s1_id JOIN e b2 ON b2.vec_id = s2.s2_id
+             |  WHERE c.cand_id != s1.s1_id AND c.cand_id != s2.s2_id
+             |), s3 AS (
+             |  SELECT q_id, cand_id AS s3_id, score AS s3_score FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY q_id
+             |      ORDER BY score DESC, cand_id) AS rn3 FROM p3) WHERE rn3 = 1
+             |)
+             |SELECT q_id, 1::BIGINT AS step, s1_id AS vec_id,
+             |  round(s1_score, 6) AS score FROM s1
+             |UNION ALL SELECT q_id, 2, s2_id, round(s2_score, 6) FROM s2
+             |UNION ALL SELECT q_id, 3, s3_id, round(s3_score, 6) FROM s3
+             |ORDER BY q_id, step""".stripMargin)),
 
     // O15: block sampling + Horvitz-Thompson estimation — the approximate-
     // query-processing primitive row sampling can't give you at 100 TB:

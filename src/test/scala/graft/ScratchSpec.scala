@@ -43,6 +43,41 @@ class ScratchSpec extends SparkSpec {
     } finally spark.conf.unset(Scratch.ConfKey)
   }
 
+  test("scratch root is per-process; sweep reaps only dead-pid siblings") {
+    // round-10 lesson: two harness JVMs sharing one scratch root race —
+    // the first to exit sweeps the other's cached intermediates mid-query
+    // (t20's PATH_NOT_FOUND on the sf0.1 drill leg). Roots carry the pid;
+    // sweep additionally reaps siblings whose owner is gone, so killed
+    // JVMs can't accumulate stale tmpfs parquet.
+    val myPid = ProcessHandle.current().pid()
+    assert(Scratch.Default.endsWith(s"graft_qtmp_$myPid"),
+      s"default root must embed this pid: ${Scratch.Default}")
+    val base = "/root/repo/target/test-tmp/sweep-sib"
+    val mine = s"$base/graft_qtmp_$myPid"
+    val alive = s"$base/graft_qtmp_1"          // pid 1 always exists
+    val dead = s"$base/graft_qtmp_999999999"   // beyond pid_max
+    Seq(mine, alive, dead).foreach(p => new java.io.File(s"$p/x").mkdirs())
+    spark.conf.set(Scratch.ConfKey, mine)
+    try {
+      Scratch.sweep(spark)
+      assert(!new java.io.File(mine).exists(), "own root must be swept")
+      assert(new java.io.File(alive).exists(),
+        "a sibling owned by a LIVE pid must be left alone")
+      assert(!new java.io.File(dead).exists(),
+        "a sibling owned by a dead pid must be reaped")
+    } finally {
+      spark.conf.unset(Scratch.ConfKey)
+      Seq(alive, dead).foreach(p => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      })
+    }
+  }
+
   test("an IO round-trip query lands in the configured scratch dir") {
     val alt = "/root/repo/target/test-tmp/scratch-redirect"
     spark.conf.set(Scratch.ConfKey, alt)
