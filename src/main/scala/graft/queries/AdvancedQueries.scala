@@ -462,6 +462,67 @@ object AdvancedQueries {
              |  CAST(sum(cls) * 1000 // count(*) <= 4100 AS INT) AS keep
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // T22: bigram conditional surprisal — t14 upgraded to the CONDITIONAL
+    // language model real perplexity gates run (CCNet's KenLM is an
+    // n-gram conditional LM; the unigram form can't see word-order
+    // breakage): score every adjacent pair by the frequency class of
+    // P(cur | prev) with add-one smoothing, floor(log2((c(prev) + V) /
+    // (c(prev,cur) + 1))) — all integer (div then bin-length), t14's
+    // no-ln() discipline extended to the smoothed conditional. A
+    // reordered or word-salad document shares t14's unigram profile but
+    // its bigrams fall off the conditional model — exactly what this
+    // catches. Plan: one bigram-count aggregate and one unigram
+    // aggregate (both partial-combining), V as a broadcast scalar, the
+    // doc-bigram stream joins both tables on equi keys (unhinted — a
+    // web-scale bigram table must be allowed to stay a shuffle join).
+    Q("t22_bigram_surprisal",
+      (s, d) => {
+        val toks = Tables.tokenizedDocs(s, d)
+        val bg = toks.select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(w) - 1), " +
+              "i -> struct(w[i - 1] AS prev, w[i] AS cur))")).as("p"))
+          .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+        val uni = toks.select(explode(col("w")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+        val vv = uni.agg(count(lit(1)).cast("long").as("v"))
+        val bc = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+        bg.join(bc, Seq("prev", "cur"))
+          .join(uni.select(col("term").as("prev"), col("cu")), Seq("prev"))
+          .crossJoin(broadcast(vv))
+          .select(col("doc_id"),
+            (length(bin(expr("(cu + v) div (cb + 1)"))) - 1).cast("long").as("cls"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("cls")).as("scls"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("scls * 1000 div n_bigrams").as("mean_surprisal_x1000"),
+            (expr("scls * 1000 div n_bigrams") <= 4360L).cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 3
+             |), uni AS (
+             |  SELECT t AS term, count(*) AS cu FROM (
+             |    SELECT unnest(w) AS t FROM tok) GROUP BY t
+             |), vv AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS v FROM uni
+             |), bg AS (
+             |  SELECT doc_id, w[u.i - 1] AS prev, w[u.i] AS cur
+             |  FROM tok, unnest(range(2, len(w) + 1)) AS u(i)
+             |), bc AS (
+             |  SELECT prev, cur, count(*) AS cb FROM bg GROUP BY 1, 2
+             |), sc AS (
+             |  SELECT g.doc_id,
+             |    length(bin((u.cu + vv.v) // (b.cb + 1))) - 1 AS cls
+             |  FROM bg g JOIN bc b ON g.prev = b.prev AND g.cur = b.cur
+             |  JOIN uni u ON g.prev = u.term CROSS JOIN vv
+             |)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(cls) * 1000 // count(*) AS BIGINT)
+             |    AS mean_surprisal_x1000,
+             |  CAST(sum(cls) * 1000 // count(*) <= 4360 AS INT) AS keep
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // T15: vocabulary coverage curve — the tokenizer-design question "how
     // much of the token stream do the top-k vocabulary entries cover?".
     // Both global ordered computations (rank of each term in the frequency

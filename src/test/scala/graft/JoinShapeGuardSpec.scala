@@ -34,6 +34,7 @@ class JoinShapeGuardSpec extends SparkSpec {
     "t7_tfidf",               // 1-row corpus-size aggregate
     "t18_bm25",               // 1-row corpus-stats aggregate (TL, ND)
     "t14_unigram_surprisal",  // 1-row corpus-total aggregate
+    "t22_bigram_surprisal",   // 1-row vocabulary-size aggregate
     "c10_temporal_split",     // 1-row time-cutoff aggregate
     "t15_vocab_coverage",     // 1-row total-token aggregate
     "u1_upsert", "u2_snapshot_diff", // 1-row max(doc_id)+1 insert offset
