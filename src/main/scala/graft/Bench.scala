@@ -194,12 +194,19 @@ object Bench {
     // excluded from total like the other "_" builds).
     if (selected.contains("t16_bpe_merges")) {
       import org.apache.spark.sql.functions.{col, count, explode, lit}
+      // ONE word-count definition for both trainer points — the greedy-vs-
+      // batched comparison must measure the same corpus, and the shared
+      // aggregation is deliberately inside NEITHER timing (materialized
+      // once to scratch, both trainers read the parquet).
+      val wcPath = Scratch.dir(spark, "bench_bpe_wc")
+      Tables.documents(spark, sfDir)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(wcPath)
+      def wc = spark.read.parquet(wcPath)
       record("_bpe_train64",
         try timed {
-          val wc = Tables.documents(spark, sfDir)
-            .select(explode(graft.functions.TextFunctions.tokens(col("text")))
-              .as("word"))
-            .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
           val learned = graft.operators.BpeTrainer.train(wc, "word", "cnt",
             merges = 64, checkpointDir = Some(Scratch.dir(spark, "bench_bpe64")))
           require(learned.nonEmpty, "BPE bench point learned no merges")
@@ -212,10 +219,6 @@ object Bench {
       // wall-clock shows the per-round amortization directly.
       record("_bpe_batch64",
         try timed {
-          val wc = Tables.documents(spark, sfDir)
-            .select(explode(graft.functions.TextFunctions.tokens(col("text")))
-              .as("word"))
-            .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
           val res = graft.operators.BpeTrainer.trainBatched(wc, "word", "cnt",
             merges = 64, batch = 16,
             checkpointDir = Some(Scratch.dir(spark, "bench_bpe_batch64")))

@@ -73,7 +73,15 @@ object Scratch {
             val pid = n.stripPrefix("graft_qtmp_")
             val alive = scala.util.Try(
               ProcessHandle.of(pid.toLong).isPresent).getOrElse(true)
-            if (!alive) rm(f)
+            // age guard: pid liveness is judged in THIS process's pid
+            // namespace — a sibling created by another namespace sharing
+            // the mount (container + host bind of /dev/shm) would look
+            // dead here while its owner is mid-query. Only reap roots
+            // that are also stale by wall-clock; a live harness run
+            // touches its scratch far more often than hourly.
+            val staleMs = 60L * 60 * 1000
+            val old = System.currentTimeMillis() - f.lastModified() > staleMs
+            if (!alive && old) rm(f)
           case _ => ()
         }
       }

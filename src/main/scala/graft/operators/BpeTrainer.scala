@@ -194,7 +194,20 @@ object BpeTrainer {
           rounds)
       }
     }
-    BatchedResult(learned.result(), rounds)
+    val result = learned.result()
+    // The upfront budget check assumes every round admits a full batch;
+    // on a heavily-interacting corpus rounds can each admit as little as
+    // one pair, hitting the MaxTrainRounds backstop early. That shortfall
+    // must be LOUD — a caller at vocabulary scale would otherwise ship a
+    // silently truncated merge table (corpus exhaustion, by contrast, is
+    // the normal early stop and returns quietly, same as greedy).
+    if (!exhausted && result.size < merges && rounds >= MaxTrainRounds)
+      throw new IllegalStateException(
+        s"trainBatched learned ${result.size}/$merges merges before the " +
+          s"MaxTrainRounds=$MaxTrainRounds backstop: rounds admitted " +
+          "fewer pairs than `batch` (heavy candidate interaction) — " +
+          "raise batch, lower merges, or split the run")
+    BatchedResult(result, rounds)
   }
 
   /** (cnt, a, b) for every adjacent symbol pair of every word. */

@@ -68,6 +68,9 @@ object SnapshotStore {
     // two concurrent publishers can both slip through (caught by the
     // SnapshotStoreSpec race test). On file: URIs go through NIO's
     // createFile, the O_CREAT|O_EXCL form the kernel serializes.
+    // ONLY already-exists maps to "collision" — any other IO failure must
+    // propagate as itself, or the error message would advise deleting a
+    // marker that may belong to a LIVE publisher (re-opening the race).
     val claimed =
       if (f.getScheme == "file")
         try {
@@ -77,27 +80,37 @@ object SnapshotStore {
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       else
         try { f.create(claim, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
     if (!claimed)
       throw new IllegalStateException(
         s"publish collision on version $next under $root: another " +
           s"publisher holds $claim (concurrent publish, or a crashed one " +
           "— delete the marker only once that publisher is confirmed dead)")
-    df.write.mode("overwrite").parquet(s"$root/v$next")
-    val tmp = new Path(root, s"$Pointer.tmp")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // rename-with-OVERWRITE is the atomic commit point. FileSystem.rename
-    // refuses to clobber, and delete-then-rename would open a window where
-    // a concurrent reader finds NO pointer at all — FileContext's
-    // Options.Rename.OVERWRITE is the posix-rename form that replaces the
-    // old pointer in one metadata op.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(root).toUri, s.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(root, Pointer),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // From here the claim is OURS: if anything fails before the pointer
+    // swap commits, release it so the same (sole) publisher can simply
+    // retry — a transient write failure must not brick version `next`
+    // behind a collision error until someone hand-deletes the marker.
+    try {
+      df.write.mode("overwrite").parquet(s"$root/v$next")
+      val tmp = new Path(root, s"$Pointer.tmp")
+      val out = f.create(tmp, true)
+      try out.write(next.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // rename-with-OVERWRITE is the atomic commit point. FileSystem.rename
+      // refuses to clobber, and delete-then-rename would open a window where
+      // a concurrent reader finds NO pointer at all — FileContext's
+      // Options.Rename.OVERWRITE is the posix-rename form that replaces the
+      // old pointer in one metadata op.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(root).toUri, s.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, new Path(root, Pointer),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(f.delete(claim, false))
+        throw e
+    }
     next
   }
 
@@ -117,7 +130,10 @@ object SnapshotStore {
     (1 to cur - keep).filter { v =>
       val p = new Path(s"$root/v$v")
       val removed = f.exists(p) && f.delete(p, true)
-      if (removed) f.delete(new Path(s"$root/v$v._claim"), false)
+      // claim cleanup is unconditional for retired version numbers: a
+      // prior partial vacuum (data gone, claim left) must not orphan the
+      // marker forever
+      f.delete(new Path(s"$root/v$v._claim"), false)
       removed
     }
   }

@@ -55,8 +55,15 @@ class ScratchSpec extends SparkSpec {
     val base = "/root/repo/target/test-tmp/sweep-sib"
     val mine = s"$base/graft_qtmp_$myPid"
     val alive = s"$base/graft_qtmp_1"          // pid 1 always exists
-    val dead = s"$base/graft_qtmp_999999999"   // beyond pid_max
-    Seq(mine, alive, dead).foreach(p => new java.io.File(s"$p/x").mkdirs())
+    val dead = s"$base/graft_qtmp_999999999"   // beyond pid_max, stale
+    val deadFresh = s"$base/graft_qtmp_999999998" // dead pid, FRESH mtime
+    Seq(mine, alive, dead, deadFresh)
+      .foreach(p => new java.io.File(s"$p/x").mkdirs())
+    // stale = untouched for > 1 h; pid-namespace skew makes liveness
+    // alone untrustworthy across bind-mounted scratch, so reaping needs
+    // BOTH dead-pid and stale-mtime
+    new java.io.File(dead).setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
     spark.conf.set(Scratch.ConfKey, mine)
     try {
       Scratch.sweep(spark)
@@ -64,10 +71,12 @@ class ScratchSpec extends SparkSpec {
       assert(new java.io.File(alive).exists(),
         "a sibling owned by a LIVE pid must be left alone")
       assert(!new java.io.File(dead).exists(),
-        "a sibling owned by a dead pid must be reaped")
+        "a stale sibling owned by a dead pid must be reaped")
+      assert(new java.io.File(deadFresh).exists(),
+        "a FRESH dead-pid sibling must survive (cross-namespace guard)")
     } finally {
       spark.conf.unset(Scratch.ConfKey)
-      Seq(alive, dead).foreach(p => {
+      Seq(alive, dead, deadFresh).foreach(p => {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory)
             Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
