@@ -138,6 +138,21 @@ object DecisionAudit {
         "the grid — same discipline as a10",
       Seq("round(sum(value), 2)", "round(sum(value*value), 4)")),
 
+    "a22_gini" -> GrainMargin(0.5,
+      centsExact.note + "; rank, rank-sum S1, and the scaled Gini " +
+        "(2*S1 - (n+1)*S0) * 10000 div (n*S0) are exact longs — the " +
+        "only fp op is the per-order cents conversion",
+      Seq("round(o.o_totalprice * 100)",
+        "(2 * s1 - (n + 1) * s0) * 10000 // (n * s0)")),
+    "c13_temperature_mix" -> BitPinned(
+      "sqrt of an exact integer count is ONE correctly-rounded op — " +
+        "bit-identical double in both engines — and *1000 is a second " +
+        "correctly-rounded op on that identical double, so " +
+        "floor(sqrt(n)*1000) yields the same long everywhere; every " +
+        "downstream decision (integer-div quota, rn <= alloc) is exact " +
+        "integer arithmetic on those longs",
+      Seq("floor(sqrt(n_docs) * 1000)", "weight * 100 // wsum")),
+
     // ---- ordered-fold float pipelines ----
     "w11_ewma" -> BitPinned(
       "per-key EWMA folds the identically-ordered (ts, event_id) series " +

@@ -200,6 +200,90 @@ object GraphTemporalQueries {
            |ORDER BY p_partkey""".stripMargin
       }),
 
+    // G9: HITS hubs & authorities over the bipartite customer->supplier
+    // interaction graph — the link-analysis twin of g2's PageRank, and
+    // the natural bipartite form (hubs = buyers, authorities = sellers;
+    // at corpus scale: hubs = crawl seeds, authorities = domains). Two
+    // full mutual-reinforcement rounds (4 half-steps), each ONE equi-join
+    // onto the once-materialized edge aggregate + one partial-combining
+    // sum — the g2/g8 fixed-iteration discipline, per-step scratch
+    // checkpoint so lineage stays O(1). Normalization is where HITS
+    // usually goes float (L2 norm): here each half-step rescales by the
+    // MAX via integer `score * 1000 div max` — a pure-integer decision
+    // path both engines compute identically, so the query is EXACTLY
+    // oracled where a float-normed HITS could never be. 64-bit headroom:
+    // scores are <= 1000 after each rescale, so a half-step sum is
+    // bounded by 1000 * (edges per node) — 1e9-edge hubs still sit 6
+    // orders under Long.Max. The 1-row max frames ride the reviewed
+    // broadcast-scalar idiom (JoinShapeGuardSpec allowlist).
+    Q("g9_hits",
+      (s, d) => {
+        val scratch = graft.Scratch.dir(s, "g9")
+        def ckpt(df: org.apache.spark.sql.DataFrame, name: String) = {
+          df.write.mode("overwrite").parquet(s"$scratch/$name")
+          s.read.parquet(s"$scratch/$name")
+        }
+        val ew = ckpt(lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .agg(count(lit(1)).as("w")), "ew")
+        def authStep(hub: org.apache.spark.sql.DataFrame, r: Int) = {
+          val a = ew.join(hub, Seq("c")).groupBy(col("s"))
+            .agg(sum(col("h") * col("w")).as("a"))
+          ckpt(a.crossJoin(broadcast(a.agg(max(col("a")).as("m"))))
+            .select(col("s"), expr("a * 1000 div m").as("a")), s"a$r")
+        }
+        def hubStep(auth: org.apache.spark.sql.DataFrame, r: Int) = {
+          val h = ew.join(auth, Seq("s")).groupBy(col("c"))
+            .agg(sum(col("a") * col("w")).as("h"))
+          ckpt(h.crossJoin(broadcast(h.agg(max(col("h")).as("m"))))
+            .select(col("c"), expr("h * 1000 div m").as("h")), s"h$r")
+        }
+        val hub0 = ew.select(col("c")).distinct().withColumn("h", lit(1000L))
+        val a2 = authStep(hubStep(authStep(hub0, 1), 1), 2)
+        val deg = ew.groupBy(col("s")).agg(count(lit(1)).as("n_customers"))
+        a2.join(deg, Seq("s"))
+          .join(broadcast(supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("s") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("a").as("auth_x1000"), col("n_customers"))
+          .orderBy(desc("auth_x1000"), col("s_suppkey"))
+          .limit(100)
+      },
+      Some("""WITH ew AS MATERIALIZED (
+             |  SELECT o.o_custkey AS c, l.l_suppkey AS s,
+             |    CAST(count(*) AS BIGINT) AS w
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  GROUP BY 1, 2
+             |), a1 AS MATERIALIZED (
+             |  SELECT s, CAST(sum(1000 * w) AS BIGINT) AS a FROM ew GROUP BY s
+             |), am1 AS (SELECT max(a) AS m FROM a1),
+             |a1n AS MATERIALIZED (
+             |  SELECT s, a * 1000 // m AS a FROM a1 CROSS JOIN am1),
+             |h1 AS MATERIALIZED (
+             |  SELECT c, CAST(sum(a1n.a * w) AS BIGINT) AS h
+             |  FROM ew JOIN a1n USING (s) GROUP BY c
+             |), hm1 AS (SELECT max(h) AS m FROM h1),
+             |h1n AS MATERIALIZED (
+             |  SELECT c, h * 1000 // m AS h FROM h1 CROSS JOIN hm1),
+             |a2 AS MATERIALIZED (
+             |  SELECT s, CAST(sum(h1n.h * w) AS BIGINT) AS a
+             |  FROM ew JOIN h1n USING (c) GROUP BY s
+             |), am2 AS (SELECT max(a) AS m FROM a2),
+             |a2n AS MATERIALIZED (
+             |  SELECT s, a * 1000 // m AS a FROM a2 CROSS JOIN am2),
+             |deg AS (
+             |  SELECT s, CAST(count(*) AS BIGINT) AS n_customers
+             |  FROM ew GROUP BY s)
+             |SELECT a2n.s AS s_suppkey, su.s_name, a2n.a AS auth_x1000,
+             |  deg.n_customers
+             |FROM a2n JOIN supplier su ON a2n.s = su.s_suppkey
+             |JOIN deg USING (s)
+             |ORDER BY auth_x1000 DESC, s_suppkey LIMIT 100""".stripMargin)),
+
     // U3: SCD2 (slowly-changing-dimension type 2) history build from a
     // change log — each order is a change event to its customer's
     // priority "state"; one lead() window per key turns the log into
@@ -541,6 +625,67 @@ object GraphTemporalQueries {
              |SELECT user_id, n_events, mx AS cusum_max_centsxn,
              |  CAST(mx >= 300 * n_events AS INT) AS shifted
              |FROM folded ORDER BY user_id""".stripMargin)),
+
+    // A22: Gini concentration audit — the inequality coefficient a
+    // curation pipeline computes over per-source token mass (and a
+    // warehouse over per-customer spend) to answer "is this corpus/market
+    // dominated by a few heavy keys?" — the diversity gate beside c6's
+    // hard domain cap. Exact integer Gini: spend in exact cents, within-
+    // group rank by (cents, custkey) total tie-break on a PARTITIONED
+    // window, then the rank-sum identity G = (2*S1 - (n+1)*S0) / (n*S0)
+    // scaled x1e4 in one integer division — both engines compute the
+    // identical longs, no float anywhere past the cents conversion.
+    // 64-bit headroom: S1 <= n^2 * max_cents ~ 2e13 at sf0.1, x1e4 =
+    // 2e17, 46x under Long.Max; the multiplier is the documented scale
+    // lever when group sizes grow 100x. One broadcast dim join + one
+    // windowed rank per group + one partial agg — no global sort, no
+    // driver state.
+    Q("a22_gini",
+      (s, d) => {
+        val spend = orders(s, d)
+          .select(col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+          .join(broadcast(customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+        val ranked = spend.withColumn("rk",
+          row_number().over(Window.partitionBy(col("c_nationkey"))
+            .orderBy(col("cents"), col("o_custkey"))).cast("long"))
+        ranked.groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
+            sum(col("rk") * col("cents")).as("s1"))
+          .join(broadcast(nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_nationkey"), col("n_name"),
+            col("n").as("n_customers"), col("s0").as("total_cents"),
+            expr("(2 * s1 - (n + 1) * s0) * 10000 div (n * s0)")
+              .as("gini_x1e4"))
+          .orderBy("n_nationkey")
+      },
+      Some("""WITH spend AS (
+             |  SELECT c.c_nationkey AS nk, c.c_custkey AS ck,
+             |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  GROUP BY 1, 2
+             |), r AS (
+             |  SELECT nk, ck, cents,
+             |    CAST(row_number() OVER (PARTITION BY nk
+             |      ORDER BY cents, ck) AS BIGINT) AS rk
+             |  FROM spend
+             |), agg AS (
+             |  SELECT nk, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS s0,
+             |    CAST(sum(rk * cents) AS BIGINT) AS s1
+             |  FROM r GROUP BY nk
+             |)
+             |SELECT a.nk AS n_nationkey, n.n_name,
+             |  a.n AS n_customers, a.s0 AS total_cents,
+             |  (2 * s1 - (n + 1) * s0) * 10000 // (n * s0) AS gini_x1e4
+             |FROM agg a JOIN nation n ON a.nk = n.n_nationkey
+             |ORDER BY n_nationkey""".stripMargin)),
 
     // G4: label propagation (community detection) — the third classic on
     // the co-occurrence graph after PageRank (g2) and connected

@@ -478,7 +478,75 @@ object MlQueries {
               .cast("long").as("overlap3"))
           .orderBy("user_idx")
       },
-      None)
+      None),
+
+    // M13: popularity-baseline recommender + hit-rate eval — the sanity
+    // anchor every recsys eval needs before trusting a model's number
+    // (an ALS hit rate only means something relative to "just recommend
+    // the popular stuff"). Leakage-safe by construction: popularity is
+    // counted on the temporal TRAIN half only (c10's integer-micros
+    // midpoint cutoff), hits measured on held-out val users. EXACTLY
+    // oracled — unlike the m4/m5 model outputs, a popularity baseline is
+    // pure counting, so the driver hash pins it. Scale shape: the top-20
+    // is TakeOrdered (no global sort), its rank a TinyWindow over the
+    // 20-row frame; the big val set is filtered MAP-SIDE by a broadcast
+    // semi-join on the recommended items before its (u,i) distinct, so
+    // the only full-width val shuffle is the one distinct-user count
+    // (approx_count_distinct is the documented 100-TB swap).
+    Q("m13_popularity_baseline",
+      (s, d) => {
+        val inter = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("tus")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
+            col("tus"))
+        val cut = inter.agg(expr("(min(tus) + max(tus)) div 2").as("cut"))
+        val withCut = inter.crossJoin(broadcast(cut))
+        val pop = withCut.filter(col("tus") < col("cut"))
+          .groupBy(col("i")).agg(count(lit(1)).as("train_cnt"))
+          .orderBy(desc("train_cnt"), col("i")).limit(20)
+          .withColumn("rank", row_number().over(
+            // 20 rows by construction (limit above)
+            graft.operators.TinyWindow.total(col("i"))(
+              col("train_cnt").desc, col("i"))).cast("long"))
+        val valAll = withCut.filter(col("tus") >= col("cut"))
+        val valHits = valAll
+          .join(broadcast(pop.select(col("i"))), Seq("i"), "left_semi")
+          .select(col("u"), col("i")).distinct()
+          .groupBy(col("i")).agg(count(lit(1)).as("val_users_hit"))
+        val nv = valAll.agg(count_distinct(col("u")).as("n_val_users"))
+        pop.join(valHits, Seq("i"), "left")
+          .crossJoin(broadcast(nv))
+          .select(col("rank"), col("i").as("p_partkey"), col("train_cnt"),
+            coalesce(col("val_users_hit"), lit(0L)).as("val_users_hit"),
+            col("n_val_users"))
+          .orderBy("rank")
+      },
+      Some("""WITH inter AS (
+             |  SELECT o.o_custkey AS u, l.l_partkey AS i,
+             |    epoch_us(o.o_orderdate) AS tus
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |), c AS (SELECT (min(tus) + max(tus)) // 2 AS cut FROM inter),
+             |pop AS (
+             |  SELECT i, CAST(count(*) AS BIGINT) AS train_cnt,
+             |    CAST(row_number() OVER (ORDER BY count(*) DESC, i)
+             |      AS BIGINT) AS rank
+             |  FROM inter CROSS JOIN c WHERE tus < cut
+             |  GROUP BY i QUALIFY rank <= 20
+             |), val AS (
+             |  SELECT DISTINCT u, i FROM inter CROSS JOIN c WHERE tus >= cut
+             |), hits AS (
+             |  SELECT p.i, CAST(count(v.u) AS BIGINT) AS val_users_hit
+             |  FROM pop p LEFT JOIN val v ON p.i = v.i GROUP BY p.i
+             |), nv AS (
+             |  SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_val_users
+             |  FROM val)
+             |SELECT p.rank, p.i AS p_partkey, p.train_cnt,
+             |  h.val_users_hit, nv.n_val_users
+             |FROM pop p JOIN hits h ON p.i = h.i CROSS JOIN nv
+             |ORDER BY p.rank""".stripMargin))
   )
 
   /** NaN-safe integer scaling shared by the sweep queries (m7/m8/m9):

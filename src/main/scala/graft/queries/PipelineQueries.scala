@@ -2414,6 +2414,99 @@ object PipelineQueries {
               |WHERE ${sqlH32("'o14:' || CAST(doc_id AS VARCHAR)")} % 10 = 0
               |ORDER BY doc_id""".stripMargin)),
 
+    // O17: systematic (every-k-th) sampling — the survey-design member of
+    // the sampling family (o5 Bernoulli / o13 weighted / o14 hash-bucket /
+    // o15 block / o8 stratified): sort by a deterministic hash order and
+    // take every 20th element from a fixed offset, which guarantees an
+    // EXACTLY even spread through the frame (Bernoulli clusters, bucket
+    // sampling strides by key — systematic strides by position). The
+    // global position comes from operators/GlobalRank (range repartition +
+    // partition offsets), never a single-partition window — at corpus
+    // scale the rank is the only global computation and it is two-phase.
+    Q("o17_systematic_sample",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val h = hash32(concat(lit("o17:"), col("doc_id").cast("string")))
+        val ranked = GlobalRank.withRowNumber(
+          documents(s, d).select(col("doc_id"), col("source"),
+            col("n_chars"), h.as("h")),
+          Seq(col("h").asc, col("doc_id").asc), "pos")
+        ranked.filter(pmod(col("pos"), lit(20L)) === 7)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("pos").cast("long").as("pos"))
+          .orderBy("pos")
+      },
+      Some(s"""WITH r AS (
+              |  SELECT doc_id, source, n_chars,
+              |    ${sqlH32("'o17:' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents
+              |), p AS (
+              |  SELECT doc_id, source, n_chars,
+              |    row_number() OVER (ORDER BY h, doc_id) AS pos
+              |  FROM r
+              |)
+              |SELECT doc_id, source, n_chars, CAST(pos AS BIGINT) AS pos
+              |FROM p WHERE pos % 20 = 7 ORDER BY pos""".stripMargin)),
+
+    // C13: temperature-scaled source mixing (alpha-sampling, the
+    // multilingual-LM mixture rule: sample share proportional to
+    // n_s^alpha so low-resource sources are up-weighted without letting
+    // any single source dominate — Conneau & Lample's alpha=0.5 here).
+    // EVERY decision is cross-engine exact: sqrt runs on an exact
+    // integer count (one correctly-rounded op -> bit-identical double in
+    // both engines), then *1000/floor on that identical double; the
+    // 100-doc budget allocates by integer division of the weights; each
+    // source fills its allocation in deterministic md5-hash order via a
+    // PARTITIONED window. c4 is the per-document Bernoulli mixture; this
+    // is the budgeted QUOTA mixture a curriculum actually ships.
+    Q("c13_temperature_mix",
+      (s, d) => {
+        val perSource = documents(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("weight", floor(sqrt(col("n_docs")) * 1000).cast("long"))
+        val wsum = perSource.agg(sum(col("weight")).as("wsum"))
+        val alloc = perSource.crossJoin(broadcast(wsum))
+          .withColumn("alloc",
+            least(expr("weight * 100 div wsum"), col("n_docs")))
+          .select(col("source").as("src"), col("n_docs"), col("weight"),
+            col("alloc"))
+        val ranked = documents(s, d).select(col("source"), col("doc_id"),
+            hash32(concat(lit("tmix:"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+            .cast("long"))
+        ranked.join(alloc, col("source") === col("src"))
+          .filter(col("rn") <= col("alloc"))
+          .select(col("source"), col("doc_id"), col("rn"),
+            col("n_docs"), col("weight"), col("alloc"))
+          .orderBy("source", "rn")
+      },
+      Some(s"""WITH ps AS (
+              |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+              |), w AS (
+              |  SELECT source, n_docs,
+              |    CAST(floor(sqrt(n_docs) * 1000) AS BIGINT) AS weight
+              |  FROM ps
+              |), ws AS (
+              |  SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w
+              |), al AS (
+              |  SELECT source, n_docs, weight,
+              |    least(weight * 100 // wsum, n_docs) AS alloc
+              |  FROM w CROSS JOIN ws
+              |), r0 AS (
+              |  SELECT source, doc_id,
+              |    ${sqlH32("'tmix:' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents
+              |), r AS (
+              |  SELECT source, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY h, doc_id) AS BIGINT) AS rn
+              |  FROM r0
+              |)
+              |SELECT r.source, r.doc_id, r.rn, al.n_docs, al.weight, al.alloc
+              |FROM r JOIN al USING (source) WHERE r.rn <= al.alloc
+              |ORDER BY r.source, r.rn""".stripMargin)),
+
     // T19: compression-ratio quality signal (expressions/DeflateLen) — the
     // language-agnostic repetition gate RedPajama-v2 and Dolma both ship
     // beside the Gopher token-share signals (t12): templated/boilerplate

@@ -38,7 +38,11 @@ class JoinShapeGuardSpec extends SparkSpec {
     "c10_temporal_split",     // 1-row time-cutoff aggregate
     "t15_vocab_coverage",     // 1-row total-token aggregate
     "u1_upsert", "u2_snapshot_diff", // 1-row max(doc_id)+1 insert offset
-    "g8_kcore"                // two 1-row count aggregates (convergence flag)
+    "g8_kcore",               // two 1-row count aggregates (convergence flag)
+    "c13_temperature_mix",    // 1-row weight-sum aggregate (quota denominator)
+    // (g9_hits' per-half-step 1-row max crossJoins run inside its scratch
+    // checkpoint writes, so its FINAL plan carries no BNLJ — not listed)
+    "m13_popularity_baseline" // 1-row cutoff + 1-row val-user-count frames
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {
