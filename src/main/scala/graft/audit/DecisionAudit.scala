@@ -144,6 +144,12 @@ object DecisionAudit {
         "only fp op is the per-order cents conversion",
       Seq("round(o.o_totalprice * 100)",
         "(2 * s1 - (n + 1) * s0) * 10000 // (n * s0)")),
+    "w14_backtest" -> IntegerDecided(
+      "a21's cents conversion (0.5 margin) is the only fp op; lags, " +
+        "absolute errors, floored MAE and the snaive_better flag are " +
+        "exact longs under the same (tns, event_id) total order both " +
+        "engines sort by",
+      Seq("round(value * 100)", "ORDER BY tns, event_id")),
     "c13_temperature_mix" -> BitPinned(
       "sqrt of an exact integer count is ONE correctly-rounded op — " +
         "bit-identical double in both engines — and *1000 is a second " +
@@ -181,6 +187,12 @@ object DecisionAudit {
       arrayFold.note + "; the cos > 0.45 keep-threshold therefore compares " +
         "bit-identical doubles and cannot flip",
       Seq("cos > 0.45")),
+    "e12_random_projection" -> BitPinned(
+      arrayFold.note + "; e5's quantization path verbatim (max|x|/127 " +
+        "scale, one correctly-rounded division per element), then the " +
+        "projection is pure integer arithmetic on the identical longs — " +
+        "md5-derived signs are integer parity, no further fp anywhere",
+      Seq("list_max", "127.0", "% 2 = 0")),
     "e5_quantize" -> BitPinned(
       arrayFold.note + "; scale = max|x|/127 is a max (order-free) plus one " +
         "division, and qv/cos_recon fold per-vector in element order",

@@ -785,6 +785,63 @@ object GraphTemporalQueries {
              |  FROM events GROUP BY user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // W14: forecast backtest harness (naive vs seasonal-naive) — the
+    // eval companion the w11/w13 smoothers need before anyone trusts a
+    // forecast number: score a model AGAINST the two standard baselines
+    // on the same held-out tail or the metric means nothing (m13's
+    // popularity-anchor logic applied to time series). Per key: naive
+    // forecast = previous value, seasonal-naive = value one period back
+    // (period 3), MAE over every row where BOTH baselines exist. Exact
+    // integer cents end-to-end — two lag frames over ONE partitioned
+    // sort (merge-streams shape, j15's discipline), absolute errors and
+    // the floored mean in longs, so the comparison flag is
+    // integer-decided on any data. One user_id shuffle total; the same
+    // plan at any scale.
+    Q("w14_backtest",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("c"))
+          .select(col("user_id"), col("c"),
+            lag(col("c"), 1).over(w).as("f_naive"),
+            lag(col("c"), 3).over(w).as("f_snaive"))
+          .filter(col("f_snaive").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(abs(col("c") - col("f_naive"))).as("ae_naive"),
+            sum(abs(col("c") - col("f_snaive"))).as("ae_snaive"))
+          .select(col("user_id"), col("n_eval"),
+            expr("ae_naive div n_eval").as("mae_naive_cents"),
+            expr("ae_snaive div n_eval").as("mae_snaive_cents"),
+            (col("ae_snaive") < col("ae_naive")).cast("int")
+              .as("snaive_better"))
+          .orderBy("user_id")
+      },
+      Some("""WITH cents AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |), f AS (
+             |  SELECT user_id, c,
+             |    lag(c, 1) OVER (PARTITION BY user_id
+             |      ORDER BY tns, event_id) AS f_naive,
+             |    lag(c, 3) OVER (PARTITION BY user_id
+             |      ORDER BY tns, event_id) AS f_snaive
+             |  FROM cents
+             |)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+             |  CAST(sum(abs(c - f_naive)) AS BIGINT) // count(*)
+             |    AS mae_naive_cents,
+             |  CAST(sum(abs(c - f_snaive)) AS BIGINT) // count(*)
+             |    AS mae_snaive_cents,
+             |  CAST(CAST(sum(abs(c - f_snaive)) AS BIGINT)
+             |    < CAST(sum(abs(c - f_naive)) AS BIGINT) AS INT)
+             |    AS snaive_better
+             |FROM f WHERE f_snaive IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // W13: Holt double-exponential smoothing (level + trend) — the
     // forecasting recurrence one step past w11's EWMA: the state is a
     // (level, trend) PAIR, still inexpressible by window functions, so

@@ -1501,6 +1501,76 @@ object PipelineQueries {
              |    AS cos_recon
              |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // E12: Johnson-Lindenstrauss random projection of the quantized
+    // embeddings to an 8-long signature — the dimension-reduction sketch
+    // a 100 TB vector pipeline stores NEXT TO its ANN index (8 longs vs
+    // 64 floats; candidate prefilter by signature distance before exact
+    // re-rank). Sign-random-projection (Achlioptas ±1) with the signs
+    // DERIVED FROM md5 of "rp:<j>:<i>" — a pure function of the
+    // coordinate, so the projection matrix is reproducible anywhere and
+    // never shipped; computed DRIVER-SIDE once (512 hashes — the same
+    // Md5Hash32 kernel the SQL face uses) and inlined as literal arrays,
+    // so the per-row work is 8 integer dot products, zero per-row
+    // hashing. Input is e5's int8 quantization, so the entire projection
+    // is exact integer arithmetic — EXACTLY oracled, where a float
+    // Gaussian projection could never be. The quantized vector is
+    // materialized to scratch first: 8 signature columns reference it 8
+    // times, and left lazy CollapseProject would re-inline the
+    // round(x/scale) transform into every reference (the t6/t21 hazard
+    // class).
+    Q("e12_random_projection",
+      (s, d) => {
+        val dims = 64; val k = 8
+        val signs: Array[Array[Long]] = Array.tabulate(k, dims) { (j, i) =>
+          if (graft.expressions.Md5Hash32
+            .hashBytes(s"rp:$j:$i".getBytes("UTF-8")) % 2 == 0) 1L else -1L
+        }
+        val scaled = ivfEmb(s, d).select(col("vec_id"), col("v"),
+          (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"))
+          .filter(col("scale") > 0)
+        val store = graft.Scratch.dir(s, "e12_qv")
+        scaled.select(col("vec_id"),
+          transform(col("v"), x => round(x / col("scale")).cast("long"))
+            .as("qv"))
+          .write.mode("overwrite").parquet(store)
+        val q = s.read.parquet(store)
+        val pCols = (0 until k).map { j =>
+          aggregate(zip_with(col("qv"), array(signs(j).map(lit).toSeq: _*),
+            (x, sg) => x * sg), lit(0L), _ + _).as(s"p$j")
+        }
+        q.select(col("vec_id") +: pCols: _*)
+          .withColumn("l1", (0 until k).map(j => abs(col(s"p$j")))
+            .reduce(_ + _))
+          .orderBy("vec_id")
+      },
+      Some {
+        def h32(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+        def sj(j: Int) =
+          s"[CASE WHEN ${h32(s"'rp:$j:' || CAST(i - 1 AS VARCHAR)")} % 2 = 0 " +
+            "THEN 1::BIGINT ELSE -1::BIGINT END FOR i IN range(1, 65)]"
+        val proj = (0 until 8).map(j =>
+          s"CAST(list_sum([qv[i] * sm.s$j[i] FOR i IN range(1, 65)]) " +
+            s"AS BIGINT) AS p$j").mkString(",\n    ")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |), s AS (
+           |  SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale
+           |  FROM e WHERE list_max([abs(x) for x in v]) / 127.0 > 0
+           |), q AS (
+           |  SELECT vec_id, [CAST(round(x / scale) AS BIGINT) for x in v] AS qv
+           |  FROM s
+           |), sm AS (
+           |  SELECT ${(0 until 8).map(j => sj(j) + s" AS s$j").mkString(",\n    ")}
+           |), p AS (
+           |  SELECT vec_id, $proj
+           |  FROM q CROSS JOIN sm
+           |)
+           |SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7,
+           |  abs(p0)+abs(p1)+abs(p2)+abs(p3)+abs(p4)+abs(p5)+abs(p6)+abs(p7)
+           |    AS l1
+           |FROM p ORDER BY vec_id""".stripMargin
+      }),
+
     // E6: SemDeDup — semantic dedup via cluster-then-compare (Abbas et al.
     // 2023, arXiv:2303.09540): k-means partitions the corpus, pairwise
     // cosine runs WITHIN cells only (sum of cell^2, never N^2), and within
