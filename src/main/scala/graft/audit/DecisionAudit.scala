@@ -144,6 +144,12 @@ object DecisionAudit {
         "only fp op is the per-order cents conversion",
       Seq("round(o.o_totalprice * 100)",
         "(2 * s1 - (n + 1) * s0) * 10000 // (n * s0)")),
+    "a23_benford" -> IntegerDecided(
+      "the cents conversion (0.5 margin) is the only fp op; the first " +
+        "digit is the leading char of the exact long rendered as a " +
+        "string, and share/expectation/deviation are integer-div longs " +
+        "against literal Benford constants",
+      Seq("round(o_totalprice * 100)", "n * 10000 // n_total")),
     "w14_backtest" -> IntegerDecided(
       "a21's cents conversion (0.5 margin) is the only fp op; lags, " +
         "absolute errors, floored MAE and the snaive_better flag are " +

@@ -284,6 +284,92 @@ object GraphTemporalQueries {
              |JOIN deg USING (s)
              |ORDER BY auth_x1000 DESC, s_suppkey LIMIT 100""".stripMargin)),
 
+    // G10: degree-distribution histogram over the co-occurrence graph —
+    // the first diagnostic a graph pipeline runs before choosing
+    // partitioning (is the degree sequence heavy-tailed? does it need a
+    // hub cap / salting?) and the direct input to g3's wedge-bound
+    // analysis. Buckets are exact powers of two via the bit-length
+    // idiom `length(bin(deg)) - 1` (t14's no-ln() discipline — no
+    // float log2 anywhere near a bucket boundary), shares integer-scaled
+    // against the one-row node total. One partial-combining degree agg +
+    // one bucket agg; output is O(log max-degree) rows at any scale.
+    Q("g10_degree_histogram",
+      (s, d) => {
+        val e = coocEdges(s, d)
+        val deg = e.select(col("u").as("n")).union(e.select(col("v")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val tot = deg.agg(count(lit(1)).as("n_nodes_total"))
+        deg.select((length(bin(col("deg"))) - 1).cast("long").as("bucket"),
+            col("deg"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+            max(col("deg")).as("max_deg"), sum(col("deg")).as("sum_deg"))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_nodes"), col("min_deg"),
+            col("max_deg"), col("sum_deg"),
+            expr("n_nodes * 10000 div n_nodes_total").as("share_x1e4"))
+          .orderBy("bucket")
+      },
+      Some("""WITH pairs AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+             |      FROM pairs a JOIN pairs b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+             |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes_total FROM deg),
+             |b AS (
+             |  SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_nodes,
+             |    min(deg) AS min_deg, max(deg) AS max_deg,
+             |    CAST(sum(deg) AS BIGINT) AS sum_deg
+             |  FROM deg GROUP BY 1)
+             |SELECT bucket, n_nodes, min_deg, max_deg, sum_deg,
+             |  n_nodes * 10000 // n_nodes_total AS share_x1e4
+             |FROM b CROSS JOIN tot ORDER BY bucket""".stripMargin)),
+
+    // A23: Benford first-digit audit — the forensic data-quality check a
+    // warehouse runs over a monetary fact column (fabricated or
+    // systematically-generated amounts break Benford's log distribution;
+    // auditors and DQ monitors both ship this beside p11's structural
+    // checks). The first digit is the leading character of the EXACT
+    // cents integer rendered as a string — no log10, no division chain,
+    // identical in both engines — and the expected Benford shares are
+    // the nine integer literals floor(log10(1+1/d)*1e4), so observed
+    // share, expectation, and deviation are all exact longs.
+    Q("a23_benford",
+      (s, d) => {
+        val benford = array(Seq(3010L, 1761L, 1249L, 969L, 792L, 669L,
+          580L, 512L, 458L).map(lit): _*)
+        val digits = orders(s, d).select(
+          substring(round(col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1).cast("long").as("d1"))
+        val tot = digits.agg(count(lit(1)).as("n_total"))
+        digits.groupBy(col("d1")).agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("d1"), col("n"), col("n_total"),
+            expr("n * 10000 div n_total").as("pct_x1e4"),
+            element_at(benford, col("d1").cast("int")).as("benford_x1e4"))
+          .withColumn("dev_x1e4", abs(col("pct_x1e4") - col("benford_x1e4")))
+          .orderBy("d1")
+      },
+      Some("""WITH digits AS (
+             |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+             |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d1
+             |  FROM orders
+             |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM digits),
+             |g AS (
+             |  SELECT d1, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d1)
+             |SELECT d1, n, n_total,
+             |  n * 10000 // n_total AS pct_x1e4,
+             |  ([3010::BIGINT, 1761, 1249, 969, 792, 669,
+             |    580, 512, 458])[d1] AS benford_x1e4,
+             |  abs(n * 10000 // n_total
+             |    - ([3010::BIGINT, 1761, 1249, 969, 792, 669,
+             |       580, 512, 458])[d1]) AS dev_x1e4
+             |FROM g CROSS JOIN tot ORDER BY d1""".stripMargin)),
+
     // U3: SCD2 (slowly-changing-dimension type 2) history build from a
     // change log — each order is a change event to its customer's
     // priority "state"; one lead() window per key turns the log into

@@ -42,7 +42,9 @@ class JoinShapeGuardSpec extends SparkSpec {
     "c13_temperature_mix",    // 1-row weight-sum aggregate (quota denominator)
     // (g9_hits' per-half-step 1-row max crossJoins run inside its scratch
     // checkpoint writes, so its FINAL plan carries no BNLJ — not listed)
-    "m13_popularity_baseline" // 1-row cutoff + 1-row val-user-count frames
+    "m13_popularity_baseline", // 1-row cutoff + 1-row val-user-count frames
+    "g10_degree_histogram",   // 1-row node-total frame (share denominator)
+    "a23_benford"             // 1-row order-count frame (share denominator)
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {
