@@ -144,6 +144,12 @@ object DecisionAudit {
         "only fp op is the per-order cents conversion",
       Seq("round(o.o_totalprice * 100)",
         "(2 * s1 - (n + 1) * s0) * 10000 // (n * s0)")),
+    "a24_winsorize" -> IntegerDecided(
+      "a21's cents conversion (0.5 margin) is the only fp op; the " +
+        "clipping bounds are exact order statistics selected by integer " +
+        "rank (n+1)*k div 100 under a total (c, event_id) order, and " +
+        "clip counts / the winsorized sum are exact longs",
+      Seq("round(value * 100)", "ORDER BY c, event_id")),
     "a23_benford" -> IntegerDecided(
       "the cents conversion (0.5 margin) is the only fp op; the first " +
         "digit is the leading char of the exact long rendered as a " +

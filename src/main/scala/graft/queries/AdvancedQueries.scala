@@ -302,6 +302,115 @@ object AdvancedQueries {
              |  round(quantile_cont(value, 0.75), 3) AS p75
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // A24: winsorization (percentile clipping) — the robust-stats
+    // TRANSFORM beside a15's percentile REPORT: clip each value into
+    // [p5, p95] of its group before any mean-based feature touches it
+    // (one fat-finger trade or bot burst otherwise owns the group mean —
+    // w12's outlier rationale applied corpus-wide). Bounds are EXACT
+    // LOWER order statistics selected by rank ((n+1)*k div 100, clamped)
+    // on exact cents — no quantile interpolation, no float anywhere, so
+    // clipped counts and the winsorized sum are exactly oracled. Plan:
+    // one partitioned rank, one per-group bounds aggregate, then the
+    // bounds (rows = |groups|) BROADCAST back onto the stream — the
+    // second pass is map-side; both aggregates partial-combine.
+    Q("a24_winsorize",
+      (s, d) => {
+        val cents = events(s, d).select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+        val ranked = cents.withColumn("rk",
+          row_number().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("c"), col("event_id"))).cast("long"))
+        val stats = ranked.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("n"),
+            greatest(expr("(n + 1) * 5 div 100"), lit(1L)).as("ilo"),
+            least(expr("(n + 1) * 95 div 100"), col("n")).as("ihi"))
+        val bounds = ranked.join(broadcast(stats), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"))
+          .agg(max(when(col("rk") === col("ilo"), col("c"))).as("lo_cents"),
+            max(when(col("rk") === col("ihi"), col("c"))).as("hi_cents"))
+        cents.join(broadcast(bounds), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"),
+            col("lo_cents"), col("hi_cents"))
+          .agg(sum((col("c") < col("lo_cents")).cast("long"))
+              .cast("long").as("n_clipped_lo"),
+            sum((col("c") > col("hi_cents")).cast("long"))
+              .cast("long").as("n_clipped_hi"),
+            sum(greatest(col("lo_cents"), least(col("hi_cents"), col("c"))))
+              .as("sum_winsorized_cents"))
+          .select(col("event_type"), col("n"), col("lo_cents"),
+            col("hi_cents"), col("n_clipped_lo"), col("n_clipped_hi"),
+            col("sum_winsorized_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cents AS (
+             |  SELECT event_type, event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |), r AS (
+             |  SELECT event_type, c,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY c, event_id) AS BIGINT) AS rk
+             |  FROM cents
+             |), st AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    greatest((count(*) + 1) * 5 // 100, 1) AS ilo,
+             |    least((count(*) + 1) * 95 // 100, count(*)) AS ihi
+             |  FROM cents GROUP BY event_type
+             |), b AS (
+             |  SELECT r.event_type, st.n,
+             |    max(CASE WHEN r.rk = st.ilo THEN r.c END) AS lo_cents,
+             |    max(CASE WHEN r.rk = st.ihi THEN r.c END) AS hi_cents
+             |  FROM r JOIN st USING (event_type)
+             |  GROUP BY r.event_type, st.n
+             |)
+             |SELECT c.event_type, b.n, b.lo_cents, b.hi_cents,
+             |  CAST(sum(CASE WHEN c.c < b.lo_cents THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_clipped_lo,
+             |  CAST(sum(CASE WHEN c.c > b.hi_cents THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_clipped_hi,
+             |  CAST(sum(greatest(b.lo_cents, least(b.hi_cents, c.c)))
+             |    AS BIGINT) AS sum_winsorized_cents
+             |FROM cents c JOIN b USING (event_type)
+             |GROUP BY c.event_type, b.n, b.lo_cents, b.hi_cents
+             |ORDER BY c.event_type""".stripMargin)),
+
+    // T23: lexical diversity (type-token ratio + hapax share) — the
+    // vocabulary-richness quality gate beside t12's repetition shares
+    // (Gopher-class filters use both: template/boilerplate text has LOW
+    // diversity, keyboard-mash has pathologically HIGH hapax share).
+    // Pure counting on the (doc, word) aggregate — one partial-combining
+    // shuffle, integer-scaled ratios, exactly oracled.
+    Q("t23_lexical_diversity",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum((col("cnt") === 1).cast("long")).cast("long").as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("n_hapax"),
+          expr("n_distinct * 10000 div n_tokens").as("ttr_x1e4"),
+          expr("n_hapax * 10000 div n_distinct").as("hapax_x1e4"))
+        .orderBy("doc_id"),
+      Some("""WITH wc AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, word, count(*) AS cnt FROM wc GROUP BY 1, 2
+             |)
+             |SELECT doc_id,
+             |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_hapax,
+             |  CAST(count(*) AS BIGINT) * 10000
+             |    // CAST(sum(cnt) AS BIGINT) AS ttr_x1e4,
+             |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    * 10000 // CAST(count(*) AS BIGINT) AS hapax_x1e4
+             |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // T6: corpus top-k bigrams — vocabulary building, the first corpus-level
     // statistic a tokenizer-training pipeline computes. Explode is map-side;
     // the count is a partial-aggregated shuffle on the bigram; top-k lowers
