@@ -72,6 +72,41 @@ object GraphTemporalQueries {
     coocEdges(s, d); ()
   }
 
+  /** Three rounds of synchronous LPA over the shared co-occurrence graph
+    * (g4's operator, shared with g11's modularity rollup): every node
+    * starts as its own label, adopts the most frequent neighbor label,
+    * ties broken by the SMALLEST label (the total tie-break that makes
+    * sync-LPA deterministic). The neighbor table is loop-invariant —
+    * materialized once — and every round checkpoints to scratch so
+    * lineage stays O(1). `tag` keys the scratch dirs so two queries in
+    * one session never clobber each other's rounds.
+    */
+  private def lpaLabels(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String): org.apache.spark.sql.DataFrame = {
+    val e = coocEdges(s, d)
+    val nbPath = graft.Scratch.dir(s, s"${tag}_nb")
+    e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v"), col("u")))
+      .write.mode("overwrite").parquet(nbPath)
+    val nb = s.read.parquet(nbPath)
+    var labels = nb.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (round <- 1 to 3) {
+      val next = nb
+        .join(labels.select(col("node").as("ln"), col("label")),
+          col("nbr") === col("ln"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(min(struct(negate(col("cnt")), col("label"))).as("best"))
+        .select(col("node"), col("best.label").as("label"))
+      val path = graft.Scratch.dir(s, s"${tag}_round$round")
+      next.write.mode("overwrite").parquet(path)
+      labels = s.read.parquet(path)
+    }
+    labels
+  }
+
   def clearCaches(): Unit = synchronized { edgeCache.clear() }
 
   val all: Seq[Q] = Seq(
@@ -785,33 +820,7 @@ object GraphTemporalQueries {
     // MATERIALIZES to scratch parquet like g2, so lineage stays O(1)
     // and a 20-round production run plans each round identically.
     Q("g4_label_prop",
-      (s, d) => {
-        val e = coocEdges(s, d)
-        // the neighbor table is loop-INVARIANT: materialize it once, or
-        // every round re-runs it from the edge parquet per round (the g2
-        // lesson — invariants hoist out of iterative operators)
-        val nbPath = graft.Scratch.dir(s, "g4_nb")
-        e.select(col("u").as("node"), col("v").as("nbr"))
-          .union(e.select(col("v"), col("u")))
-          .write.mode("overwrite").parquet(nbPath)
-        val nb = s.read.parquet(nbPath)
-        var labels = nb.select(col("node")).distinct()
-          .select(col("node"), col("node").as("label"))
-        for (round <- 1 to 3) {
-          val next = nb
-            .join(labels.select(col("node").as("ln"), col("label")),
-              col("nbr") === col("ln"))
-            .groupBy(col("node"), col("label"))
-            .agg(count(lit(1)).as("cnt"))
-            .groupBy(col("node"))
-            .agg(min(struct(negate(col("cnt")), col("label"))).as("best"))
-            .select(col("node"), col("best.label").as("label"))
-          val path = graft.Scratch.dir(s, s"g4_round$round")
-          next.write.mode("overwrite").parquet(path)
-          labels = s.read.parquet(path)
-        }
-        labels.orderBy(col("node"))
-      },
+      (s, d) => lpaLabels(s, d, "g4").orderBy(col("node")),
       Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
              |      FROM pairs a JOIN pairs b
@@ -839,6 +848,100 @@ object GraphTemporalQueries {
              |  FROM nb JOIN l2 l ON nb.nbr = l.node GROUP BY nb.node, l.label)
              |  WHERE rn = 1)
              |SELECT node, label FROM l3 ORDER BY node""".stripMargin)),
+
+    // G11: modularity of the LPA communities — the quality score that
+    // tells you whether g4's labels MEAN anything (Newman-Girvan Q: how
+    // much denser inside communities than a degree-preserving random
+    // rewiring). Shares g4's exact 3-round LPA operator (lpaLabels);
+    // the rollup is pure integer rationals — per community, coverage
+    // e_in/m and expectation (d_c/2m)^2 are emitted x1e6 through single
+    // non-negative integer divisions, and the community's contribution
+    // is their difference — so a float-free modularity both engines
+    // compute identically. Plan: two label joins onto the edge list +
+    // three partial-combining aggregates; the one-row edge total rides
+    // the reviewed broadcast-scalar idiom. 64-bit headroom: d_sum^2 *
+    // 1e6 <= 4m^2 * 1e6 — fine to ~1e6 edges per run; the multiplier is
+    // the documented lever beyond that (a22's rule).
+    Q("g11_modularity",
+      (s, d) => {
+        val e = coocEdges(s, d)
+        val lab = lpaLabels(s, d, "g11")
+        val el = e
+          .join(lab.select(col("node").as("u"), col("label").as("cu")),
+            Seq("u"))
+          .join(lab.select(col("node").as("v"), col("label").as("cv")),
+            Seq("v"))
+        val mrow = el.agg(count(lit(1)).as("m"))
+        val ein = el.filter(col("cu") === col("cv"))
+          .groupBy(col("cu")).agg(count(lit(1)).as("e_in"))
+          .select(col("cu").as("label"), col("e_in"))
+        val deg = e.select(col("u").as("n")).union(e.select(col("v")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val comm = lab.join(deg, col("node") === col("n"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+        comm.join(ein, Seq("label"), "left")
+          .crossJoin(broadcast(mrow))
+          .select(col("label"), col("n_nodes"),
+            coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+            col("m"),
+            expr("coalesce(e_in, 0) * 1000000 div m").as("cover_x1e6"),
+            expr("d_sum * d_sum * 1000000 div (4 * m * m)")
+              .as("expect_x1e6"))
+          .withColumn("contrib_x1e6",
+            col("cover_x1e6") - col("expect_x1e6"))
+          .orderBy("label")
+      },
+      Some("""WITH pairs AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+             |      FROM pairs a JOIN pairs b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |nb AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
+             |       UNION ALL SELECT v, u FROM e),
+             |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM nb),
+             |l1 AS MATERIALIZED (SELECT node, label FROM (
+             |  SELECT nb.node, l.label,
+             |    row_number() OVER (PARTITION BY nb.node
+             |      ORDER BY count(*) DESC, l.label) AS rn
+             |  FROM nb JOIN l0 l ON nb.nbr = l.node GROUP BY nb.node, l.label)
+             |  WHERE rn = 1),
+             |l2 AS MATERIALIZED (SELECT node, label FROM (
+             |  SELECT nb.node, l.label,
+             |    row_number() OVER (PARTITION BY nb.node
+             |      ORDER BY count(*) DESC, l.label) AS rn
+             |  FROM nb JOIN l1 l ON nb.nbr = l.node GROUP BY nb.node, l.label)
+             |  WHERE rn = 1),
+             |l3 AS MATERIALIZED (SELECT node, label FROM (
+             |  SELECT nb.node, l.label,
+             |    row_number() OVER (PARTITION BY nb.node
+             |      ORDER BY count(*) DESC, l.label) AS rn
+             |  FROM nb JOIN l2 l ON nb.nbr = l.node GROUP BY nb.node, l.label)
+             |  WHERE rn = 1),
+             |el AS MATERIALIZED (
+             |  SELECT e.u, e.v, lu.label AS cu, lv.label AS cv
+             |  FROM e JOIN l3 lu ON e.u = lu.node
+             |  JOIN l3 lv ON e.v = lv.node),
+             |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+             |ein AS (SELECT cu AS label, CAST(count(*) AS BIGINT) AS e_in
+             |        FROM el WHERE cu = cv GROUP BY cu),
+             |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+             |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+             |comm AS (
+             |  SELECT l3.label, CAST(count(*) AS BIGINT) AS n_nodes,
+             |    CAST(sum(deg.deg) AS BIGINT) AS d_sum
+             |  FROM l3 JOIN deg ON l3.node = deg.n GROUP BY l3.label)
+             |SELECT c.label, c.n_nodes,
+             |  coalesce(ein.e_in, 0) AS e_in, c.d_sum, mm.m,
+             |  coalesce(ein.e_in, 0) * 1000000 // mm.m AS cover_x1e6,
+             |  c.d_sum * c.d_sum * 1000000 // (4 * mm.m * mm.m)
+             |    AS expect_x1e6,
+             |  coalesce(ein.e_in, 0) * 1000000 // mm.m
+             |    - c.d_sum * c.d_sum * 1000000 // (4 * mm.m * mm.m)
+             |    AS contrib_x1e6
+             |FROM comm c LEFT JOIN ein USING (label) CROSS JOIN mm
+             |ORDER BY label""".stripMargin)),
 
     // W11: per-key EWMA (exponentially weighted moving average) — the
     // recurrence class (y_t = a*x_t + (1-a)*y_{t-1}) that window

@@ -421,6 +421,49 @@ object IoQueries {
              |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_quarantined,
              |  CAST(sum(k) AS BIGINT) AS sum_k
-             |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // S12: malformed-row CSV quarantine — s11's monitoring contract for
+    // the OTHER ingest format a production feed actually breaks: a REAL
+    // file round-trip (planted corruption written as raw text lines,
+    // read back through the CSV parser in PERMISSIVE mode with a
+    // _corrupt_record column), not an in-memory simulation. Every
+    // doc_id % 13 == 4 row gets a non-numeric n_chars; the parser must
+    // null the malformed field, keep the parseable ones, and stamp the
+    // corrupt-record column — per-source totals/valid/quarantined/sum
+    // come out exactly derivable from the plant rule, so the oracle
+    // never parses CSV at all. Scale: the plant+write is one map-side
+    // pass, the read is a plain distributed CSV scan, the rollup one
+    // partial-combining aggregate.
+    Q("s12_csv_quarantine",
+      (s, d) => {
+        val out = graft.Scratch.dir(s, "s12_csv")
+        documents(s, d).select(concat_ws(",",
+            col("doc_id").cast("string"), col("source"),
+            when(col("doc_id") % 13 === 4,
+              concat(col("n_chars").cast("string"), lit("x")))
+              .otherwise(col("n_chars").cast("string"))).as("value"))
+          .write.mode("overwrite").text(out)
+        s.read
+          .schema("doc_id LONG, source STRING, n_chars LONG, _bad STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            count(col("n_chars")).as("n_valid"),
+            sum(when(col("_bad").isNotNull, 1L).otherwise(0L))
+              .as("n_quarantined"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(sum(CASE WHEN doc_id % 13 <> 4 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_valid,
+             |  CAST(sum(CASE WHEN doc_id % 13 = 4 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_quarantined,
+             |  CAST(sum(CASE WHEN doc_id % 13 <> 4 THEN n_chars END)
+             |    AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 }

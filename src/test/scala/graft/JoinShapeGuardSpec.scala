@@ -44,7 +44,8 @@ class JoinShapeGuardSpec extends SparkSpec {
     // checkpoint writes, so its FINAL plan carries no BNLJ — not listed)
     "m13_popularity_baseline", // 1-row cutoff + 1-row val-user-count frames
     "g10_degree_histogram",   // 1-row node-total frame (share denominator)
-    "a23_benford"             // 1-row order-count frame (share denominator)
+    "a23_benford",            // 1-row order-count frame (share denominator)
+    "g11_modularity"          // 1-row edge-total frame (Q denominator)
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {
