@@ -126,6 +126,34 @@ class Round10LawsSpec extends SparkSpec {
     }
   }
 
+  test("g11: degree sums conserve 2m, coverage bounded, Q in (-1, 1) scaled") {
+    val rows = q("g11_modularity").collect()
+    assert(rows.nonEmpty)
+    val m = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) === m))
+    assert(rows.map(_.getLong(3)).sum === 2 * m) // sum d_c == 2m exactly
+    assert(rows.map(_.getLong(2)).sum <= m)      // within-edges <= all edges
+    rows.foreach { r =>
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+      assert(r.getLong(6) >= 0L && r.getLong(6) <= 1000000L)
+    }
+    val qTotal = rows.map(_.getLong(7)).sum
+    assert(qTotal > -1000000L && qTotal < 1000000L)
+  }
+
+  test("s12: valid + quarantined = total per source, plant rate near 1/13") {
+    val rows = q("s12_csv_quarantine").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1))
+      assert(r.getLong(4) > 0L) // valid rows carried their n_chars through
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val quar = rows.map(_.getLong(3)).sum
+    // doc_id % 13 == 4 plants ~1/13 of rows; generous band for small sf
+    assert(quar * 13 > total / 2 && quar * 13 < total * 2)
+  }
+
   test("e12: l1 column equals the recomputed abs-sum of the 8 signatures") {
     val rows = q("e12_random_projection").collect()
     assert(rows.nonEmpty)
