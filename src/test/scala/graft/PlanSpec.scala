@@ -232,6 +232,47 @@ class PlanSpec extends SparkSpec {
       "j14 degraded to an all-pairs interval join")
   }
 
+  test("round-10 additions keep their scale shapes") {
+    // m13: the top-20 popularity lowers to TakeOrdered (no global sort),
+    // and the big val set is filtered by a broadcast LEFT-SEMI before
+    // its distinct — the only full-width val shuffle is the user count
+    val m13 = plan("m13_popularity_baseline")
+    assert(m13.contains("TakeOrderedAndProject"),
+      "m13 popularity top-k grew a global sort")
+    assert(m13.contains("LeftSemi") && m13.contains("BroadcastHashJoin"),
+      "m13 val filter lost its broadcast semi-join (val would shuffle)")
+    assert(!m13.contains("CartesianProduct"))
+    // a24: the per-group clip bounds broadcast back onto the stream —
+    // the second pass must be map-side, never a shuffled join
+    val a24 = plan("a24_winsorize")
+    assert(a24.contains("BroadcastHashJoin"), "a24 bounds join not broadcast")
+    assert(!a24.contains("CartesianProduct"))
+    // a22: both dimension joins broadcast (customer, nation)
+    val a22 = plan("a22_gini")
+    assert(a22.contains("BroadcastHashJoin"), "a22 dim joins not broadcast")
+    assert(!a22.contains("SortMergeJoin"), "a22 grew a shuffle join")
+    // w14: two lag frames over ONE partitioned sort — join-free
+    val w14 = plan("w14_backtest")
+    assert(w14.contains("Window"), "w14 lost its window shape")
+    assert(!w14.contains("Join"), "w14 grew a join; backtest is join-free")
+    // e12: signatures are literal-array dot products over the scratch
+    // read — join-free map-side work
+    val e12 = plan("e12_random_projection")
+    assert(!e12.contains("Join"), "e12 grew a join; projection is map-side")
+    // t23/s12: pure partial-combining aggregates, join-free
+    for (q <- Seq("t23_lexical_diversity", "s12_csv_quarantine")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join")
+    }
+    // g9/g10/g11/a23/c13/o17: equi-joins + reviewed scalar broadcasts
+    // only — never a cartesian
+    for (q <- Seq("g9_hits", "g10_degree_histogram", "g11_modularity",
+        "a23_benford", "c13_temperature_mix", "o17_systematic_sample")) {
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q degraded to a cartesian product")
+    }
+  }
+
   test("m10: fold ranking is GlobalRank-shaped — no single-partition " +
       "window over the scored fold rows (VERDICT r8 #2)") {
     val p = plan("m10_cv")
