@@ -141,7 +141,7 @@ object Bench {
     val needsAls = selected.exists(Set("m4_als_recommend", "m5_als_rmse",
       "m6_item_similarity", "m11_rec_coverage", "m12_fold_in"))
     val needsIvf = selected.exists(Set("e4_ann_ivf", "e6_semdedup", "e8_ivfpq",
-      "e9_ivf_maintain"))
+      "e9_ivf_maintain", "e13_probe_sweep"))
     val needsQc = selected.contains("c5_quality_classifier")
     val needsBuckets = selected.contains("b1_bucketed_join")
     if (needsAls) {

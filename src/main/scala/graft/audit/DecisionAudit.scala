@@ -356,6 +356,7 @@ object DecisionAudit {
   val rowsOnlyCovered: Map[String, String] = Map(
     "c5_quality_classifier" -> "QualityClassifierSpec",
     "e4_ann_ivf" -> "IvfIndexSpec",
+    "e13_probe_sweep" -> "Round10LawsSpec",
     "e6_semdedup" -> "SemdedupSpec",
     "e7_pq_adc" -> "PqIndexSpec",
     "e8_ivfpq" -> "PqIndexSpec",

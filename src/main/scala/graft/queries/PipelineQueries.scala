@@ -1447,6 +1447,48 @@ object PipelineQueries {
       },
       None),
 
+    // E13: ANN probe sweep — the nprobe tuning report an operator reads
+    // before setting e4's production probe count: recall@10 against the
+    // shared exact baseline (similarity/ExactCosine — the ONE recall
+    // definition e1/e4/IvfIndexSpec all use) at nprobe = 1/2/4 over the
+    // cached IVF index. Searching more cells is a superset scan, so
+    // recall must be non-decreasing in nprobe — emitted in-row as the
+    // monotone_ok evidence column (TinyWindow over the 3-row report).
+    // Rows-only by design (k-means cells are engine-specific);
+    // Round10LawsSpec holds the monotonicity and query-count laws.
+    // Scale: each probe setting is e4's cell-pruned equi-join — the
+    // sweep is 3 such scans, never an all-pairs.
+    Q("e13_probe_sweep",
+      (s, d) => {
+        val emb = ivfEmb(s, d)
+        val model = ivfModel(s, d)
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val exact = graft.similarity.ExactCosine.topK(emb, queries, 10)
+          .select(col("q_id"), col("cand_id"))
+        val perProbe = Seq(1, 2, 4).map { np =>
+          val hits = graft.similarity.IvfIndex.topK(model, queries, 10, np)
+            .select(col("q_id"), col("cand_id"))
+            .join(exact, Seq("q_id", "cand_id"))
+            .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+          queries.select(col("q_id")).join(hits, Seq("q_id"), "left")
+            .agg(count(lit(1)).as("n_queries"),
+              sum(coalesce(col("hits"), lit(0L))).as("total_hits"))
+            .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+              col("total_hits"),
+              expr("total_hits * 10000 div (n_queries * 10)")
+                .as("recall_x1e4"))
+        }.reduce(_.unionByName(_))
+        perProbe.withColumn("monotone_ok",
+          (col("recall_x1e4") >= coalesce(
+            lag(col("recall_x1e4"), 1).over(
+              // 3 rows by construction (one per probed setting)
+              graft.operators.TinyWindow.total(col("nprobe"))(col("nprobe"))),
+            lit(0L))).cast("int"))
+          .orderBy("nprobe")
+      },
+      None),
+
     // E5: int8 vector quantization — the memory lever every vector store
     // pulls at scale (4x smaller than float32, 8x than float64; the probe
     // join in e2/e4 then streams a quarter of the bytes). Symmetric
@@ -2194,6 +2236,62 @@ object PipelineQueries {
              |  md5(string_agg(doc_id, ',' ORDER BY doc_id))
              |FROM documents
              |ORDER BY version""".stripMargin)),
+
+    // U6: write-audit-publish (WAP) gate — the deployment pattern u5's
+    // atomic publish exists FOR: a staged batch runs its audits (row
+    // count, null check on a required column, primary-key uniqueness)
+    // and only a fully-green batch reaches SnapshotStore.publish; a red
+    // batch leaves the live version untouched. The query stages one
+    // deliberately-bad batch (every doc_id % 7 == 0 loses n_chars) and
+    // one good batch (the even-id half) against a fresh v1 store and
+    // emits the per-attempt audit ledger with the live version after
+    // each attempt — all derivable from the source table, so the real
+    // store mechanics are exactly oracled. The publish decision is a
+    // DRIVER decision by nature (publish itself is a driver action);
+    // the three audit scalars ride the scalar-only-collect contract
+    // (RankingEval's rule) — the audits themselves are one
+    // partial-combining aggregate each, never a row collect.
+    Q("u6_wap_audit",
+      (s, d) => {
+        import graft.operators.SnapshotStore
+        val root = graft.Scratch.dir(s,
+          s"u6_store_${java.util.UUID.randomUUID().toString.take(8)}")
+        val docs = documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars"))
+        SnapshotStore.publish(docs, root) // v1 = the live table
+        val attempts = Seq(
+          docs.withColumn("n_chars",
+            when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+              .otherwise(col("n_chars"))),
+          docs.filter(col("doc_id") % 2 === 0))
+        val report = attempts.zipWithIndex.map { case (batch, i) =>
+          val a = batch.agg(count(lit(1)).as("n_rows"),
+            sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_nulls"),
+            (count(lit(1)) - count_distinct(col("doc_id"))).as("n_pk_dups"))
+            .head()
+          val (nRows, nNulls, nDups) =
+            (a.getLong(0), a.getLong(1), a.getLong(2))
+          val passed = nRows > 0 && nNulls == 0 && nDups == 0
+          if (passed) SnapshotStore.publish(batch, root)
+          val vAfter = SnapshotStore.currentVersion(s, root).get
+          (i + 1L, nRows, nNulls, nDups, if (passed) 1 else 0,
+            vAfter.toLong)
+        }
+        import s.implicits._
+        report.toDF("attempt", "n_rows", "n_nulls", "n_pk_dups",
+          "passed", "version_after").orderBy("attempt")
+      },
+      Some("""SELECT 1::BIGINT AS attempt,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_nulls,
+             |  0::BIGINT AS n_pk_dups, 0 AS passed, 1::BIGINT AS version_after
+             |FROM documents
+             |UNION ALL
+             |SELECT 2::BIGINT, CAST(count(*) AS BIGINT), 0::BIGINT,
+             |  0::BIGINT, 1, 2::BIGINT
+             |FROM documents WHERE doc_id % 2 = 0
+             |ORDER BY attempt""".stripMargin)),
 
     // C10: temporal (leakage-safe) train/validation split — the split a
     // forecasting or recommendation pipeline MUST use where c2's hash

@@ -31,6 +31,7 @@ class JoinShapeGuardSpec extends SparkSpec {
     "e10_mips",               // same 3-row query frame x corpus shape
     "e4_ann_ivf",             // query frame / centroid table broadcasts
     "e6_semdedup", "e7_pq_adc", "e8_ivfpq", "e9_ivf_maintain", // same family
+    "e13_probe_sweep",        // same 8-row query frame / centroid broadcasts
     "t7_tfidf",               // 1-row corpus-size aggregate
     "t18_bm25",               // 1-row corpus-stats aggregate (TL, ND)
     "t14_unigram_surprisal",  // 1-row corpus-total aggregate

@@ -154,6 +154,26 @@ class Round10LawsSpec extends SparkSpec {
     assert(quar * 13 > total / 2 && quar * 13 < total * 2)
   }
 
+  test("u6: the red batch never publishes, the green batch does") {
+    val rows = q("u6_wap_audit").collect()
+    assert(rows.length === 2)
+    val bad = rows(0); val good = rows(1)
+    assert(bad.getInt(4) === 0 && bad.getLong(5) === 1L) // v1 stays live
+    assert(bad.getLong(2) > 0L)                          // nulls were the reason
+    assert(good.getInt(4) === 1 && good.getLong(5) === 2L)
+    assert(good.getLong(2) === 0L && good.getLong(3) === 0L)
+  }
+
+  test("e13: recall is monotone in nprobe and covers every query") {
+    val rows = q("e13_probe_sweep").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    assert(rows.forall(_.getLong(1) === 8L)) // all queries always counted
+    val recalls = rows.map(_.getLong(3))
+    assert(recalls.sameElements(recalls.sorted), "recall not monotone in nprobe")
+    assert(rows.forall(_.getInt(4) === 1))   // in-row monotone evidence agrees
+    assert(recalls.forall(r => r >= 0L && r <= 10000L))
+  }
+
   test("e12: l1 column equals the recomputed abs-sum of the 8 signatures") {
     val rows = q("e12_random_projection").collect()
     assert(rows.nonEmpty)
