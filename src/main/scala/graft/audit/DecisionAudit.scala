@@ -150,6 +150,12 @@ object DecisionAudit {
         "rank (n+1)*k div 100 under a total (c, event_id) order, and " +
         "clip counts / the winsorized sum are exact longs",
       Seq("round(value * 100)", "ORDER BY c, event_id")),
+    "j17_nearest_asof" -> IntegerDecided(
+      "the cents conversion (0.5 margin) is the only fp op and is " +
+        "payload, not decision: the nearest-side choice compares exact " +
+        "integer micros under the identical (t_us, kind, id) window " +
+        "order, ties pinned to the earlier observation",
+      Seq("round(value * 100)", "t_us - p_t <= n_t - t_us")),
     "a23_benford" -> IntegerDecided(
       "the cents conversion (0.5 margin) is the only fp op; the first " +
         "digit is the leading char of the exact long rendered as a " +

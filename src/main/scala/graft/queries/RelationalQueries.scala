@@ -653,6 +653,99 @@ object RelationalQueries {
              |  AND n_t > p_t
              |ORDER BY event_id""".stripMargin)),
 
+    // J17: NEAREST as-of join (pandas merge_asof direction='nearest') —
+    // the fourth member of the as-of family: j8 carries the LAST value
+    // backward, j11 bounds it with a tolerance, j15 interpolates between
+    // brackets; sensor/market alignment often wants the temporally
+    // CLOSEST observation in EITHER direction. Same merge-streams shape
+    // as j15 (both bracket frames over ONE user_id exchange — no
+    // inequality join, no second shuffle); the winner is decided by an
+    // exact integer micros comparison with ties pinned to the earlier
+    // observation, and a click with any bracket at all matches (one-
+    // sided brackets take the side that exists). direction = -1 (prev) /
+    // +1 (next) makes the decision part of the row.
+    Q("j17_nearest_asof",
+      (s, d) => {
+        val ev = events(s, d).withColumn("t_us", expr("ts div 1000"))
+        val m = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("t_us"), lit(0).as("kind"),
+            col("event_id").as("id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .unionByName(ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("t_us"), lit(1).as("kind"),
+              col("event_id").as("id"), lit(null).cast("long").as("cents")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t_us"), col("kind"), col("id"))
+        val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val qt = when(col("kind") === 0, col("t_us"))
+        val qid = when(col("kind") === 0, col("id"))
+        val br = m
+          .withColumn("p_t", last(qt, ignoreNulls = true).over(wp))
+          .withColumn("p_id", last(qid, ignoreNulls = true).over(wp))
+          .withColumn("p_cents", last(col("cents"), ignoreNulls = true).over(wp))
+          .withColumn("n_t", first(qt, ignoreNulls = true).over(wn))
+          .withColumn("n_id", first(qid, ignoreNulls = true).over(wn))
+          .withColumn("n_cents", first(col("cents"), ignoreNulls = true).over(wn))
+          .filter(col("kind") === 1
+            && (col("p_t").isNotNull || col("n_t").isNotNull))
+        val takePrev = col("p_t").isNotNull && (col("n_t").isNull
+          || (col("t_us") - col("p_t")) <= (col("n_t") - col("t_us")))
+        br.select(col("user_id"), col("id").as("event_id"), col("t_us"),
+            when(takePrev, col("p_id")).otherwise(col("n_id"))
+              .as("nearest_id"),
+            when(takePrev, col("p_cents")).otherwise(col("n_cents"))
+              .as("nearest_cents"),
+            when(takePrev, col("t_us") - col("p_t"))
+              .otherwise(col("n_t") - col("t_us")).as("dt_us"),
+            when(takePrev, lit(-1)).otherwise(lit(1)).as("direction"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id AS id, epoch_ns(ts) // 1000 AS t_us,
+             |    event_type, value
+             |  FROM events
+             |), m AS (
+             |  SELECT user_id, t_us, 0 AS kind, id,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM ev WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, t_us, 1, id, NULL
+             |  FROM ev WHERE event_type = 'click'
+             |), x AS (
+             |  SELECT *,
+             |    last_value(CASE WHEN kind = 0 THEN t_us END IGNORE NULLS)
+             |      OVER wp AS p_t,
+             |    last_value(CASE WHEN kind = 0 THEN id END IGNORE NULLS)
+             |      OVER wp AS p_id,
+             |    last_value(cents IGNORE NULLS) OVER wp AS p_cents,
+             |    first_value(CASE WHEN kind = 0 THEN t_us END IGNORE NULLS)
+             |      OVER wn AS n_t,
+             |    first_value(CASE WHEN kind = 0 THEN id END IGNORE NULLS)
+             |      OVER wn AS n_id,
+             |    first_value(cents IGNORE NULLS) OVER wn AS n_cents
+             |  FROM m
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY t_us, kind, id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wn AS (PARTITION BY user_id ORDER BY t_us, kind, id
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |), n AS (
+             |  SELECT user_id, id AS event_id, t_us,
+             |    p_t IS NOT NULL AND (n_t IS NULL
+             |      OR t_us - p_t <= n_t - t_us) AS take_prev,
+             |    p_t, p_id, p_cents, n_t, n_id, n_cents
+             |  FROM x
+             |  WHERE kind = 1 AND (p_t IS NOT NULL OR n_t IS NOT NULL)
+             |)
+             |SELECT user_id, event_id, t_us,
+             |  CASE WHEN take_prev THEN p_id ELSE n_id END AS nearest_id,
+             |  CASE WHEN take_prev THEN p_cents ELSE n_cents END
+             |    AS nearest_cents,
+             |  CASE WHEN take_prev THEN t_us - p_t ELSE n_t - t_us END
+             |    AS dt_us,
+             |  CASE WHEN take_prev THEN -1 ELSE 1 END AS direction
+             |FROM n ORDER BY event_id""".stripMargin)),
+
     // ----- §2.6 sorts / limits / top-k / sampling ------------------------
     // O1: global sort (param_train_1st.py:58).
     Q("o1_sort",

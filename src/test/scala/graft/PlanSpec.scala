@@ -255,6 +255,11 @@ class PlanSpec extends SparkSpec {
     val w14 = plan("w14_backtest")
     assert(w14.contains("Window"), "w14 lost its window shape")
     assert(!w14.contains("Join"), "w14 grew a join; backtest is join-free")
+    // j17: merge-streams nearest as-of — bracket frames over one
+    // exchange, never an inequality join
+    val j17 = plan("j17_nearest_asof")
+    assert(j17.contains("Window"), "j17 lost its merge-streams shape")
+    assert(!j17.contains("Join"), "j17 grew a join; nearest as-of is join-free")
     // e12: signatures are literal-array dot products over the scratch
     // read — join-free map-side work
     val e12 = plan("e12_random_projection")
