@@ -144,6 +144,19 @@ object DecisionAudit {
         "only fp op is the per-order cents conversion",
       Seq("round(o.o_totalprice * 100)",
         "(2 * s1 - (n + 1) * s0) * 10000 // (n * s0)")),
+    "d14_minhash_calibration" -> IntegerDecided(
+      "signature agreement, shingle intersection/union sizes, the x1000 " +
+        "scalings and the abs() error are all exact integer arithmetic " +
+        "over the md5-derived signatures — no fp anywhere",
+      Seq("n_match * 1000 // 16", "n_inter * 1000 // n_union")),
+    "a25_ols_trend" -> GrainMargin(0.5,
+      "the per-row cents conversion round(l_extendedprice * 100) on " +
+        "2-dp-grain data is the only fp op (0.5 margin); the five " +
+        "sufficient statistics accumulate in DECIMAL(38,0) vs HUGEINT " +
+        "and slope/intercept/R² are integer divisions of exact " +
+        "integers — including the shared drop-3-digits R² scaling",
+      Seq("round(l_extendedprice * 100)",
+        "(n * sxy - sx * sy) * 1000000")),
     "a24_winsorize" -> IntegerDecided(
       "a21's cents conversion (0.5 margin) is the only fp op; the " +
         "clipping bounds are exact order statistics selected by integer " +
@@ -198,6 +211,14 @@ object DecisionAudit {
         "coalesce-seeded first step included), smoothing constants " +
         "0.5/0.25/0.75 exactly representable — bit-equal before round(.,4)",
       Seq("list_reduce", "ORDER BY ts, event_id", "0.25::DOUBLE")),
+    "w15_holt_winters" -> BitPinned(
+      "w13's fold discipline with the rotating (l, t, s0..s3) seasonal " +
+        "state: the oracle's list accumulator inlines l_new at every " +
+        "consumption site so both engines state the identical op " +
+        "sequence; constants 0.5/0.25/0.75 exactly representable — " +
+        "bit-equal before round(.,4)",
+      Seq("list_reduce", "ORDER BY ts, event_id",
+        "acc[4], acc[5], acc[6]", "0.25::DOUBLE")),
     "e1_cosine_topk" -> arrayFold,
     "e2_ann_buckets" -> arrayFold,
     "e10_mips" -> arrayFold,

@@ -63,31 +63,53 @@ object GlobalRank {
     * offsets table just carries both prefixes.
     */
   def withRankAndRunningTotal(df: DataFrame, order: Seq[Column],
-      valueCol: String, rankOut: String, totalOut: String): DataFrame = {
-    val vt = df.schema(valueCol).dataType
-    require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
-      s"withRankAndRunningTotal needs an integral value column, got $valueCol: ${vt.typeName}")
+      valueCol: String, rankOut: String, totalOut: String): DataFrame =
+    withRankAndRunningTotals(df, order, Seq(valueCol), rankOut, Seq(totalOut))
+
+  /** The n-column generalization: rank plus one INCLUSIVE global running
+    * total PER value column, all under the same `order`, still in ONE
+    * range shuffle (t24's shape: a corpus growth curve needs cumulative
+    * tokens AND cumulative vocabulary at every checkpoint — running the
+    * two-phase machinery once per column would range-shuffle the frame
+    * once per measure for the identical ordering). The offsets table just
+    * carries one prefix per measure.
+    */
+  def withRankAndRunningTotals(df: DataFrame, order: Seq[Column],
+      valueCols: Seq[String], rankOut: String,
+      totalOuts: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty && valueCols.length == totalOuts.length,
+      "one output name per value column")
+    valueCols.foreach { valueCol =>
+      val vt = df.schema(valueCol).dataType
+      require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
+        s"withRankAndRunningTotals needs integral value columns, got $valueCol: ${vt.typeName}")
+    }
     val pid = "_gr_pid"
     val roff = "_gr_roff"
-    val voff = "_gr_voff"
-    require(Seq(pid, roff, voff).forall(c => !df.columns.contains(c)),
-      s"input must not carry reserved columns $pid/$roff/$voff")
+    val voffs = valueCols.indices.map(i => s"_gr_voff$i")
+    require((Seq(pid, roff) ++ voffs).forall(c => !df.columns.contains(c)),
+      s"input must not carry reserved columns $pid/$roff/${voffs.mkString("/")}")
     val ranged = df.repartitionByRange(order: _*)
       .withColumn(pid, spark_partition_id())
-    val offsets = ranged.groupBy(col(pid))
-      .agg(count(lit(1)).as("_gr_n"), sum(col(valueCol)).as("_gr_v"))
+    val perPart = valueCols.zipWithIndex.map { case (c, i) =>
+      sum(col(c)).as(s"_gr_v$i") }
+    val offsets0 = ranged.groupBy(col(pid))
+      .agg(count(lit(1)).as("_gr_n"), perPart: _*)
       .withColumn(roff,
         (sum(col("_gr_n")).over(TinyWindow.total(col(pid))(col(pid))) - col("_gr_n")).cast("long"))
-      .withColumn(voff,
-        (sum(col("_gr_v")).over(TinyWindow.total(col(pid))(col(pid))) - col("_gr_v")).cast("long"))
-      .select(col(pid), col(roff), col(voff))
+    val offsets = valueCols.indices.foldLeft(offsets0) { (acc, i) =>
+      acc.withColumn(voffs(i),
+        (sum(col(s"_gr_v$i")).over(TinyWindow.total(col(pid))(col(pid)))
+          - col(s"_gr_v$i")).cast("long"))
+    }.select(col(pid) +: col(roff) +: voffs.map(col): _*)
     val local = Window.partitionBy(col(pid)).orderBy(order: _*)
-    ranged.join(broadcast(offsets), Seq(pid))
+    val withRank = ranged.join(broadcast(offsets), Seq(pid))
       .withColumn(rankOut, (row_number().over(local) + col(roff)).cast("long"))
-      .withColumn(totalOut, (sum(col(valueCol)).over(
+    valueCols.indices.foldLeft(withRank) { (acc, i) =>
+      acc.withColumn(totalOuts(i), (sum(col(valueCols(i))).over(
         local.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        + col(voff)).cast("long"))
-      .drop(pid, roff, voff)
+        + col(voffs(i))).cast("long"))
+    }.drop((pid +: roff +: voffs): _*)
   }
 
   /** Range-repartition by `order`, aggregate `perPartition` per partition,

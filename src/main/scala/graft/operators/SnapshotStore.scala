@@ -117,6 +117,25 @@ object SnapshotStore {
   def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
     s.read.parquet(s"$root/v$v")
 
+  /** Delta-style RESTORE: re-commit the CONTENT of `toVersion` as a
+    * brand-new version and return the new version number. Rolling back
+    * is a forward commit on purpose — the pointer never moves backward,
+    * so a reader's "the live version only grows" invariant survives, the
+    * versions between `toVersion` and the rollback stay readable for
+    * time travel / diff forensics, and writer safety is publish's own
+    * claim protocol (no second commit path to keep correct). In this
+    * physical-directory store the restore rewrites the data; a
+    * manifest-based format restores by reference — the operator contract
+    * (RESTORE = a new commit carrying the old content) is identical.
+    */
+  def rollback(s: SparkSession, root: String, toVersion: Int): Int = {
+    val cur = currentVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    require(toVersion >= 1 && toVersion <= cur,
+      s"rollback target v$toVersion outside published history 1..$cur")
+    publish(readVersion(s, root, toVersion), root)
+  }
+
   /** Retention: delete data directories of versions older than the
     * `keep` most recent (the current version is always retained; keep
     * >= 1). Returns the versions removed. Orphan directories from

@@ -890,6 +890,148 @@ object AdvancedQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_qterms,
              |  CAST(sum(contrib) AS BIGINT) AS score_x1e4
              |FROM c GROUP BY doc_id
-             |ORDER BY score_x1e4 DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY score_x1e4 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // A25: closed-form simple OLS per group — the "is there a trend"
+    // question (price vs quantity per supplier nation) answered WITHOUT
+    // an iterative fitter: slope/intercept/R^2 all derive from the five
+    // classic sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²), which is
+    // the 100 TB shape — ONE partial-combining aggregate over the fact
+    // table, the algebra on the |groups|-row result. Every statistic
+    // accumulates in DECIMAL(38,0) (exact; int64 would overflow n·Σxy at
+    // sf >= 1) and the DuckDB mirror rides HUGEINT — the derived ratios
+    // are integer divisions of exact integers, so the row hashes match
+    // bit-for-bit. R² needs num²·1e6 which would blow even decimal38, so
+    // BOTH sides first drop three low digits from num/den/deny (the
+    // identical exact integer op), then divide — the result is r²·1e6 up
+    // to that shared truncation, never a float. `div` truncates toward
+    // zero in Spark and DuckDB alike (verified: -7 div 2 = -3 on both),
+    // so the possibly-negative slope/intercept agree too.
+    Q("a25_ols_trend",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_suppkey"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+            sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+            sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+            sum(dec(col("y")) * dec(col("y"))).as("syy"))
+          .select(col("n_name"), col("n"),
+            expr("(n * sxy - sx * sy) * 1000000 div nullif(n * sxx - sx * sx, 0)")
+              .as("slope_x1e6"),
+            expr("""(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 100
+                   | div nullif(n * (n * sxx - sx * sx), 0)""".stripMargin)
+              .as("intercept_x100"),
+            // `div` lowers to LONG (ANSI) — recast each scaled factor to
+            // DECIMAL(38,0) before squaring or the product overflows int64
+            expr("""CAST((n * sxy - sx * sy) div 1000 AS DECIMAL(38,0))
+                   | * CAST((n * sxy - sx * sy) div 1000 AS DECIMAL(38,0))
+                   | * 1000000
+                   | div nullif(CAST((n * sxx - sx * sx) div 1000 AS DECIMAL(38,0))
+                   |   * CAST((n * syy - sy * sy) div 1000 AS DECIMAL(38,0)), 0)""".stripMargin)
+              .as("r2_x1e6"))
+          .orderBy("n_name")
+      },
+      Some("""WITH f AS (
+             |  SELECT n_name, CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |), st AS (
+             |  SELECT n_name, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+             |  FROM f GROUP BY n_name
+             |)
+             |SELECT n_name, CAST(n AS BIGINT) AS n,
+             |  CAST((n * sxy - sx * sy) * 1000000
+             |    // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS slope_x1e6,
+             |  CAST((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 100
+             |    // nullif(n * (n * sxx - sx * sx), 0) AS BIGINT)
+             |    AS intercept_x100,
+             |  CAST(((n * sxy - sx * sy) // 1000) * ((n * sxy - sx * sy) // 1000)
+             |    * 1000000
+             |    // nullif(((n * sxx - sx * sx) // 1000)
+             |      * ((n * syy - sy * sy) // 1000), 0) AS BIGINT) AS r2_x1e6
+             |FROM st ORDER BY n_name""".stripMargin)),
+
+    // A26: chi-square independence audit between two categorical columns
+    // (documents lang x source) — the corpus-balance question a mixture
+    // designer asks before weighting ("is language distribution uniform
+    // across sources, or is src7 secretly all-German?"). One map-side-
+    // combining groupBy builds the contingency counts; row totals, column
+    // totals and N are aggregates OF that tiny frame, so the fact table
+    // is scanned exactly once and everything downstream is broadcast
+    // algebra on |langs| x |sources| rows. Per-cell chi² contributions
+    // are exact integer terms — (O·N − R·C)²·1e6 div (R·C·N), DECIMAL(38)
+    // vs HUGEINT — and per-term truncation is order-independent, so the
+    // total is exactly reproducible. Zero-observed cells enter with O=0
+    // (the crossJoin of the two total frames restores them; both frames
+    // are tiny BY CONSTRUCTION — category cardinalities, not row counts).
+    Q("a26_chi_square",
+      (s, d) => {
+        val docs = documents(s, d).select(col("lang"), col("source"))
+        val obs = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rt = docs.groupBy(col("lang")).agg(count(lit(1)).as("r"))
+        val ct = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+        val tot = docs.agg(count(lit(1)).as("nn"))
+        val dims = rt.agg(count(lit(1)).as("nl"))
+          .crossJoin(broadcast(ct.agg(count(lit(1)).as("ns"))))
+        val terms = rt.crossJoin(broadcast(ct))
+          .join(obs, Seq("lang", "source"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("lang"), col("source"),
+            coalesce(col("o"), lit(0L)).as("o"),
+            col("r").cast("decimal(38,0)").as("r"),
+            col("c").cast("decimal(38,0)").as("c"),
+            col("nn").cast("decimal(38,0)").as("nn"))
+          .select(col("lang"), col("source"), col("o"),
+            expr("r * c * 1000000 div nn").as("e_x1e6"),
+            expr("""(o * nn - r * c) * (o * nn - r * c) * 1000000
+                   | div nullif(r * c * nn, 0)""".stripMargin).as("term_x1e6"))
+        val total = terms.agg(sum(col("term_x1e6")).as("chi2_x1e6"))
+        terms.crossJoin(broadcast(total)).crossJoin(broadcast(dims))
+          .select(col("lang"), col("source"), col("o"), col("e_x1e6"),
+            col("term_x1e6"), col("chi2_x1e6"),
+            ((col("nl") - 1) * (col("ns") - 1)).as("df"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH obs AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+             |  FROM documents GROUP BY lang, source
+             |), rt AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS r
+             |  FROM documents GROUP BY lang
+             |), ct AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY source
+             |), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+             |dims AS (
+             |  SELECT (SELECT count(*) FROM rt) AS nl,
+             |         (SELECT count(*) FROM ct) AS ns
+             |), terms AS (
+             |  SELECT rt.lang, ct.source, coalesce(obs.o, 0) AS o,
+             |    rt.r * ct.c * 1000000 // nn AS e_x1e6,
+             |    (coalesce(obs.o, 0) * nn - rt.r * ct.c)
+             |      * (coalesce(obs.o, 0) * nn - rt.r * ct.c) * 1000000
+             |      // nullif(rt.r * ct.c * nn, 0) AS term_x1e6
+             |  FROM rt CROSS JOIN ct
+             |  LEFT JOIN obs ON rt.lang = obs.lang AND ct.source = obs.source
+             |  CROSS JOIN tot
+             |), total AS (SELECT sum(term_x1e6) AS chi2_x1e6 FROM terms)
+             |SELECT lang, source, o, CAST(e_x1e6 AS BIGINT) AS e_x1e6,
+             |  CAST(term_x1e6 AS BIGINT) AS term_x1e6,
+             |  CAST(chi2_x1e6 AS BIGINT) AS chi2_x1e6,
+             |  CAST((nl - 1) * (ns - 1) AS BIGINT) AS df
+             |FROM terms CROSS JOIN total CROSS JOIN dims
+             |ORDER BY lang, source""".stripMargin))
   )
 }

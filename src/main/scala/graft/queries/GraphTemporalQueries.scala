@@ -319,6 +319,69 @@ object GraphTemporalQueries {
              |JOIN deg USING (s)
              |ORDER BY auth_x1000 DESC, s_suppkey LIMIT 100""".stripMargin)),
 
+    // G12: common-neighbor link prediction over the co-occurrence graph —
+    // the classic "which edges are MISSING" scores (Liben-Nowell &
+    // Kleinberg 2003): for every non-adjacent pair with >= 2 shared
+    // neighbors, the common-neighbor count plus the preferential-
+    // attachment product deg(a)*deg(b) — both exact integers, so unlike
+    // Adamic-Adar (a float log under a ranking boundary — the a16
+    // fragility class) the whole row oracles bit-exact. Candidate
+    // generation is WEDGE ENUMERATION — the same nb-self-join shape (and
+    // the same sum-of-deg² bound) as g3's triangle count; the >= 2
+    // common-neighbor floor prunes before the anti-join drops existing
+    // edges, and the final global order is TakeOrdered (top-100), never
+    // a full sort. At 100 TB the standard prelude is a hub-degree cap on
+    // nb (g10's histogram is the tool that sizes it) — the shape here is
+    // unchanged by that filter.
+    Q("g12_common_neighbors",
+      (s, d) => {
+        val e = coocEdges(s, d)
+        val nb = e.select(col("u").as("node"), col("v").as("nbr"))
+          .union(e.select(col("v"), col("u")))
+        val cn = nb.as("x")
+          .join(nb.as("y"),
+            col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+          .groupBy(col("x.nbr").as("a"), col("y.nbr").as("b"))
+          .agg(count(lit(1)).as("n_cn"))
+          .filter(col("n_cn") >= 2)
+        val nonEdge = cn.join(
+          e.select(col("u").as("a"), col("v").as("b")),
+          Seq("a", "b"), "left_anti")
+        val deg = nb.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        nonEdge
+          .join(deg.select(col("node").as("a"), col("deg").as("deg_a")),
+            Seq("a"))
+          .join(deg.select(col("node").as("b"), col("deg").as("deg_b")),
+            Seq("b"))
+          .select(col("a"), col("b"), col("n_cn"), col("deg_a"), col("deg_b"),
+            (col("deg_a") * col("deg_b")).as("pref_attach"))
+          .orderBy(col("n_cn").desc, col("pref_attach").desc, col("a"),
+            col("b"))
+          .limit(100)
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             |      FROM pairs a JOIN pairs b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |nb AS (SELECT u AS node, v AS nbr FROM e
+             |       UNION ALL SELECT v, u FROM e),
+             |cn AS (SELECT x.nbr AS a, y.nbr AS b, count(*) AS n_cn
+             |       FROM nb x JOIN nb y
+             |         ON x.node = y.node AND x.nbr < y.nbr
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |ne AS (SELECT cn.a, cn.b, cn.n_cn FROM cn
+             |       WHERE NOT EXISTS (SELECT 1 FROM e
+             |         WHERE e.u = cn.a AND e.v = cn.b)),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+             |        FROM nb GROUP BY node)
+             |SELECT ne.a, ne.b, CAST(ne.n_cn AS BIGINT) AS n_cn,
+             |  da.deg AS deg_a, db.deg AS deg_b,
+             |  da.deg * db.deg AS pref_attach
+             |FROM ne JOIN deg da ON ne.a = da.node
+             |JOIN deg db ON ne.b = db.node
+             |ORDER BY n_cn DESC, pref_attach DESC, a, b LIMIT 100""".stripMargin)),
+
     // G10: degree-distribution histogram over the co-occurrence graph —
     // the first diagnostic a graph pipeline runs before choosing
     // partitioning (is the degree sequence heavy-tailed? does it need a
@@ -1091,6 +1154,86 @@ object GraphTemporalQueries {
              |         0.25::DOUBLE * ((0.5::DOUBLE * e[1]
              |           + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
              |           + 0.75::DOUBLE * acc[2]]) AS st
+             |  FROM (
+             |    SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+             |    FROM events GROUP BY user_id)
+             |) ORDER BY user_id""".stripMargin)),
+
+    // W15: additive Holt-Winters (level + trend + period-4 seasonality) —
+    // w13's recurrence grown the third state component: s_{t-m} is
+    // subtracted before the level update and refreshed after it, so the
+    // accumulator is a (l, t, s0..s3) STRUCT whose seasonal slots ROTATE
+    // each step (head = the slot the next step consumes). Same scale
+    // shape as w11/w13: one user_id shuffle, then a map-side ordered
+    // fold; constants 0.5/0.25/0.75 are binary-exact so cross-engine
+    // equality is purely op order, which the Spark fold and the DuckDB
+    // list_reduce state ELEMENT-BY-ELEMENT in the same sequence (the
+    // oracle inlines the l_new subexpression wherever it is consumed —
+    // w13's list-accumulator workaround for DuckDB's in-place struct
+    // mutation, carried over). Seed = (x1, 0, zeros): exactly
+    // list_reduce's first-element seeding. The one-step forecast adds
+    // the rotated head — the seasonal slot of the NEXT period.
+    Q("w15_holt_winters",
+      (s, d) => {
+        val fold = (acc: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column) => {
+          val lPrev = acc.getField("l")
+          val tPrev = acc.getField("t")
+          val s0 = acc.getField("s0")
+          val lNew = lit(0.5) * (x - s0) + lit(0.5) * (lPrev + tPrev)
+          val tNew = lit(0.25) * (lNew - lPrev) + lit(0.75) * tPrev
+          val sNew = lit(0.25) * (x - lNew) + lit(0.75) * s0
+          when(lPrev.isNull,
+            struct(x.as("l"), lit(0.0).as("t"), lit(0.0).as("s0"),
+              lit(0.0).as("s1"), lit(0.0).as("s2"), lit(0.0).as("s3")))
+            .otherwise(struct(lNew.as("l"), tNew.as("t"),
+              acc.getField("s1").as("s0"), acc.getField("s2").as("s1"),
+              acc.getField("s3").as("s2"), sNew.as("s3")))
+        }
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(
+            col("ts"), col("event_id"), col("value")))).as("xs"))
+          .select(col("user_id"), size(col("xs")).as("n_events"),
+            aggregate(
+              transform(col("xs"), x => x.getField("value")),
+              struct(lit(null).cast("double").as("l"),
+                lit(null).cast("double").as("t"),
+                lit(null).cast("double").as("s0"),
+                lit(null).cast("double").as("s1"),
+                lit(null).cast("double").as("s2"),
+                lit(null).cast("double").as("s3")),
+              fold).as("st"))
+          .select(col("user_id"), col("n_events"),
+            round(col("st.l"), 4).as("level"),
+            round(col("st.t"), 4).as("trend"),
+            round(col("st.s0"), 4).as("season_next"),
+            round(col("st.l") + col("st.t") + col("st.s0"), 4).as("forecast"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(len(xs) AS INT) AS n_events,
+             |  round(st[1], 4) AS level, round(st[2], 4) AS trend,
+             |  round(st[3], 4) AS season_next,
+             |  round(st[1] + st[2] + st[3], 4) AS forecast
+             |FROM (
+             |  -- list accumulator, not a struct: w13's DuckDB in-place
+             |  -- mutation workaround. Layout: [l, t, s0, s1, s2, s3];
+             |  -- l_new is inlined at each consumption site so the op
+             |  -- order matches the Spark fold exactly.
+             |  SELECT user_id, xs,
+             |    list_reduce(
+             |      [[CAST(x AS DOUBLE), 0.0::DOUBLE, 0.0::DOUBLE,
+             |        0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE] for x in xs],
+             |      (acc, e) ->
+             |        [0.5::DOUBLE * (e[1] - acc[3])
+             |           + 0.5::DOUBLE * (acc[1] + acc[2]),
+             |         0.25::DOUBLE * ((0.5::DOUBLE * (e[1] - acc[3])
+             |             + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+             |           + 0.75::DOUBLE * acc[2],
+             |         acc[4], acc[5], acc[6],
+             |         0.25::DOUBLE * (e[1] - (0.5::DOUBLE * (e[1] - acc[3])
+             |             + 0.5::DOUBLE * (acc[1] + acc[2])))
+             |           + 0.75::DOUBLE * acc[3]]) AS st
              |  FROM (
              |    SELECT user_id, list(value ORDER BY ts, event_id) AS xs
              |    FROM events GROUP BY user_id)

@@ -546,7 +546,72 @@ object MlQueries {
              |SELECT p.rank, p.i AS p_partkey, p.train_cnt,
              |  h.val_users_hit, nv.n_val_users
              |FROM pop p JOIN hits h ON p.i = h.i CROSS JOIN nv
-             |ORDER BY p.rank""".stripMargin))
+             |ORDER BY p.rank""".stripMargin)),
+
+    // M14: precision/recall threshold sweep — the tuning table every
+    // classifier-gated filter ships with (c5's quality gate, t1's
+    // language filter): at each candidate threshold over a DETERMINISTIC
+    // score (t1's en-marker ratio; label = the recorded lang), the full
+    // confusion row plus integer-scaled precision/recall/F1. Scale
+    // shape: ONE corpus scan collapses to per-(score, label) counts
+    // (map-side combine; the score domain is the x1000 ratio grid, a few
+    // hundred values), and the 6-threshold sweep is broadcast algebra on
+    // that tiny frame — the corpus is NOT rescanned per threshold. The
+    // nullif/coalesce guard (empty prediction set => precision 10000)
+    // is stated identically on both engines. TP+FN is threshold-
+    // invariant by construction — Round11LawsSpec pins that and the
+    // recall monotonicity.
+    Q("m14_pr_curve",
+      (s, d) => {
+        val sc = Tables.tokenizedDocs(s, d).select(
+          (col("lang") === "en").cast("int").as("is_en"),
+          expr("size(filter(w, t -> t in ('the','a','of'))) * 1000 div size(w)")
+            .as("sc"))
+        val counts = sc.groupBy(col("sc"), col("is_en"))
+          .agg(count(lit(1)).as("n"))
+        val th = s.range(0, 6).select((col("id") * 25).as("t"))
+        counts.crossJoin(broadcast(th))
+          .groupBy(col("t"))
+          .agg(
+            sum(when(col("sc") >= col("t") && col("is_en") === 1, col("n"))
+              .otherwise(0L)).as("tp"),
+            sum(when(col("sc") >= col("t") && col("is_en") === 0, col("n"))
+              .otherwise(0L)).as("fp"),
+            sum(when(col("sc") < col("t") && col("is_en") === 1, col("n"))
+              .otherwise(0L)).as("fn"))
+          .select(col("t"), col("tp"), col("fp"), col("fn"),
+            coalesce(expr("tp * 10000 div nullif(tp + fp, 0)"), lit(10000L))
+              .as("precision_x1e4"),
+            expr("tp * 10000 div nullif(tp + fn, 0)").as("recall_x1e4"),
+            coalesce(expr("2 * tp * 10000 div nullif(2 * tp + fp + fn, 0)"),
+              lit(10000L)).as("f1_x1e4"))
+          .orderBy("t")
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 3
+             |), sc AS (
+             |  SELECT CAST(lang = 'en' AS INT) AS is_en,
+             |    len(list_filter(w, t -> t IN ('the', 'a', 'of'))) * 1000
+             |      // len(w) AS sc
+             |  FROM tok
+             |), th AS (SELECT CAST(unnest([0, 25, 50, 75, 100, 125]) AS BIGINT) AS t),
+             |g AS (
+             |  SELECT t,
+             |    CAST(sum(CASE WHEN sc >= t AND is_en = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS tp,
+             |    CAST(sum(CASE WHEN sc >= t AND is_en = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS fp,
+             |    CAST(sum(CASE WHEN sc < t AND is_en = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS fn
+             |  FROM sc CROSS JOIN th GROUP BY t
+             |)
+             |SELECT t, tp, fp, fn,
+             |  coalesce(tp * 10000 // nullif(tp + fp, 0), 10000) AS precision_x1e4,
+             |  tp * 10000 // nullif(tp + fn, 0) AS recall_x1e4,
+             |  coalesce(2 * tp * 10000 // nullif(2 * tp + fp + fn, 0), 10000)
+             |    AS f1_x1e4
+             |FROM g ORDER BY t""".stripMargin))
   )
 
   /** NaN-safe integer scaling shared by the sweep queries (m7/m8/m9):

@@ -175,7 +175,9 @@ object PipelineQueries {
       |changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins
       |            UNION ALL SELECT * FROM del)""".stripMargin
 
-  val all: Seq[Q] = Seq(
+  lazy val all: Seq[Q] = base ++ round11
+
+  private val base: Seq[Q] = Seq(
 
     // ----- deduplication -------------------------------------------------
     // D1: exact dedup — one shuffle keyed on the content hash; min(doc_id)
@@ -2759,6 +2761,246 @@ object PipelineQueries {
         .withColumn("keep", (col("ratio_x1000") >= 350).cast("int"))
         .orderBy("doc_id"),
       None)
+  )
+
+  /** Round-11 additions, registered separately so the file's historical
+    * sections stay stable for the per-round COVERAGE diff.
+    */
+  val round11: Seq[Q] = Seq(
+
+    // C14: n-gram EVAL-SET contamination report — the published-benchmark
+    // decontamination audit (GPT-3 appx C / PaLM style): c3/c8 drop
+    // training docs whose EXACT key appears in an eval set, but the
+    // contamination that actually poisons reported metrics is PARTIAL —
+    // an eval question quoted inside a crawled page. The standard check
+    // is k-gram overlap: for every eval document, what fraction of its
+    // 8-grams appears anywhere in the training corpus? Scale shape: the
+    // eval side is small BY DEFINITION (benchmarks are thousands of
+    // docs), so its distinct gram set BROADCASTS; the corpus-side probe
+    // is then a map-side broadcast semi-join (no corpus shuffle — the
+    // same "stream the big side past a small membership structure" shape
+    // as c8's Bloom, here exact because the set fits), and only MATCHED
+    // occurrences reach the distinct. The per-eval-doc rollup joins two
+    // tiny frames. Contamination threshold: >= 20 % of a doc's 8-grams
+    // seen in-corpus flags it (Brown et al. used 13-gram overlap; k = 8
+    // keeps the synthetic docs, ~40 tokens, inside signal range).
+    Q("c14_ngram_contamination",
+      (s, d) => {
+        val k = 8
+        val grams = tokenized(s, d)
+          .select(col("doc_id"), explode(shinglesNative(col("text"), k)).as("g"))
+        val evalG = grams.filter(col("doc_id") % 100 < 2).distinct()
+        val corpusG = grams.filter(col("doc_id") % 100 >= 2)
+        val evalSet = evalG.select(col("g")).distinct()
+        val hitSet = corpusG.join(broadcast(evalSet), Seq("g"), "left_semi")
+          .select(col("g")).distinct()
+        val nTot = evalG.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"))
+        val nHit = evalG.join(broadcast(hitSet), Seq("g"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        nTot.join(nHit, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+            expr("n_hit * 10000 div n_grams").as("overlap_x1e4"),
+            (expr("n_hit * 10000 div n_grams") >= 2000L).cast("int")
+              .as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlTok, sp AS (
+              |  SELECT doc_id,
+              |    unnest([array_to_string(w[i:i+7], ' ')
+              |            for i in range(1, len(w) - 6)]) AS g
+              |  FROM tok
+              |), ev AS (
+              |  SELECT DISTINCT doc_id, g FROM sp WHERE doc_id % 100 < 2
+              |), hits AS (
+              |  SELECT DISTINCT sp.g FROM sp
+              |  JOIN (SELECT DISTINCT g FROM ev) e ON sp.g = e.g
+              |  WHERE sp.doc_id % 100 >= 2
+              |), tot AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+              |  FROM ev GROUP BY doc_id
+              |), hit AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+              |  FROM ev JOIN hits USING (g) GROUP BY doc_id
+              |)
+              |SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+              |  coalesce(h.n_hit, 0) * 10000 // t.n_grams AS overlap_x1e4,
+              |  CAST(coalesce(h.n_hit, 0) * 10000 // t.n_grams >= 2000 AS INT)
+              |    AS contaminated
+              |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+              |ORDER BY t.doc_id""".stripMargin)),
+
+    // T24: Heaps'-law vocabulary growth curve — the corpus diagnostic
+    // behind "is more data still buying new vocabulary?": cumulative
+    // distinct vocabulary vs cumulative token count at 20 evenly-spaced
+    // document checkpoints in doc_id order. "First document containing
+    // each term" is one term-keyed aggregate (min(doc_id)); BOTH global
+    // prefixes (tokens and new-terms) then ride ONE pass of GlobalRank's
+    // two-phase range-partition + broadcast-offset machinery
+    // (withRankAndRunningTotals — never an unpartitioned window; a
+    // billion-doc corpus stays fully parallel, t9/t15's scale rule). The
+    // checkpoint filter is pure arithmetic on the global rank, so the
+    // output is ~20 rows regardless of corpus size. All-integer;
+    // exactly oracled.
+    Q("t24_heaps_law",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val toks = tokenized(s, d)
+        val perDoc = toks.select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"))
+        val newTerms = toks
+          .select(col("doc_id"), explode(col("w")).as("term"))
+          .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+          .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
+        val docs = perDoc
+          .join(newTerms, col("doc_id") === col("first_doc"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+        val ranked = GlobalRank.withRankAndRunningTotals(docs,
+          Seq(col("doc_id").asc), Seq("n_tokens", "n_new"),
+          "doc_rank", Seq("cum_tokens", "cum_vocab"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        ranked.crossJoin(broadcast(nDocs))
+          .filter(expr("doc_rank % greatest(1, n_docs div 20) = 0")
+            || col("doc_rank") === col("n_docs"))
+          .select(col("doc_rank"), col("doc_id"), col("cum_tokens"),
+            col("cum_vocab"),
+            expr("cum_vocab * 10000 div cum_tokens").as("vocab_per_token_x1e4"))
+          .orderBy("doc_rank")
+      },
+      Some(s"""WITH $sqlTok, perdoc AS (
+              |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM tok
+              |), fd AS (
+              |  SELECT term, min(doc_id) AS first_doc
+              |  FROM (SELECT doc_id, unnest(w) AS term FROM tok) GROUP BY term
+              |), nn AS (
+              |  SELECT first_doc, CAST(count(*) AS BIGINT) AS n_new
+              |  FROM fd GROUP BY first_doc
+              |), docs AS (
+              |  SELECT p.doc_id, p.n_tokens, coalesce(nn.n_new, 0) AS n_new
+              |  FROM perdoc p LEFT JOIN nn ON p.doc_id = nn.first_doc
+              |), r AS (
+              |  SELECT doc_id,
+              |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS doc_rank,
+              |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+              |    CAST(sum(n_new) OVER (ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+              |  FROM docs
+              |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs)
+              |SELECT doc_rank, doc_id, cum_tokens, cum_vocab,
+              |  cum_vocab * 10000 // cum_tokens AS vocab_per_token_x1e4
+              |FROM r CROSS JOIN nd
+              |WHERE doc_rank % greatest(1, n_docs // 20) = 0 OR doc_rank = n_docs
+              |ORDER BY doc_rank""".stripMargin)),
+
+    // D14: MinHash estimator CALIBRATION — the "can I trust the sketch"
+    // audit beside d2/d3: for each adjacent-doc pair (d5's deterministic
+    // pair set), the 16-perm signature-agreement estimate of Jaccard
+    // against the exact 3-shingle Jaccard, as integer-scaled values and
+    // absolute error. This is the measurement that sizes the signature
+    // (16 perms => stderr ~ sqrt(J(1-J)/16) ~ 0.12 — the in-row errors
+    // show exactly that spread) before a 100 TB run commits to a band
+    // layout. Same materialized-base shape as d5 (two different join
+    // keys defeat exchange reuse, so the shingle+sig table is computed
+    // once to scratch and both sides re-read it); every number is exact
+    // integer arithmetic over the oracled md5-derived signatures — the
+    // estimator itself is cross-engine reproducible, not just its error.
+    Q("d14_minhash_calibration",
+      (s, d) => {
+        val dir = graft.Scratch.dir(s, "d14_base")
+        tokenized(s, d)
+          .select(col("doc_id"),
+            array_distinct(shinglesNative(col("text"), 3)).as("sh"),
+            minhashSigNative(col("text"), 16).as("sig"))
+          .write.mode("overwrite").parquet(dir)
+        val base = s.read.parquet(dir)
+        base.as("a")
+          .join(base.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            expr("""aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1L, 0L)),
+                   | 0L, (acc, v) -> acc + v)""".stripMargin).as("n_match"),
+            size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+              .as("n_inter"),
+            size(array_union(col("a.sh"), col("b.sh"))).cast("long")
+              .as("n_union"))
+          .select(col("a_id"), col("b_id"), col("n_match"),
+            expr("n_match * 1000 div 16").as("est_x1000"),
+            expr("n_inter * 1000 div n_union").as("exact_x1000"),
+            expr("abs(n_match * 1000 div 16 - n_inter * 1000 div n_union)")
+              .as("abs_err_x1000"))
+          .orderBy("a_id")
+      },
+      Some(s"""WITH $sqlTok, $sqlSig, base AS (
+              |  SELECT tok.doc_id,
+              |    list_distinct([array_to_string(w[i:i+2], ' ')
+              |      for i in range(1, len(w) - 1)]) AS shg,
+              |    sig.sig AS sig
+              |  FROM tok JOIN sig ON tok.doc_id = sig.doc_id
+              |), p AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    CAST(len([i for i in range(1, 17) if a.sig[i] = b.sig[i]])
+              |      AS BIGINT) AS n_match,
+              |    CAST(len(list_intersect(a.shg, b.shg)) AS BIGINT) AS n_inter,
+              |    CAST(len(list_distinct(a.shg || b.shg)) AS BIGINT) AS n_union
+              |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+              |)
+              |SELECT a_id, b_id, n_match,
+              |  n_match * 1000 // 16 AS est_x1000,
+              |  n_inter * 1000 // n_union AS exact_x1000,
+              |  abs(n_match * 1000 // 16 - n_inter * 1000 // n_union)
+              |    AS abs_err_x1000
+              |FROM p ORDER BY a_id""".stripMargin)),
+
+    // U7: snapshot ROLLBACK (operators/SnapshotStore.rollback) — the
+    // Delta-RESTORE member of the u-family: a bad publish is undone by
+    // RE-COMMITTING the last good version's content as a NEW version,
+    // never by moving the pointer backward (readers' "live version only
+    // grows" invariant survives; the bad version stays readable for
+    // forensics/diff — u2's operator). The query publishes v1 (the
+    // even-id half), v2 (the full corpus — the "bad" batch), rolls back
+    // to v1, and reads ALL THREE versions back through the store plus
+    // the live pointer — every row derivable from the source table, so
+    // the store's restore mechanics are exactly oracled (v3's digest
+    // MUST equal v1's).
+    Q("u7_snapshot_rollback",
+      (s, d) => {
+        import graft.operators.SnapshotStore
+        val root = graft.Scratch.dir(s,
+          s"u7_store_${java.util.UUID.randomUUID().toString.take(8)}")
+        val docs = documents(s, d).select(col("doc_id"), col("source"))
+        SnapshotStore.publish(docs.filter(col("doc_id") % 2 === 0), root)
+        SnapshotStore.publish(docs, root)
+        SnapshotStore.rollback(s, root, 1)
+        val vCur = SnapshotStore.currentVersion(s, root).get
+        (1 to vCur).map { v =>
+          SnapshotStore.readVersion(s, root, v)
+            .agg(count(lit(1)).as("n_rows"),
+              md5(concat_ws(",",
+                transform(sort_array(collect_list(col("doc_id"))),
+                  _.cast("string")))).as("id_digest"))
+            .select(lit(v).cast("long").as("version"), col("n_rows"),
+              col("id_digest"), lit(if (v == vCur) 1 else 0).as("is_live"))
+        }.reduce(_.unionByName(_)).orderBy("version")
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS dg
+             |  FROM documents WHERE doc_id % 2 = 0
+             |), al AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS dg
+             |  FROM documents
+             |)
+             |SELECT 1::BIGINT AS version, ev.n AS n_rows, ev.dg AS id_digest,
+             |  0 AS is_live FROM ev
+             |UNION ALL
+             |SELECT 2::BIGINT, al.n, al.dg, 0 FROM al
+             |UNION ALL
+             |SELECT 3::BIGINT, ev.n, ev.dg, 1 FROM ev
+             |ORDER BY version""".stripMargin))
   )
 
 }

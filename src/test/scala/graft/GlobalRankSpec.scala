@@ -47,6 +47,33 @@ class GlobalRankSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("multi-column rank+running-totals equal the naive windows") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 500).map(i =>
+        (i % 13, s"id_$i", (i % 37 + 1).toLong, (i % 7).toLong))
+      .toDF("k", "id", "v", "u")
+    val order = Seq(desc("k"), col("id"))
+    val got = GlobalRank
+      .withRankAndRunningTotals(df, order, Seq("v", "u"), "rn",
+        Seq("cumv", "cumu"))
+      .select(col("id"), col("rn"), col("cumv"), col("cumu"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val naive = Window.orderBy(order: _*)
+    val cumw = naive.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("rn", row_number().over(naive).cast("long"))
+      .withColumn("cumv", sum(col("v")).over(cumw).cast("long"))
+      .withColumn("cumu", sum(col("u")).over(cumw).cast("long"))
+      .select(col("id"), col("rn"), col("cumv"), col("cumu"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+  }
+
   test("combined rank+running-total equals the naive windows in one pass") {
     val s = spark
     import s.implicits._

@@ -46,7 +46,10 @@ class JoinShapeGuardSpec extends SparkSpec {
     "m13_popularity_baseline", // 1-row cutoff + 1-row val-user-count frames
     "g10_degree_histogram",   // 1-row node-total frame (share denominator)
     "a23_benford",            // 1-row order-count frame (share denominator)
-    "g11_modularity"          // 1-row edge-total frame (Q denominator)
+    "g11_modularity",         // 1-row edge-total frame (Q denominator)
+    "a26_chi_square",         // |langs| x |sources| category frames + 1-row N/df
+    "t24_heaps_law",          // 1-row doc-count frame (checkpoint stride)
+    "m14_pr_curve"            // 6-row literal threshold frame
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {

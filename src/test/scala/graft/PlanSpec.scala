@@ -278,6 +278,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-11 additions keep their scale shapes") {
+    // a25: one partial-combining aggregate over the fact table; both
+    // dimension joins broadcast (supplier, nation)
+    val a25 = plan("a25_ols_trend")
+    assert(a25.contains("BroadcastHashJoin"), "a25 dim joins not broadcast")
+    assert(!a25.contains("SortMergeJoin"), "a25 grew a shuffle join")
+    assert(a25.contains("partial_sum") || a25.contains("partial sum"),
+      "a25 sufficient statistics lost their map-side combine")
+    // c14: the corpus probe is a broadcast LEFT-SEMI (the corpus must
+    // stream past the eval gram set, never shuffle for the join)
+    val c14 = plan("c14_ngram_contamination")
+    assert(c14.contains("LeftSemi") && c14.contains("BroadcastHashJoin"),
+      "c14 corpus probe lost its broadcast semi-join")
+    assert(!c14.contains("CartesianProduct"))
+    // t24: both global prefixes ride GlobalRank's range repartition —
+    // never an unpartitioned window over the per-doc frame
+    val t24 = plan("t24_heaps_law")
+    assert(t24.toLowerCase.contains("rangepartitioning"),
+      "t24 lost GlobalRank's range repartition:\n" + t24.take(1500))
+    // g12: wedge enumeration stays equi-join; existing edges drop via
+    // anti-join; top-100 lowers to TakeOrdered, not a global sort
+    val g12 = plan("g12_common_neighbors")
+    assert(!g12.contains("CartesianProduct") && !g12.contains("NestedLoop"),
+      "g12 wedge join degraded from equi-join")
+    assert(g12.contains("LeftAnti"), "g12 lost its existing-edge anti-join")
+    assert(g12.contains("TakeOrderedAndProject"),
+      "g12 top-100 grew a global sort")
+    // w15: one user_id shuffle, then a map-side ordered fold — join-free
+    val w15 = plan("w15_holt_winters")
+    assert(!w15.contains("Join"), "w15 grew a join; the HW fold is join-free")
+    // d14: the pair join stays an equi-join over the materialized base
+    val d14 = plan("d14_minhash_calibration")
+    assert(!d14.contains("CartesianProduct") && !d14.contains("NestedLoop"),
+      "d14 pair join degraded from equi-join")
+    // a26/m14: equi-joins + reviewed tiny-frame broadcasts only
+    for (q <- Seq("a26_chi_square", "m14_pr_curve")) {
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q degraded to a cartesian product")
+    }
+  }
+
   test("m10: fold ranking is GlobalRank-shaped — no single-partition " +
       "window over the scored fold rows (VERDICT r8 #2)") {
     val p = plan("m10_cv")

@@ -28,6 +28,31 @@ class SnapshotStoreSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("rollback restores old content as a NEW forward version") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    SnapshotStore.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root)
+    SnapshotStore.publish(Seq((9L, "bad")).toDF("id", "x"), root)
+    val v3 = SnapshotStore.rollback(spark, root, 1)
+    assert(v3 == 3, "restore must commit forward, never move the pointer back")
+    assert(SnapshotStore.currentVersion(spark, root).contains(3))
+    assert(SnapshotStore.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // the bad version stays readable for forensics/diff
+    assert(SnapshotStore.readVersion(spark, root, 2)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "bad")))
+    // and the store keeps accepting publishes after a restore
+    assert(SnapshotStore.publish(Seq((5L, "e")).toDF("id", "x"), root) == 4)
+    // out-of-history targets fail loudly
+    intercept[IllegalArgumentException] {
+      SnapshotStore.rollback(spark, root, 9)
+    }
+    intercept[IllegalStateException] {
+      SnapshotStore.rollback(spark, freshRoot(), 1)
+    }
+  }
+
   test("a data directory without the pointer swap is invisible (crash-safety)") {
     val s = spark
     import s.implicits._
