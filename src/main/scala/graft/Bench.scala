@@ -182,7 +182,7 @@ object Bench {
     if (selected.exists(Set("g3_triangle_count", "g4_label_prop", "g5_bfs",
         "g6_weighted_sssp", "g7_random_walks", "t20_skipgram_pairs",
         "g8_kcore", "g10_degree_histogram", "g11_modularity",
-        "g12_common_neighbors"))) {
+        "g12_common_neighbors", "g13_assortativity"))) {
       record("_edges_build",
         try timed(graft.queries.GraphTemporalQueries.pretrainEdges(spark, sfDir))
         catch { case _: Throwable => -1.0 })

@@ -144,6 +144,12 @@ object DecisionAudit {
         "only fp op is the per-order cents conversion",
       Seq("round(o.o_totalprice * 100)",
         "(2 * s1 - (n + 1) * s0) * 10000 // (n * s0)")),
+    "a27_rank_correlation" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); ranks are integer row_numbers under a total " +
+        "order and rho's closed form is exact DECIMAL(38,0)/HUGEINT " +
+        "integer division",
+      Seq("round(l_extendedprice * 100)", "6 * sd2 * 1000000")),
     "d14_minhash_calibration" -> IntegerDecided(
       "signature agreement, shingle intersection/union sizes, the x1000 " +
         "scalings and the abs() error are all exact integer arithmetic " +

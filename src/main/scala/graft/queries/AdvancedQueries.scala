@@ -962,6 +962,64 @@ object AdvancedQueries {
              |      * ((n * syy - sy * sy) // 1000), 0) AS BIGINT) AS r2_x1e6
              |FROM st ORDER BY n_name""".stripMargin)),
 
+    // A27: Spearman rank correlation between two global orderings — "do
+    // two metrics rank the catalog the same way?" (here: parts by total
+    // quantity moved vs by total revenue). Both rankings are TOTAL
+    // orders (metric desc, p_partkey tie-break — integer-deterministic,
+    // stated identically in the oracle), so rho = 1 - 6*sum(d^2) /
+    // (n(n^2-1)) is exact integer arithmetic end to end; the x1e6 form
+    // rides DECIMAL(38,0) vs HUGEINT (6*sum(d^2)*1e6 overflows int64
+    // past ~50k ranked keys). Scale shape: one partial-combining
+    // aggregate builds the per-part metrics, then each ranking is a
+    // GlobalRank two-phase pass (t9/t15's rule — a catalog of hundreds
+    // of millions of parts must never coalesce into one window
+    // partition), joined back on the part key.
+    Q("a27_rank_correlation",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val m = lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("qty"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+        val byQty = GlobalRank.withRowNumber(m,
+          Seq(col("qty").desc, col("l_partkey").asc), "rank_qty")
+          .select(col("l_partkey"), col("rank_qty"))
+        val byRev = GlobalRank.withRowNumber(m,
+          Seq(col("rev").desc, col("l_partkey").asc), "rank_rev")
+          .select(col("l_partkey"), col("rank_rev"))
+        byQty.join(byRev, Seq("l_partkey"))
+          .select(((col("rank_qty") - col("rank_rev"))
+            * (col("rank_qty") - col("rank_rev"))).as("d2"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("d2").cast("decimal(38,0)")).as("sd2"))
+          .select(col("n"), col("sd2").cast("long").as("sum_d2"),
+            expr("""1000000 - 6 * sd2 * 1000000
+                   | div (CAST(n AS DECIMAL(38,0)) * n * n - n)""".stripMargin)
+              .as("rho_x1e6"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_partkey,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS BIGINT) AS rev
+             |  FROM lineitem GROUP BY l_partkey
+             |), r AS (
+             |  SELECT l_partkey,
+             |    CAST(row_number() OVER (ORDER BY qty DESC, l_partkey)
+             |      AS BIGINT) AS rank_qty,
+             |    CAST(row_number() OVER (ORDER BY rev DESC, l_partkey)
+             |      AS BIGINT) AS rank_rev
+             |  FROM m
+             |), dd AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    sum((rank_qty - rank_rev) * (rank_qty - rank_rev)) AS sd2
+             |  FROM r
+             |)
+             |SELECT n, CAST(sd2 AS BIGINT) AS sum_d2,
+             |  CAST(1000000 - 6 * sd2 * 1000000
+             |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_x1e6
+             |FROM dd""".stripMargin)),
+
     // A26: chi-square independence audit between two categorical columns
     // (documents lang x source) — the corpus-balance question a mixture
     // designer asks before weighting ("is language distribution uniform

@@ -382,6 +382,69 @@ object GraphTemporalQueries {
              |JOIN deg db ON ne.b = db.node
              |ORDER BY n_cn DESC, pref_attach DESC, a, b LIMIT 100""".stripMargin)),
 
+    // G13: degree assortativity over the co-occurrence graph — Newman's
+    // "do hubs link to hubs?" coefficient, the structural diagnostic
+    // that decides between hub-cap and salting strategies (a
+    // disassortative hub-leaf graph skews very differently from an
+    // assortative core). It is the Pearson correlation of (deg(u),
+    // deg(v)) over the SYMMETRIZED edge list, computed by a25's exact
+    // sufficient-statistics discipline: one aggregate over the directed
+    // edge points, DECIMAL(38,0) vs HUGEINT, and — since Pearson r
+    // itself needs a square root (a float) — the exact outputs are r²
+    // at 1e6 grain via the shared drop-3-digits scaling plus the exact
+    // integer SIGN of the covariance numerator; (sign, r²) determines r
+    // to the same grain without any fp op. Symmetry makes Σx = Σy, so
+    // only one first/second moment pair is accumulated.
+    Q("g13_assortativity",
+      (s, d) => {
+        val e = coocEdges(s, d)
+        val nb = e.select(col("u").as("node"), col("v").as("nbr"))
+          .union(e.select(col("v"), col("u")))
+        val deg = nb.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        nb
+          .join(deg.select(col("node"), col("deg").as("dx")), Seq("node"))
+          .join(deg.select(col("node").as("nbr"), col("deg").as("dy")),
+            Seq("nbr"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("dx"))).as("sx"),
+            sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+            sum(dec(col("dx")) * dec(col("dy"))).as("sxy"))
+          .select(col("n").as("n_points"),
+            expr("""CASE WHEN n * sxy - sx * sx > 0 THEN 1
+                   | WHEN n * sxy - sx * sx < 0 THEN -1 ELSE 0 END"""
+              .stripMargin).as("sign"),
+            expr("""CAST((n * sxy - sx * sx) div 1000 AS DECIMAL(38,0))
+                   | * CAST((n * sxy - sx * sx) div 1000 AS DECIMAL(38,0))
+                   | * 1000000
+                   | div nullif(CAST((n * sxx - sx * sx) div 1000 AS DECIMAL(38,0))
+                   |   * CAST((n * sxx - sx * sx) div 1000 AS DECIMAL(38,0)), 0)"""
+              .stripMargin).as("r2_x1e6"))
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             |      FROM pairs a JOIN pairs b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |nb AS (SELECT u AS node, v AS nbr FROM e
+             |       UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+             |        FROM nb GROUP BY node),
+             |pts AS (SELECT dx.deg AS x, dy.deg AS y
+             |        FROM nb JOIN deg dx ON nb.node = dx.node
+             |        JOIN deg dy ON nb.nbr = dy.node),
+             |st AS (SELECT count(*) AS n, sum(x) AS sx,
+             |         sum(x * x) AS sxx, sum(x * y) AS sxy
+             |       FROM pts)
+             |SELECT CAST(n AS BIGINT) AS n_points,
+             |  CASE WHEN n * sxy - sx * sx > 0 THEN 1
+             |    WHEN n * sxy - sx * sx < 0 THEN -1 ELSE 0 END AS sign,
+             |  CAST(((n * sxy - sx * sx) // 1000) * ((n * sxy - sx * sx) // 1000)
+             |    * 1000000
+             |    // nullif(((n * sxx - sx * sx) // 1000)
+             |      * ((n * sxx - sx * sx) // 1000), 0) AS BIGINT) AS r2_x1e6
+             |FROM st""".stripMargin)),
+
     // G10: degree-distribution histogram over the co-occurrence graph —
     // the first diagnostic a graph pipeline runs before choosing
     // partitioning (is the degree sequence heavy-tailed? does it need a

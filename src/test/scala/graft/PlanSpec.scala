@@ -308,6 +308,17 @@ class PlanSpec extends SparkSpec {
     // w15: one user_id shuffle, then a map-side ordered fold — join-free
     val w15 = plan("w15_holt_winters")
     assert(!w15.contains("Join"), "w15 grew a join; the HW fold is join-free")
+    // a27: both rankings ride GlobalRank's range repartition — never an
+    // unpartitioned window over the per-part metric frame
+    val a27 = plan("a27_rank_correlation")
+    assert(a27.toLowerCase.contains("rangepartitioning"),
+      "a27 lost GlobalRank's range repartition:\n" + a27.take(1500))
+    // g13: equi-joins + one partial-combining moment aggregate
+    val g13 = plan("g13_assortativity")
+    assert(!g13.contains("CartesianProduct") && !g13.contains("NestedLoop"),
+      "g13 degraded from equi-join")
+    assert(g13.contains("partial_sum") || g13.contains("partial sum"),
+      "g13 moment sums lost their map-side combine")
     // d14: the pair join stays an equi-join over the materialized base
     val d14 = plan("d14_minhash_calibration")
     assert(!d14.contains("CartesianProduct") && !d14.contains("NestedLoop"),

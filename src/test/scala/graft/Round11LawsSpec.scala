@@ -136,6 +136,29 @@ class Round11LawsSpec extends SparkSpec {
     }
   }
 
+  test("a27: rho bounded and exactly the BigInt closed form of sum_d2") {
+    val rows = q("a27_rank_correlation").collect()
+    assert(rows.length === 1)
+    val (n, sd2, rho) =
+      (rows.head.getLong(0), rows.head.getLong(1), rows.head.getLong(2))
+    assert(n > 0L && sd2 >= 0L)
+    assert(rho >= -1000000L && rho <= 1000000L)
+    val bn = BigInt(n)
+    assert(BigInt(rho) ===
+      BigInt(1000000) - BigInt(6) * sd2 * 1000000 / (bn * bn * bn - bn))
+  }
+
+  test("g13: symmetrized point count even, sign in range, r2 bounded") {
+    val rows = q("g13_assortativity").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) > 0L && r.getLong(0) % 2 === 0L,
+      "symmetrized edge points must come in pairs")
+    assert(Set(-1, 0, 1).contains(r.getInt(1)))
+    val r2 = r.getLong(2)
+    assert(r2 >= 0L && r2 <= 1000000L)
+  }
+
   test("d14: agreement bounded by the signature, scaled values consistent") {
     val rows = q("d14_minhash_calibration").collect()
     assert(rows.nonEmpty)
