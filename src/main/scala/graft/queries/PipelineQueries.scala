@@ -2954,6 +2954,65 @@ object PipelineQueries {
               |    AS abs_err_x1000
               |FROM p ORDER BY a_id""".stripMargin)),
 
+    // M3 (multimodal): bounding-box RESIZE registered end-to-end — the
+    // missing member of the decode / feature-extract / frame-sample
+    // quartet (m1/m2): BinaryPipeline.resize runs the typed
+    // Dataset[MediaFeatures] path (aspect-preserving integer rescale
+    // into 256x256; in production the pixel resample sits beside the
+    // decode in the same per-partition batch — the plumbing is what's
+    // under test). Input dims derive from the same md5-hash32 expressions
+    // m1 emits, so the oracle replays dimension derivation AND the
+    // min/num/den clamp arithmetic exactly; the fit flag compares output
+    // to input dims identically on both engines. Map-side end to end but
+    // the id join of the before/after branches (one equi-join).
+    Q("m3_media_resize",
+      (s, d) => {
+        import s.implicits._
+        val dims = documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            (hash32(col("text")) % 1280 + 64).cast("int").as("width"),
+            (hash32(reverse(col("text"))) % 720 + 64).cast("int").as("height"))
+        val feats = dims
+          .withColumn("channels", lit(3).cast("int"))
+          .withColumn("byte_mean_x1000", lit(0L))
+          .withColumn("byte_crc", lit(0L))
+          .as[graft.multimodal.MediaFeatures]
+        val resized = graft.multimodal.BinaryPipeline.resize(feats, 256, 256)
+          .toDF()
+          .select(col("media_id"), col("width").cast("long").as("out_w"),
+            col("height").cast("long").as("out_h"))
+        dims
+          .select(col("media_id"), col("width").cast("long").as("in_w"),
+            col("height").cast("long").as("in_h"))
+          .join(resized, Seq("media_id"))
+          .withColumn("already_fit",
+            (col("in_w") === col("out_w") && col("in_h") === col("out_h"))
+              .cast("int"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id AS media_id,
+              |    ${sqlH32("text")} % 1280 + 64 AS in_w,
+              |    ${sqlH32("reverse(text)")} % 720 + 64 AS in_h
+              |  FROM documents
+              |), r AS (
+              |  SELECT media_id, in_w, in_h,
+              |    least(256 * in_h, 256 * in_w) AS num, in_w * in_h AS den
+              |  FROM f
+              |)
+              |SELECT media_id, CAST(in_w AS BIGINT) AS in_w,
+              |  CAST(in_h AS BIGINT) AS in_h,
+              |  CAST(CASE WHEN num >= den THEN in_w
+              |    ELSE greatest(1, in_w * num // den) END AS BIGINT) AS out_w,
+              |  CAST(CASE WHEN num >= den THEN in_h
+              |    ELSE greatest(1, in_h * num // den) END AS BIGINT) AS out_h,
+              |  CAST(in_w = (CASE WHEN num >= den THEN in_w
+              |      ELSE greatest(1, in_w * num // den) END)
+              |    AND in_h = (CASE WHEN num >= den THEN in_h
+              |      ELSE greatest(1, in_h * num // den) END) AS INT)
+              |    AS already_fit
+              |FROM r ORDER BY media_id""".stripMargin)),
+
     // U7: snapshot ROLLBACK (operators/SnapshotStore.rollback) — the
     // Delta-RESTORE member of the u-family: a bad publish is undone by
     // RE-COMMITTING the last good version's content as a NEW version,

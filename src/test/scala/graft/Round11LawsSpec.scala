@@ -183,6 +183,21 @@ class Round11LawsSpec extends SparkSpec {
     assert(rows.map(_.getInt(3)).toSeq === Seq(0, 0, 1))
   }
 
+  test("m3: resized dims fit the box, aspect clamp never upsizes") {
+    val rows = q("m3_media_resize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (iw, ih, ow, oh, fit) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))
+      assert(ow >= 1L && oh >= 1L)
+      assert(ow <= iw && oh <= ih, "resize must never upscale")
+      if (fit == 0) assert(ow <= 256L && oh <= 256L,
+        "a resized record must fit the 256x256 box")
+      else assert(iw <= 256L && ih <= 256L,
+        "already_fit means the input was inside the box")
+    }
+  }
+
   test("m14: positives conserve across thresholds, recall monotone non-increasing") {
     val rows = q("m14_pr_curve").collect()
     assert(rows.length === 6)
