@@ -144,6 +144,13 @@ object DecisionAudit {
         "only fp op is the per-order cents conversion",
       Seq("round(o.o_totalprice * 100)",
         "(2 * s1 - (n + 1) * s0) * 10000 // (n * s0)")),
+    "a28_ks_test" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); the ECDF gap max|cum_a*n_b - cum_b*n_a|, the " +
+        "x1e4 statistic, and the SQUARED alpha=0.05 threshold " +
+        "comparison (1.358^2 = 1.844164 as the rational 1844164/1e6) " +
+        "are exact integer arithmetic — no sqrt, no float ECDF",
+      Seq("round(value * 100)", "1844164")),
     "a27_rank_correlation" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); ranks are integer row_numbers under a total " +

@@ -1020,6 +1020,75 @@ object AdvancedQueries {
              |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_x1e6
              |FROM dd""".stripMargin)),
 
+    // A28: two-sample Kolmogorov-Smirnov test — "did the value
+    // distribution drift between the two cohorts?" (here: click vs
+    // purchase event values), the distribution-level complement of
+    // a20's mean-level Welch test. D = max |ECDF_a - ECDF_b| evaluated
+    // per distinct exact-cents value with BOTH cumulative counts riding
+    // ONE GlobalRank.withRankAndRunningTotals pass (t24's multi-prefix
+    // machinery — a billion-point sample never coalesces into one
+    // window partition); the statistic is the exact integer
+    // max|cum_a*n_b - cum_b*n_a| so no ECDF ratio is ever a float, and
+    // the alpha=0.05 decision squares the classic c(α)·sqrt((n+m)/nm)
+    // threshold into pure integer arithmetic (1.358² = 1.844164 — a
+    // rational constant, no sqrt anywhere). One scan, one tiny-value
+    // aggregate, one range shuffle.
+    Q("a28_ks_test",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val ev = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(round(col("value") * 100).cast("long").as("c"),
+            (col("event_type") === "click").cast("long").as("is_a"))
+        val byVal = ev.groupBy(col("c"))
+          .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+        val cum = GlobalRank.withRankAndRunningTotals(byVal,
+          Seq(col("c").asc), Seq("ca", "cb"), "vr", Seq("cum_a", "cum_b"))
+        val tot = ev.agg(sum(col("is_a")).as("n_a"),
+          sum(lit(1L) - col("is_a")).as("n_b"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("n_a"), col("n_b"),
+            abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+              .as("dn"))
+          .groupBy(col("n_a"), col("n_b"))
+          .agg(max(col("dn")).as("d_num"))
+          .select(col("n_a"), col("n_b"), col("d_num"),
+            expr("d_num * 10000 div (n_a * n_b)").as("ks_x1e4"),
+            expr("""CAST(CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000
+                   | > 1844164 * CAST(n_a + n_b AS DECIMAL(38,0)) * n_a * n_b
+                   | AS INT)""".stripMargin).as("reject_05"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             |    CAST(event_type = 'click' AS BIGINT) AS is_a
+             |  FROM events WHERE event_type IN ('click', 'purchase')
+             |), bv AS (
+             |  SELECT c, CAST(sum(is_a) AS BIGINT) AS ca,
+             |    CAST(sum(1 - is_a) AS BIGINT) AS cb
+             |  FROM ev GROUP BY c
+             |), cum AS (
+             |  SELECT c,
+             |    CAST(sum(ca) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum_a,
+             |    CAST(sum(cb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum_b
+             |  FROM bv
+             |), tot AS (
+             |  SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+             |    CAST(sum(1 - is_a) AS BIGINT) AS n_b
+             |  FROM ev
+             |), dd AS (
+             |  SELECT n_a, n_b,
+             |    max(abs(cum_a * n_b - cum_b * n_a)) AS d_num
+             |  FROM cum CROSS JOIN tot GROUP BY n_a, n_b
+             |)
+             |SELECT n_a, n_b, CAST(d_num AS BIGINT) AS d_num,
+             |  CAST(d_num * 10000 // (n_a * n_b) AS BIGINT) AS ks_x1e4,
+             |  CAST(CAST(d_num AS HUGEINT) * d_num * 1000000
+             |    > 1844164 * CAST(n_a + n_b AS HUGEINT) * n_a * n_b AS INT)
+             |    AS reject_05
+             |FROM dd""".stripMargin)),
+
     // A26: chi-square independence audit between two categorical columns
     // (documents lang x source) — the corpus-balance question a mixture
     // designer asks before weighting ("is language distribution uniform

@@ -313,6 +313,10 @@ class PlanSpec extends SparkSpec {
     val a27 = plan("a27_rank_correlation")
     assert(a27.toLowerCase.contains("rangepartitioning"),
       "a27 lost GlobalRank's range repartition:\n" + a27.take(1500))
+    // a28: both ECDF prefixes ride GlobalRank's range repartition
+    val a28 = plan("a28_ks_test")
+    assert(a28.toLowerCase.contains("rangepartitioning"),
+      "a28 lost GlobalRank's range repartition:\n" + a28.take(1500))
     // g13: equi-joins + one partial-combining moment aggregate
     val g13 = plan("g13_assortativity")
     assert(!g13.contains("CartesianProduct") && !g13.contains("NestedLoop"),

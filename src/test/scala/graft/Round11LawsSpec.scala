@@ -159,6 +159,21 @@ class Round11LawsSpec extends SparkSpec {
     assert(r2 >= 0L && r2 <= 1000000L)
   }
 
+  test("a28: KS statistic bounded, decision matches the BigInt threshold form") {
+    val rows = q("a28_ks_test").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (na, nb, dn, ks, rej) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getInt(4))
+    assert(na > 0L && nb > 0L)
+    assert(dn >= 0L && dn <= na * nb, "D numerator bounded by n_a*n_b")
+    assert(ks >= 0L && ks <= 10000L)
+    assert(ks === dn * 10000L / (na * nb))
+    val lhs = BigInt(dn) * dn * 1000000
+    val rhs = BigInt(1844164) * (na + nb) * na * nb
+    assert(rej === (if (lhs > rhs) 1 else 0))
+  }
+
   test("d14: agreement bounded by the signature, scaled values consistent") {
     val rows = q("d14_minhash_calibration").collect()
     assert(rows.nonEmpty)
