@@ -144,6 +144,18 @@ object DecisionAudit {
         "only fp op is the per-order cents conversion",
       Seq("round(o.o_totalprice * 100)",
         "(2 * s1 - (n + 1) * s0) * 10000 // (n * s0)")),
+    "b2_tpch_q5" -> GrainMargin(0.5,
+      "the two per-row cents/percent conversions are the only fp ops " +
+        "(0.5 margin each on 2-dp-grain data); revenue accumulates the " +
+        "exact integer cents x (100 - pct) products in DECIMAL(38,0) " +
+        "vs HUGEINT — j3's round(sum) float variant, exactified",
+      Seq("round(l_extendedprice * 100)", "round(l_discount * 100)")),
+    "f6_markov_stationary" -> IntegerDecided(
+      "pi is an integer x1e6 vector throughout: every power-round term " +
+        "is the exact integer division pi_i * n_pair div n_from, sums " +
+        "are order-independent, and the convergence delta is integer " +
+        "abs — no fp anywhere in the iteration",
+      Seq("p.p * c.n_pair // t.n_from", "1000000 // n_states")),
     "a28_ks_test" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); the ECDF gap max|cum_a*n_b - cum_b*n_a|, the " +

@@ -1766,6 +1766,99 @@ object GraphTemporalQueries {
              |FROM c JOIN t USING (from_type)
              |ORDER BY from_type, to_type""".stripMargin)),
 
+    // F6: Markov stationary distribution — "where does the user journey
+    // SETTLE": the long-run occupancy of f4's transition matrix, the
+    // number behind 'X% of engaged time ends in state S'. Eight exact-
+    // integer power rounds: pi starts uniform at the 1e6 grain and each
+    // step sums per-edge terms pi_i * n_pair div n_from — every term an
+    // exact integer division, so the sum is order-independent and the
+    // iteration is bit-reproducible in both engines (float pi would be
+    // the a16 class; the <= |states| mass leak per round is 5e-6 here
+    // and reported in-row as mass_x1e6). Scale shape: ONE event-scan
+    // builds the transition counts (f4's shuffle), materialized to
+    // scratch so the 8 tiny-frame rounds re-read a |states|²-row
+    // parquet instead of replaying the shuffle per round (the g2/lpa
+    // loop discipline); the iteration itself touches frames the size of
+    // the state space, nothing more, at any corpus scale. The oracle
+    // unrolls the same 8 rounds as MATERIALIZED CTEs (g8's rule).
+    Q("f6_markov_stationary",
+      (s, d) => {
+        val pairs = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))))
+          .filter(col("to_type").isNotNull)
+          .withColumnRenamed("event_type", "from_type")
+        val counts = pairs.groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n_pair"))
+        val totals = counts.groupBy(col("from_type"))
+          .agg(sum(col("n_pair")).as("n_from"))
+        val transPath = graft.Scratch.dir(s, "f6_trans")
+        counts.join(totals, Seq("from_type"))
+          .write.mode("overwrite").parquet(transPath)
+        val trans = s.read.parquet(transPath)
+        val states = trans.select(col("from_type").as("state")).distinct()
+        val ns = states.agg(count(lit(1)).as("n_states"))
+        var pi = states.crossJoin(broadcast(ns))
+          .select(col("state"), expr("1000000 div n_states").as("p_x1e6"))
+        var prev = pi
+        for (_ <- 1 to 8) {
+          prev = pi
+          pi = trans.join(pi, col("from_type") === col("state"))
+            .select(col("to_type"),
+              expr("p_x1e6 * n_pair div n_from").as("t"))
+            .groupBy(col("to_type")).agg(sum(col("t")).as("p_x1e6"))
+            .select(col("to_type").as("state"), col("p_x1e6"))
+        }
+        val mass = pi.agg(sum(col("p_x1e6")).as("mass_x1e6"))
+        pi.join(prev.select(col("state"), col("p_x1e6").as("p_prev")),
+            Seq("state"))
+          .join(totals.select(col("from_type").as("state"), col("n_from")),
+            Seq("state"))
+          .crossJoin(broadcast(mass))
+          .select(col("state"), col("p_x1e6").as("pi_x1e6"),
+            abs(col("p_x1e6") - col("p_prev")).as("delta_x1e6"),
+            col("n_from"), col("mass_x1e6"))
+          .orderBy("state")
+      },
+      Some {
+        def round(k: Int): String =
+          s"""p$k AS MATERIALIZED (
+             |  SELECT c.to_type AS state,
+             |    CAST(sum(p.p * c.n_pair // t.n_from) AS BIGINT) AS p
+             |  FROM c JOIN t USING (from_type)
+             |  JOIN p${k - 1} p ON p.state = c.from_type
+             |  GROUP BY 1)""".stripMargin
+        s"""WITH ev AS (
+           |  SELECT event_type AS from_type,
+           |    lead(event_type) OVER (
+           |      PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+           |      AS to_type
+           |  FROM events
+           |), c AS MATERIALIZED (
+           |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_pair
+           |  FROM ev WHERE to_type IS NOT NULL GROUP BY 1, 2
+           |), t AS MATERIALIZED (
+           |  SELECT from_type, CAST(sum(n_pair) AS BIGINT) AS n_from
+           |  FROM c GROUP BY 1
+           |), ns AS (SELECT count(*) AS n_states FROM t),
+           |p0 AS MATERIALIZED (
+           |  SELECT from_type AS state,
+           |    CAST(1000000 // n_states AS BIGINT) AS p
+           |  FROM t CROSS JOIN ns),
+           |${(1 to 8).map(round).mkString(",\n")},
+           |mass AS (SELECT CAST(sum(p) AS BIGINT) AS mass_x1e6 FROM p8)
+           |SELECT p8.state, p8.p AS pi_x1e6,
+           |  CAST(abs(p8.p - p7.p) AS BIGINT) AS delta_x1e6,
+           |  t.n_from, mass.mass_x1e6
+           |FROM p8 JOIN p7 ON p8.state = p7.state
+           |JOIN t ON p8.state = t.from_type
+           |CROSS JOIN mass
+           |ORDER BY p8.state""".stripMargin
+      }),
+
     Q("f3_top_paths",
       (s, d) => {
         events(s, d)

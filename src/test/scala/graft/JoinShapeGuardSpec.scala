@@ -50,7 +50,8 @@ class JoinShapeGuardSpec extends SparkSpec {
     "a26_chi_square",         // |langs| x |sources| category frames + 1-row N/df
     "t24_heaps_law",          // 1-row doc-count frame (checkpoint stride)
     "m14_pr_curve",           // 6-row literal threshold frame
-    "a28_ks_test"             // 1-row sample-size frame (n_a, n_b)
+    "a28_ks_test",            // 1-row sample-size frame (n_a, n_b)
+    "f6_markov_stationary"    // 1-row state-count seed + 1-row mass frame
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {

@@ -313,6 +313,18 @@ class PlanSpec extends SparkSpec {
     val a27 = plan("a27_rank_correlation")
     assert(a27.toLowerCase.contains("rangepartitioning"),
       "a27 lost GlobalRank's range repartition:\n" + a27.take(1500))
+    // b2: region/nation/supplier broadcast; customer/orders stay
+    // shuffle joins (fact-scale at SF — broadcasting them would be a
+    // bench-scale lie); no cartesian anywhere
+    val b2 = plan("b2_tpch_q5")
+    assert(b2.contains("BroadcastHashJoin"), "b2 dim joins not broadcast")
+    assert(!b2.contains("CartesianProduct") && !b2.contains("NestedLoop"))
+    assert(b2.contains("partial_sum") || b2.contains("partial sum"),
+      "b2 revenue aggregate lost its map-side combine")
+    // f6: the stationary iteration runs over the materialized tiny
+    // transition table — equi-joins + reviewed scalar broadcasts only
+    assert(!plan("f6_markov_stationary").contains("CartesianProduct"),
+      "f6 degraded to a cartesian product")
     // a28: both ECDF prefixes ride GlobalRank's range repartition
     val a28 = plan("a28_ks_test")
     assert(a28.toLowerCase.contains("rangepartitioning"),

@@ -213,6 +213,31 @@ class Round11LawsSpec extends SparkSpec {
     }
   }
 
+  test("b2: one row per in-region nation, revenue-ordered, all-positive") {
+    val rows = q("b2_tpch_q5").collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val revs = rows.map(_.getLong(1))
+    assert(revs.forall(_ > 0L))
+    assert(revs.sameElements(revs.sortBy(-_)), "Q5 orders by revenue desc")
+    assert(rows.map(_.getLong(2)).forall(_ > 0L))
+  }
+
+  test("f6: stationary mass conserves to the leak bound, pi non-negative") {
+    val rows = q("f6_markov_stationary").collect()
+    assert(rows.nonEmpty)
+    val mass = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) == mass))
+    // uniform seed loses <= (n_states - 1) at t=0; each of 8 rounds leaks
+    // < n_states from per-edge floor division
+    val n = rows.length.toLong
+    assert(mass <= 1000000L && mass >= 1000000L - (n - 1) - 8L * n * n,
+      s"mass_x1e6 $mass outside the floor-leak bound")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(2) >= 0L)
+      assert(r.getLong(1) <= 1000000L)
+    }
+  }
+
   test("m14: positives conserve across thresholds, recall monotone non-increasing") {
     val rows = q("m14_pr_curve").collect()
     assert(rows.length === 6)
