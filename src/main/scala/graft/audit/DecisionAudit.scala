@@ -155,7 +155,7 @@ object DecisionAudit {
         "is the exact integer division pi_i * n_pair div n_from, sums " +
         "are order-independent, and the convergence delta is integer " +
         "abs — no fp anywhere in the iteration",
-      Seq("p.p * c.n_pair // t.n_from", "1000000 // n_states")),
+      Seq("p.p * cp.n_pair // tp.n_from", "1000000 // n_states")),
     "a28_ks_test" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); the ECDF gap max|cum_a*n_b - cum_b*n_a|, the " +

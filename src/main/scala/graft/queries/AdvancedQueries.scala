@@ -992,7 +992,11 @@ object AdvancedQueries {
             * (col("rank_qty") - col("rank_rev"))).as("d2"))
           .agg(count(lit(1)).as("n"),
             sum(col("d2").cast("decimal(38,0)")).as("sd2"))
-          .select(col("n"), col("sd2").cast("long").as("sum_d2"),
+          // mean d², not the raw sum: sum(d²) reaches n³/3 and overflows
+          // an int64 OUTPUT column past ~3M ranked keys; the mean stays
+          // <= n²/3 (int64-safe to beyond 1e9 keys) and rho carries the
+          // full-precision signal anyway
+          .select(col("n"), expr("sd2 div n").as("mean_d2"),
             expr("""1000000 - 6 * sd2 * 1000000
                    | div (CAST(n AS DECIMAL(38,0)) * n * n - n)""".stripMargin)
               .as("rho_x1e6"))
@@ -1015,7 +1019,7 @@ object AdvancedQueries {
              |    sum((rank_qty - rank_rev) * (rank_qty - rank_rev)) AS sd2
              |  FROM r
              |)
-             |SELECT n, CAST(sd2 AS BIGINT) AS sum_d2,
+             |SELECT n, CAST(sd2 // n AS BIGINT) AS mean_d2,
              |  CAST(1000000 - 6 * sd2 * 1000000
              |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_x1e6
              |FROM dd""".stripMargin)),
@@ -1044,8 +1048,10 @@ object AdvancedQueries {
           .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
         val cum = GlobalRank.withRankAndRunningTotals(byVal,
           Seq(col("c").asc), Seq("ca", "cb"), "vr", Seq("cum_a", "cum_b"))
-        val tot = ev.agg(sum(col("is_a")).as("n_a"),
-          sum(lit(1L) - col("is_a")).as("n_b"))
+        // sample sizes from the tiny per-value frame — the fact table is
+        // scanned exactly once
+        val tot = byVal.agg(sum(col("ca")).as("n_a"),
+          sum(col("cb")).as("n_b"))
         cum.crossJoin(broadcast(tot))
           .select(col("n_a"), col("n_b"),
             abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
@@ -1053,7 +1059,12 @@ object AdvancedQueries {
           .groupBy(col("n_a"), col("n_b"))
           .agg(max(col("dn")).as("d_num"))
           .select(col("n_a"), col("n_b"), col("d_num"),
-            expr("d_num * 10000 div (n_a * n_b)").as("ks_x1e4"),
+            // d_num * 10000 in DECIMAL: at the billion-point samples the
+            // comment advertises, d_num <= n_a*n_b ~ 2.5e17 and the x1e4
+            // scaling overflows int64
+            expr("""CAST(d_num AS DECIMAL(38,0)) * 10000
+                   | div (CAST(n_a AS DECIMAL(38,0)) * n_b)""".stripMargin)
+              .as("ks_x1e4"),
             expr("""CAST(CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000
                    | > 1844164 * CAST(n_a + n_b AS DECIMAL(38,0)) * n_a * n_b
                    | AS INT)""".stripMargin).as("reject_05"))
@@ -1074,16 +1085,17 @@ object AdvancedQueries {
              |      AS BIGINT) AS cum_b
              |  FROM bv
              |), tot AS (
-             |  SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
-             |    CAST(sum(1 - is_a) AS BIGINT) AS n_b
-             |  FROM ev
+             |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             |    CAST(sum(cb) AS BIGINT) AS n_b
+             |  FROM bv
              |), dd AS (
              |  SELECT n_a, n_b,
              |    max(abs(cum_a * n_b - cum_b * n_a)) AS d_num
              |  FROM cum CROSS JOIN tot GROUP BY n_a, n_b
              |)
              |SELECT n_a, n_b, CAST(d_num AS BIGINT) AS d_num,
-             |  CAST(d_num * 10000 // (n_a * n_b) AS BIGINT) AS ks_x1e4,
+             |  CAST(CAST(d_num AS HUGEINT) * 10000
+             |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_x1e4,
              |  CAST(CAST(d_num AS HUGEINT) * d_num * 1000000
              |    > 1844164 * CAST(n_a + n_b AS HUGEINT) * n_a * n_b AS INT)
              |    AS reject_05
@@ -1107,9 +1119,12 @@ object AdvancedQueries {
         val docs = documents(s, d).select(col("lang"), col("source"))
         val obs = docs.groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("o"))
-        val rt = docs.groupBy(col("lang")).agg(count(lit(1)).as("r"))
-        val ct = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
-        val tot = docs.agg(count(lit(1)).as("nn"))
+        // row/column/N totals aggregate the TINY contingency frame, so the
+        // fact table is scanned exactly once (sums of cell counts ARE the
+        // marginal counts)
+        val rt = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+        val ct = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
+        val tot = obs.agg(sum(col("o")).as("nn"))
         val dims = rt.agg(count(lit(1)).as("nl"))
           .crossJoin(broadcast(ct.agg(count(lit(1)).as("ns"))))
         val terms = rt.crossJoin(broadcast(ct))
@@ -1135,12 +1150,12 @@ object AdvancedQueries {
              |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
              |  FROM documents GROUP BY lang, source
              |), rt AS (
-             |  SELECT lang, CAST(count(*) AS BIGINT) AS r
-             |  FROM documents GROUP BY lang
+             |  SELECT lang, CAST(sum(o) AS BIGINT) AS r
+             |  FROM obs GROUP BY lang
              |), ct AS (
-             |  SELECT source, CAST(count(*) AS BIGINT) AS c
-             |  FROM documents GROUP BY source
-             |), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+             |  SELECT source, CAST(sum(o) AS BIGINT) AS c
+             |  FROM obs GROUP BY source
+             |), tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM obs),
              |dims AS (
              |  SELECT (SELECT count(*) FROM rt) AS nl,
              |         (SELECT count(*) FROM ct) AS ns

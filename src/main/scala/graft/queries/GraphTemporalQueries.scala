@@ -1795,8 +1795,20 @@ object GraphTemporalQueries {
           .agg(count(lit(1)).as("n_pair"))
         val totals = counts.groupBy(col("from_type"))
           .agg(sum(col("n_pair")).as("n_from"))
+        // SINK states (appearing only as to_type) would silently lose
+        // their whole mass each round — far beyond the floor-leak bound.
+        // Standard absorbing-state convention: pad a self-loop so a
+        // sink keeps its occupancy (no sink exists in this data, but
+        // the operator must not depend on that)
+        val sinks = counts.select(col("to_type").as("from_type")).distinct()
+          .join(totals.select(col("from_type")), Seq("from_type"),
+            "left_anti")
+        val padded = counts.unionByName(sinks.select(col("from_type"),
+          col("from_type").as("to_type"), lit(1L).as("n_pair")))
+        val totalsAll = totals.unionByName(
+          sinks.select(col("from_type"), lit(1L).as("n_from")))
         val transPath = graft.Scratch.dir(s, "f6_trans")
-        counts.join(totals, Seq("from_type"))
+        padded.join(totalsAll, Seq("from_type"))
           .write.mode("overwrite").parquet(transPath)
         val trans = s.read.parquet(transPath)
         val states = trans.select(col("from_type").as("state")).distinct()
@@ -1815,21 +1827,23 @@ object GraphTemporalQueries {
         val mass = pi.agg(sum(col("p_x1e6")).as("mass_x1e6"))
         pi.join(prev.select(col("state"), col("p_x1e6").as("p_prev")),
             Seq("state"))
+          // REAL outdegree in the output (0 for a padded sink), so the
+          // synthetic self-loop count never leaks into the report
           .join(totals.select(col("from_type").as("state"), col("n_from")),
-            Seq("state"))
+            Seq("state"), "left")
           .crossJoin(broadcast(mass))
           .select(col("state"), col("p_x1e6").as("pi_x1e6"),
             abs(col("p_x1e6") - col("p_prev")).as("delta_x1e6"),
-            col("n_from"), col("mass_x1e6"))
+            coalesce(col("n_from"), lit(0L)).as("n_from"), col("mass_x1e6"))
           .orderBy("state")
       },
       Some {
         def round(k: Int): String =
           s"""p$k AS MATERIALIZED (
-             |  SELECT c.to_type AS state,
-             |    CAST(sum(p.p * c.n_pair // t.n_from) AS BIGINT) AS p
-             |  FROM c JOIN t USING (from_type)
-             |  JOIN p${k - 1} p ON p.state = c.from_type
+             |  SELECT cp.to_type AS state,
+             |    CAST(sum(p.p * cp.n_pair // tp.n_from) AS BIGINT) AS p
+             |  FROM cp JOIN tp USING (from_type)
+             |  JOIN p${k - 1} p ON p.state = cp.from_type
              |  GROUP BY 1)""".stripMargin
         s"""WITH ev AS (
            |  SELECT event_type AS from_type,
@@ -1843,18 +1857,27 @@ object GraphTemporalQueries {
            |), t AS MATERIALIZED (
            |  SELECT from_type, CAST(sum(n_pair) AS BIGINT) AS n_from
            |  FROM c GROUP BY 1
-           |), ns AS (SELECT count(*) AS n_states FROM t),
+           |), sk AS (
+           |  SELECT DISTINCT to_type AS from_type FROM c
+           |  WHERE to_type NOT IN (SELECT from_type FROM c)
+           |), cp AS MATERIALIZED (
+           |  SELECT * FROM c
+           |  UNION ALL SELECT from_type, from_type, 1::BIGINT FROM sk
+           |), tp AS MATERIALIZED (
+           |  SELECT * FROM t UNION ALL SELECT from_type, 1::BIGINT FROM sk
+           |), ns AS (SELECT count(*) AS n_states FROM tp),
            |p0 AS MATERIALIZED (
            |  SELECT from_type AS state,
            |    CAST(1000000 // n_states AS BIGINT) AS p
-           |  FROM t CROSS JOIN ns),
+           |  FROM tp CROSS JOIN ns),
            |${(1 to 8).map(round).mkString(",\n")},
            |mass AS (SELECT CAST(sum(p) AS BIGINT) AS mass_x1e6 FROM p8)
            |SELECT p8.state, p8.p AS pi_x1e6,
            |  CAST(abs(p8.p - p7.p) AS BIGINT) AS delta_x1e6,
-           |  t.n_from, mass.mass_x1e6
+           |  CAST(coalesce(t.n_from, 0) AS BIGINT) AS n_from,
+           |  mass.mass_x1e6
            |FROM p8 JOIN p7 ON p8.state = p7.state
-           |JOIN t ON p8.state = t.from_type
+           |LEFT JOIN t ON p8.state = t.from_type
            |CROSS JOIN mass
            |ORDER BY p8.state""".stripMargin
       }),

@@ -136,14 +136,32 @@ class Round11LawsSpec extends SparkSpec {
     }
   }
 
-  test("a27: rho bounded and exactly the BigInt closed form of sum_d2") {
+  test("a27: rho and mean_d2 match an independent BigInt rank recomputation") {
     val rows = q("a27_rank_correlation").collect()
     assert(rows.length === 1)
-    val (n, sd2, rho) =
+    val (n, meanD2, rho) =
       (rows.head.getLong(0), rows.head.getLong(1), rows.head.getLong(2))
-    assert(n > 0L && sd2 >= 0L)
+    assert(n > 0L && meanD2 >= 0L)
     assert(rho >= -1000000L && rho <= 1000000L)
+    // independent path: collect the per-part metrics, rank in plain Scala
+    // under the same total orders, and replay the closed form in BigInt
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val m = Tables.lineitem(s, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.length.toLong === n)
+    def ranks(key: ((Long, Long, Long)) => (Long, Long)): Map[Long, Long] =
+      m.sortBy { t => val (v, k) = key(t); (-v, k) }
+        .zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val rq = ranks(t => (t._2, t._1))
+    val rr = ranks(t => (t._3, t._1))
+    val sd2 = m.map { t =>
+      val d = BigInt(rq(t._1) - rr(t._1)); d * d }.sum
     val bn = BigInt(n)
+    assert(BigInt(meanD2) === sd2 / bn)
     assert(BigInt(rho) ===
       BigInt(1000000) - BigInt(6) * sd2 * 1000000 / (bn * bn * bn - bn))
   }
