@@ -1795,35 +1795,16 @@ object GraphTemporalQueries {
           .agg(count(lit(1)).as("n_pair"))
         val totals = counts.groupBy(col("from_type"))
           .agg(sum(col("n_pair")).as("n_from"))
-        // SINK states (appearing only as to_type) would silently lose
-        // their whole mass each round — far beyond the floor-leak bound.
-        // Standard absorbing-state convention: pad a self-loop so a
-        // sink keeps its occupancy (no sink exists in this data, but
-        // the operator must not depend on that)
-        val sinks = counts.select(col("to_type").as("from_type")).distinct()
-          .join(totals.select(col("from_type")), Seq("from_type"),
-            "left_anti")
-        val padded = counts.unionByName(sinks.select(col("from_type"),
-          col("from_type").as("to_type"), lit(1L).as("n_pair")))
-        val totalsAll = totals.unionByName(
-          sinks.select(col("from_type"), lit(1L).as("n_from")))
+        // operators/MarkovChain pads SINK states (appearing only as
+        // to_type) with an absorbing self-loop — without it a sink's
+        // whole mass vanishes each round, far beyond the floor-leak
+        // bound (no sink exists in this data; MarkovChainSpec exercises
+        // the path on a synthetic sink-bearing chain)
         val transPath = graft.Scratch.dir(s, "f6_trans")
-        padded.join(totalsAll, Seq("from_type"))
+        graft.operators.MarkovChain.paddedTransitions(counts)
           .write.mode("overwrite").parquet(transPath)
         val trans = s.read.parquet(transPath)
-        val states = trans.select(col("from_type").as("state")).distinct()
-        val ns = states.agg(count(lit(1)).as("n_states"))
-        var pi = states.crossJoin(broadcast(ns))
-          .select(col("state"), expr("1000000 div n_states").as("p_x1e6"))
-        var prev = pi
-        for (_ <- 1 to 8) {
-          prev = pi
-          pi = trans.join(pi, col("from_type") === col("state"))
-            .select(col("to_type"),
-              expr("p_x1e6 * n_pair div n_from").as("t"))
-            .groupBy(col("to_type")).agg(sum(col("t")).as("p_x1e6"))
-            .select(col("to_type").as("state"), col("p_x1e6"))
-        }
+        val (pi, prev) = graft.operators.MarkovChain.stationary(s, trans, 8)
         val mass = pi.agg(sum(col("p_x1e6")).as("mass_x1e6"))
         pi.join(prev.select(col("state"), col("p_x1e6").as("p_prev")),
             Seq("state"))
