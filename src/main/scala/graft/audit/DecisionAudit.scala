@@ -179,9 +179,53 @@ object DecisionAudit {
         "2-dp-grain data is the only fp op (0.5 margin); the five " +
         "sufficient statistics accumulate in DECIMAL(38,0) vs HUGEINT " +
         "and slope/intercept/R² are integer divisions of exact " +
-        "integers — including the shared drop-3-digits R² scaling",
+        "integers — including the ADAPTIVE shared-digit R² truncation " +
+        "(tr from string digit-length, an exact integer op; abs() only " +
+        "feeds that length, never an fp path)",
       Seq("round(l_extendedprice * 100)",
-        "(n * sxy - sx * sy) * 1000000")),
+        "(n * sxy - sx * sy) * 1000000",
+        "length(CAST(abs(rnum) AS VARCHAR))")),
+    "a26_chi_square" -> IntegerDecided(
+      "contingency counts and marginals are exact longs; the per-cell " +
+        "term rides the adaptive shared-digit truncation (tr from " +
+        "string digit-length — exact integer; abs() only feeds that " +
+        "length) and every division is integer `div`/`//` — no fp " +
+        "anywhere on the decision path",
+      Seq("length(CAST(abs(u) AS VARCHAR))",
+        "nullif(den // tr // tr, 0)")),
+    "g13_assortativity" -> IntegerDecided(
+      "degrees are exact counts, moments accumulate in DECIMAL(38,0) " +
+        "vs HUGEINT, and sign/R² are integer comparisons and divisions " +
+        "with the a25 adaptive truncation — abs() only feeds the " +
+        "digit-length, never an fp path",
+      Seq("length(CAST(abs(rnum) AS VARCHAR))",
+        "CASE WHEN rnum > 0 THEN 1")),
+    "a29_mann_whitney" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); doubled midranks, U·2, the rank-biserial " +
+        "AUC x1e6 and the SQUARED alpha=0.05 normal-approx decision " +
+        "(1.96² = 3.8416 as the rational 38416/1e4, divided through by " +
+        "(n_a·n_b)² before squaring) are exact integer arithmetic — " +
+        "abs() runs on exact integers only",
+      Seq("round(value * 100)", "38416")),
+    "f7_cohort_ltv" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); cohort/age are f2's exact epoch-week integer " +
+        "grid (nanos div, no calendar floats) and revenue/LTV are exact " +
+        "long sums",
+      Seq("round(value * 100)", "epoch_ns(ts) // 604800000000000")),
+    "u8_cdc_apply" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data) and is payload, not decision: last-writer-wins " +
+        "picks by the exact (ts, event_id) order, unique by event_id",
+      Seq("round(value * 100)", "ORDER BY ts DESC, event_id DESC")),
+    "a30_tukey_fences" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); quartiles are discrete order statistics " +
+        "selected by exact integer rank (4·cum vs n), and the x2 Tukey " +
+        "fences and outlier masses are exact longs — no interpolated " +
+        "quantile, no float anywhere past the grain",
+      Seq("round(value * 100)", "cm * 4 >= n * 3")),
     "a24_winsorize" -> IntegerDecided(
       "a21's cents conversion (0.5 margin) is the only fp op; the " +
         "clipping bounds are exact order statistics selected by integer " +

@@ -929,13 +929,34 @@ object AdvancedQueries {
             expr("""(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 100
                    | div nullif(n * (n * sxx - sx * sx), 0)""".stripMargin)
               .as("intercept_x100"),
-            // `div` lowers to LONG (ANSI) — recast each scaled factor to
-            // DECIMAL(38,0) before squaring or the product overflows int64
-            expr("""CAST((n * sxy - sx * sy) div 1000 AS DECIMAL(38,0))
-                   | * CAST((n * sxy - sx * sy) div 1000 AS DECIMAL(38,0))
-                   | * 1000000
-                   | div nullif(CAST((n * sxx - sx * sx) div 1000 AS DECIMAL(38,0))
-                   |   * CAST((n * syy - sy * sy) div 1000 AS DECIMAL(38,0)), 0)""".stripMargin)
+            expr("n * sxy - sx * sy").as("rnum"),
+            expr("n * sxx - sx * sx").as("rdenx"),
+            expr("n * syy - sy * sy").as("rdeny"))
+          // R² with ADAPTIVE shared-digit truncation (ADVICE r11): the
+          // fixed drop-3-digits form required |n·Sxy − Sx·Sy| <= ~1e19,
+          // which price-proportional-to-quantity data exhausts around a
+          // few 1e5 rows per group (decimal38 null on Spark, error on
+          // DuckDB). Both engines now drop the same tr =
+          // 10^max(0, digits(|num|)−16, digits(denx)−18, digits(deny)−18)
+          // low digits — digits() via length(CAST(x AS STRING)), an exact
+          // integer op — so tr = 1 (bit-exact R², better than drop-3) at
+          // small scale and the headroom is unbounded: num/tr <= 1e16
+          // keeps num_t²·1e6 inside decimal38, den_t·den_t <= 1e36, and
+          // the −18 branches keep each `div` (which lowers to LONG)
+          // inside int64.
+          .select(col("n_name"), col("n"), col("slope_x1e6"),
+            col("intercept_x100"), col("rnum"), col("rdenx"), col("rdeny"),
+            expr("""CAST(concat('1', repeat('0', greatest(0,
+                   |  length(CAST(abs(rnum) AS STRING)) - 16,
+                   |  length(CAST(rdenx AS STRING)) - 18,
+                   |  length(CAST(rdeny AS STRING)) - 18)))
+                   | AS DECIMAL(38,0))""".stripMargin).as("tr"))
+          .select(col("n_name"), col("n"), col("slope_x1e6"),
+            col("intercept_x100"),
+            expr("""CAST(rnum div tr AS DECIMAL(38,0))
+                   | * CAST(rnum div tr AS DECIMAL(38,0)) * 1000000
+                   | div nullif(CAST(rdenx div tr AS DECIMAL(38,0))
+                   |   * CAST(rdeny div tr AS DECIMAL(38,0)), 0)""".stripMargin)
               .as("r2_x1e6"))
           .orderBy("n_name")
       },
@@ -949,18 +970,30 @@ object AdvancedQueries {
              |  SELECT n_name, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
              |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
              |  FROM f GROUP BY n_name
+             |), rr AS (
+             |  SELECT n_name, n,
+             |    (n * sxy - sx * sy) * 1000000
+             |      // nullif(n * sxx - sx * sx, 0) AS slope_x1e6,
+             |    (sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 100
+             |      // nullif(n * (n * sxx - sx * sx), 0) AS intercept_x100,
+             |    n * sxy - sx * sy AS rnum,
+             |    n * sxx - sx * sx AS rdenx,
+             |    n * syy - sy * sy AS rdeny
+             |  FROM st
+             |), scaled AS (
+             |  SELECT *, CAST('1' || repeat('0', greatest(0,
+             |      length(CAST(abs(rnum) AS VARCHAR)) - 16,
+             |      length(CAST(rdenx AS VARCHAR)) - 18,
+             |      length(CAST(rdeny AS VARCHAR)) - 18)) AS HUGEINT) AS tr
+             |  FROM rr
              |)
              |SELECT n_name, CAST(n AS BIGINT) AS n,
-             |  CAST((n * sxy - sx * sy) * 1000000
-             |    // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS slope_x1e6,
-             |  CAST((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 100
-             |    // nullif(n * (n * sxx - sx * sx), 0) AS BIGINT)
-             |    AS intercept_x100,
-             |  CAST(((n * sxy - sx * sy) // 1000) * ((n * sxy - sx * sy) // 1000)
-             |    * 1000000
-             |    // nullif(((n * sxx - sx * sx) // 1000)
-             |      * ((n * syy - sy * sy) // 1000), 0) AS BIGINT) AS r2_x1e6
-             |FROM st ORDER BY n_name""".stripMargin)),
+             |  CAST(slope_x1e6 AS BIGINT) AS slope_x1e6,
+             |  CAST(intercept_x100 AS BIGINT) AS intercept_x100,
+             |  CAST((rnum // tr) * (rnum // tr) * 1000000
+             |    // nullif((rdenx // tr) * (rdeny // tr), 0) AS BIGINT)
+             |    AS r2_x1e6
+             |FROM scaled ORDER BY n_name""".stripMargin)),
 
     // A27: Spearman rank correlation between two global orderings — "do
     // two metrics rank the catalog the same way?" (here: parts by total
@@ -996,10 +1029,14 @@ object AdvancedQueries {
           // an int64 OUTPUT column past ~3M ranked keys; the mean stays
           // <= n²/3 (int64-safe to beyond 1e9 keys) and rho carries the
           // full-precision signal anyway
-          .select(col("n"), expr("sd2 div n").as("mean_d2"),
+          // nullif guards (ADVICE r11): a degenerate single-key input has
+          // n^3 - n = 0 (and an empty one n = 0) — Spark non-ANSI would
+          // null while DuckDB raises, a silent engine divergence. With
+          // the guard both engines yield a defined NULL row.
+          .select(col("n"), expr("sd2 div nullif(n, 0)").as("mean_d2"),
             expr("""1000000 - 6 * sd2 * 1000000
-                   | div (CAST(n AS DECIMAL(38,0)) * n * n - n)""".stripMargin)
-              .as("rho_x1e6"))
+                   | div nullif(CAST(n AS DECIMAL(38,0)) * n * n - n, 0)"""
+              .stripMargin).as("rho_x1e6"))
       },
       Some("""WITH m AS (
              |  SELECT l_partkey,
@@ -1019,9 +1056,10 @@ object AdvancedQueries {
              |    sum((rank_qty - rank_rev) * (rank_qty - rank_rev)) AS sd2
              |  FROM r
              |)
-             |SELECT n, CAST(sd2 // n AS BIGINT) AS mean_d2,
+             |SELECT n, CAST(sd2 // nullif(n, 0) AS BIGINT) AS mean_d2,
              |  CAST(1000000 - 6 * sd2 * 1000000
-             |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_x1e6
+             |    // nullif(CAST(n AS HUGEINT) * n * n - n, 0) AS BIGINT)
+             |    AS rho_x1e6
              |FROM dd""".stripMargin)),
 
     // A28: two-sample Kolmogorov-Smirnov test — "did the value
@@ -1061,12 +1099,28 @@ object AdvancedQueries {
           .select(col("n_a"), col("n_b"), col("d_num"),
             // d_num * 10000 in DECIMAL: at the billion-point samples the
             // comment advertises, d_num <= n_a*n_b ~ 2.5e17 and the x1e4
-            // scaling overflows int64
+            // scaling overflows int64. nullif: an all-one-cohort input
+            // makes n_a*n_b = 0 (Spark non-ANSI nulls, DuckDB raises).
             expr("""CAST(d_num AS DECIMAL(38,0)) * 10000
-                   | div (CAST(n_a AS DECIMAL(38,0)) * n_b)""".stripMargin)
-              .as("ks_x1e4"),
-            expr("""CAST(CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000
-                   | > 1844164 * CAST(n_a + n_b AS DECIMAL(38,0)) * n_a * n_b
+                   | div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0)"""
+              .stripMargin).as("ks_x1e4"),
+            // Decision inequality divided through by (n_a*n_b)^2 BEFORE
+            // squaring (ADVICE r11): the raw d_num^2 * 1e6 form exceeds
+            // DECIMAL(38,0)/HUGEINT once d_num > ~3.2e15 — i.e. D ~0.04
+            // at the billion-point samples above — where Spark non-ANSI
+            // nulls and DuckDB raises, a silent engine divergence. Here
+            // q = D*1e6 (truncated) <= 1e6 so q*q <= 1e12 rides int64,
+            // and r's numerator 1844164*(n_a+n_b)*1e6 stays inside
+            // decimal38 to n_a+n_b ~ 5e25. Both sides truncate to the
+            // same 1e-6 lattice with the same `div`, so the decision is
+            // exact at that stated grain on both engines.
+            expr("""CAST(
+                   |  (CAST(d_num AS DECIMAL(38,0)) * 1000000
+                   |     div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0))
+                   |  * (CAST(d_num AS DECIMAL(38,0)) * 1000000
+                   |     div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0))
+                   |  > 1844164 * CAST(n_a + n_b AS DECIMAL(38,0)) * 1000000
+                   |     div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0)
                    | AS INT)""".stripMargin).as("reject_05"))
       },
       Some("""WITH ev AS (
@@ -1095,10 +1149,16 @@ object AdvancedQueries {
              |)
              |SELECT n_a, n_b, CAST(d_num AS BIGINT) AS d_num,
              |  CAST(CAST(d_num AS HUGEINT) * 10000
-             |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_x1e4,
-             |  CAST(CAST(d_num AS HUGEINT) * d_num * 1000000
-             |    > 1844164 * CAST(n_a + n_b AS HUGEINT) * n_a * n_b AS INT)
-             |    AS reject_05
+             |    // nullif(CAST(n_a AS HUGEINT) * n_b, 0) AS BIGINT)
+             |    AS ks_x1e4,
+             |  CAST(
+             |    (CAST(d_num AS HUGEINT) * 1000000
+             |       // nullif(CAST(n_a AS HUGEINT) * n_b, 0))
+             |    * (CAST(d_num AS HUGEINT) * 1000000
+             |       // nullif(CAST(n_a AS HUGEINT) * n_b, 0))
+             |    > 1844164 * CAST(n_a + n_b AS HUGEINT) * 1000000
+             |       // nullif(CAST(n_a AS HUGEINT) * n_b, 0)
+             |   AS INT) AS reject_05
              |FROM dd""".stripMargin)),
 
     // A26: chi-square independence audit between two categorical columns
@@ -1127,6 +1187,20 @@ object AdvancedQueries {
         val tot = obs.agg(sum(col("o")).as("nn"))
         val dims = rt.agg(count(lit(1)).as("nl"))
           .crossJoin(broadcast(ct.agg(count(lit(1)).as("ns"))))
+        // Per-cell chi² term with ADAPTIVE shared-digit truncation (ADVICE
+        // r11): the raw (O·N − R·C)²·1e6 is bounded only by N⁴·1e6 and
+        // overflows decimal38/HUGEINT past N ~ 1e8 documents (Spark nulls,
+        // DuckDB raises — silent divergence). Both engines instead drop
+        // the same tr = 10^max(0, digits(|u|)−16, digits(den)−18) low
+        // digits from u = O·N − R·C before squaring and tr² from the
+        // denominator (two exact integer divisions — div tr div tr ==
+        // div tr² for positive tr, without materializing tr² > 1e38).
+        // digits() is length(CAST(x AS STRING)) — an exact integer in
+        // both engines, unlike any float log10. tr = 1 at every tested
+        // scale (u < 1e16), so the term is bit-identical to the exact
+        // form there; at N = 1e10 the grain is ~1e-7 relative on the
+        // dominant (large-u) cells. The den−18 branch keeps den div tr
+        // inside int64, which Spark's `div` lowers to.
         val terms = rt.crossJoin(broadcast(ct))
           .join(obs, Seq("lang", "source"), "left")
           .crossJoin(broadcast(tot))
@@ -1137,8 +1211,19 @@ object AdvancedQueries {
             col("nn").cast("decimal(38,0)").as("nn"))
           .select(col("lang"), col("source"), col("o"),
             expr("r * c * 1000000 div nn").as("e_x1e6"),
-            expr("""(o * nn - r * c) * (o * nn - r * c) * 1000000
-                   | div nullif(r * c * nn, 0)""".stripMargin).as("term_x1e6"))
+            expr("o * nn - r * c").as("u"),
+            expr("r * c * nn").as("den"))
+          .select(col("lang"), col("source"), col("o"), col("e_x1e6"),
+            col("u"), col("den"),
+            expr("""CAST(concat('1', repeat('0', greatest(0,
+                   |  length(CAST(abs(u) AS STRING)) - 16,
+                   |  length(CAST(den AS STRING)) - 18)))
+                   | AS DECIMAL(38,0))""".stripMargin).as("tr"))
+          .select(col("lang"), col("source"), col("o"), col("e_x1e6"),
+            expr("""CAST(u div tr AS DECIMAL(38,0))
+                   | * CAST(u div tr AS DECIMAL(38,0)) * 1000000
+                   | div nullif(den div tr div tr, 0)""".stripMargin)
+              .as("term_x1e6"))
         val total = terms.agg(sum(col("term_x1e6")).as("chi2_x1e6"))
         terms.crossJoin(broadcast(total)).crossJoin(broadcast(dims))
           .select(col("lang"), col("source"), col("o"), col("e_x1e6"),
@@ -1159,21 +1244,275 @@ object AdvancedQueries {
              |dims AS (
              |  SELECT (SELECT count(*) FROM rt) AS nl,
              |         (SELECT count(*) FROM ct) AS ns
-             |), terms AS (
+             |), cells AS (
              |  SELECT rt.lang, ct.source, coalesce(obs.o, 0) AS o,
              |    rt.r * ct.c * 1000000 // nn AS e_x1e6,
-             |    (coalesce(obs.o, 0) * nn - rt.r * ct.c)
-             |      * (coalesce(obs.o, 0) * nn - rt.r * ct.c) * 1000000
-             |      // nullif(rt.r * ct.c * nn, 0) AS term_x1e6
+             |    coalesce(obs.o, 0) * nn - rt.r * ct.c AS u,
+             |    rt.r * ct.c * nn AS den
              |  FROM rt CROSS JOIN ct
              |  LEFT JOIN obs ON rt.lang = obs.lang AND ct.source = obs.source
              |  CROSS JOIN tot
+             |), scaled AS (
+             |  SELECT *, CAST('1' || repeat('0', greatest(0,
+             |      length(CAST(abs(u) AS VARCHAR)) - 16,
+             |      length(CAST(den AS VARCHAR)) - 18)) AS HUGEINT) AS tr
+             |  FROM cells
+             |), terms AS (
+             |  SELECT lang, source, o, e_x1e6,
+             |    (u // tr) * (u // tr) * 1000000
+             |      // nullif(den // tr // tr, 0) AS term_x1e6
+             |  FROM scaled
              |), total AS (SELECT sum(term_x1e6) AS chi2_x1e6 FROM terms)
              |SELECT lang, source, o, CAST(e_x1e6 AS BIGINT) AS e_x1e6,
              |  CAST(term_x1e6 AS BIGINT) AS term_x1e6,
              |  CAST(chi2_x1e6 AS BIGINT) AS chi2_x1e6,
              |  CAST((nl - 1) * (ns - 1) AS BIGINT) AS df
              |FROM terms CROSS JOIN total CROSS JOIN dims
-             |ORDER BY lang, source""".stripMargin))
+             |ORDER BY lang, source""".stripMargin)),
+
+    // A29: Mann-Whitney U — the rank-based two-sample test ("are click
+    // values stochastically larger than purchase values?"), the
+    // non-parametric sibling of a20 (Welch, means) and a28 (KS, whole
+    // distribution). Midranks handle ties exactly: with m tied rows at
+    // value c and B rows strictly below, each gets midrank B + (m+1)/2 —
+    // a half-integer, so the WHOLE computation rides x2 (2R_a = sum of
+    // ca·(2B + m + 1), always integral). Both cohort prefix sums come
+    // off ONE GlobalRank pass over the compressed per-value histogram
+    // (a28's shape — a billion-point sample never coalesces into one
+    // window partition). U/(n_a·n_b) IS the rank-biserial AUC — emitted
+    // as auc_x1e6, the effect size a pipeline actually thresholds on.
+    // The alpha=0.05 normal-approximation decision (no tie correction —
+    // conservative, documented) is the same divide-through-by-(nm)^2-
+    // before-squaring integer form as a28's reject: q = |2U − nm|·1e6
+    // div nm <= 1e6, so q² rides int64 at ANY scale; 1.96² = 3.8416 and
+    // var = nm(N+1)/12 give 3·q²·1e4 > 38416·(N+1)·1e12 div nm.
+    Q("a29_mann_whitney",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val ev = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(round(col("value") * 100).cast("long").as("c"),
+            (col("event_type") === "click").cast("long").as("is_a"))
+        val byVal = ev.groupBy(col("c"))
+          .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+        val cum = GlobalRank.withRankAndRunningTotals(byVal,
+          Seq(col("c").asc), Seq("ca", "cb"), "vr", Seq("cum_a", "cum_b"))
+        // ca·(2B + m + 1) reaches 2N² — ride DECIMAL(38,0) from the start
+        val st = cum.select(
+            (col("ca").cast("decimal(38,0)")
+              * (lit(2) * (col("cum_a") + col("cum_b") - col("ca") - col("cb"))
+                + col("ca") + col("cb") + 1)).as("r2a"),
+            col("ca"), col("cb"))
+          .agg(sum(col("r2a")).as("r2_a"),
+            sum(col("ca")).cast("decimal(38,0)").as("n_a"),
+            sum(col("cb")).cast("decimal(38,0)").as("n_b"))
+        st.select(col("n_a"), col("n_b"),
+            expr("r2_a - n_a * (n_a + 1)").as("u2"),
+            expr("n_a * n_b").as("nm"),
+            expr("n_a + n_b").as("nn"))
+          .select(col("n_a").cast("long").as("n_a"),
+            col("n_b").cast("long").as("n_b"),
+            col("u2").cast("long").as("u_x2"),
+            expr("u2 * 1000000 div nullif(2 * nm, 0)").as("auc_x1e6"),
+            expr("""CAST(
+                   |  3 * (abs(u2 - nm) * 1000000 div nullif(nm, 0))
+                   |    * (abs(u2 - nm) * 1000000 div nullif(nm, 0)) * 10000
+                   |  > 38416 * (nn + 1) * 1000000000000 div nullif(nm, 0)
+                   | AS INT)""".stripMargin).as("reject_05"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             |    CAST(event_type = 'click' AS BIGINT) AS is_a
+             |  FROM events WHERE event_type IN ('click', 'purchase')
+             |), bv AS (
+             |  SELECT c, CAST(sum(is_a) AS BIGINT) AS ca,
+             |    CAST(sum(1 - is_a) AS BIGINT) AS cb
+             |  FROM ev GROUP BY c
+             |), cum AS (
+             |  SELECT ca, cb,
+             |    CAST(sum(ca + cb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum_t
+             |  FROM bv
+             |), st AS (
+             |  SELECT sum(CAST(ca AS HUGEINT)
+             |      * (2 * (cum_t - ca - cb) + ca + cb + 1)) AS r2_a,
+             |    CAST(sum(ca) AS HUGEINT) AS n_a,
+             |    CAST(sum(cb) AS HUGEINT) AS n_b
+             |  FROM cum
+             |), uu AS (
+             |  SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2,
+             |    n_a * n_b AS nm, n_a + n_b AS nn
+             |  FROM st
+             |)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  CAST(u2 AS BIGINT) AS u_x2,
+             |  CAST(u2 * 1000000 // nullif(2 * nm, 0) AS BIGINT) AS auc_x1e6,
+             |  CAST(
+             |    3 * (abs(u2 - nm) * 1000000 // nullif(nm, 0))
+             |      * (abs(u2 - nm) * 1000000 // nullif(nm, 0)) * 10000
+             |    > 38416 * (nn + 1) * 1000000000000 // nullif(nm, 0)
+             |   AS INT) AS reject_05
+             |FROM uu""".stripMargin)),
+
+    // A30: Tukey-fence outlier audit per event type — the robust
+    // complement of a16's z-score (a fat-tailed value column wrecks a
+    // mean/stddev rule; quartiles don't care). Quartiles are EXACT
+    // discrete order statistics (q1 = min value with 4·cum >= n, q3 with
+    // 4·cum >= 3n — type-1 quantiles, no interpolation, no floats), read
+    // off a cumulative sum over the per-(type, cent-value) histogram:
+    // the window partitions by type and its state scales with the
+    // DISTINCT value domain (price grid), not the row count — a16/a28's
+    // compression discipline. Fences ride x2 so 1.5·IQR stays integral:
+    // lo2 = 2q1 − 3·IQR, hi2 = 2q3 + 3·IQR, outliers counted by summing
+    // histogram masses past the fences (the fact table is scanned once).
+    Q("a30_tukey_fences",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+        val bv = ev.groupBy(col("event_type"), col("c"))
+          .agg(count(lit(1)).as("m"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bv.withColumn("cm", sum(col("m")).over(w))
+        val tot = bv.groupBy(col("event_type")).agg(sum(col("m")).as("n"))
+        val fences = cum.join(broadcast(tot), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"))
+          .agg(min(when(col("cm") * 4 >= col("n"), col("c"))).as("q1_c"),
+            min(when(col("cm") * 4 >= col("n") * 3, col("c"))).as("q3_c"))
+          .select(col("event_type"), col("n"), col("q1_c"), col("q3_c"),
+            (col("q1_c") * 2 - (col("q3_c") - col("q1_c")) * 3).as("lo2"),
+            (col("q3_c") * 2 + (col("q3_c") - col("q1_c")) * 3).as("hi2"))
+        bv.join(broadcast(fences), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"), col("q1_c"), col("q3_c"))
+          .agg(coalesce(sum(when(col("c") * 2 < col("lo2"), col("m"))), lit(0L))
+              .as("n_low"),
+            coalesce(sum(when(col("c") * 2 > col("hi2"), col("m"))), lit(0L))
+              .as("n_high"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |), bv AS (
+             |  SELECT event_type, c, CAST(count(*) AS BIGINT) AS m
+             |  FROM ev GROUP BY event_type, c
+             |), cum AS (
+             |  SELECT event_type, c, m,
+             |    CAST(sum(m) OVER (PARTITION BY event_type ORDER BY c
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+             |  FROM bv
+             |), tot AS (
+             |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n
+             |  FROM bv GROUP BY event_type
+             |), qq AS (
+             |  SELECT cum.event_type, n,
+             |    min(CASE WHEN cm * 4 >= n THEN c END) AS q1_c,
+             |    min(CASE WHEN cm * 4 >= n * 3 THEN c END) AS q3_c
+             |  FROM cum JOIN tot ON cum.event_type = tot.event_type
+             |  GROUP BY cum.event_type, n
+             |), fen AS (
+             |  SELECT event_type, n, q1_c, q3_c,
+             |    q1_c * 2 - (q3_c - q1_c) * 3 AS lo2,
+             |    q3_c * 2 + (q3_c - q1_c) * 3 AS hi2
+             |  FROM qq
+             |)
+             |SELECT fen.event_type, n, q1_c, q3_c,
+             |  CAST(coalesce(sum(CASE WHEN c * 2 < lo2 THEN m END), 0)
+             |    AS BIGINT) AS n_low,
+             |  CAST(coalesce(sum(CASE WHEN c * 2 > hi2 THEN m END), 0)
+             |    AS BIGINT) AS n_high
+             |FROM fen JOIN bv ON fen.event_type = bv.event_type
+             |GROUP BY fen.event_type, n, q1_c, q3_c
+             |ORDER BY fen.event_type""".stripMargin)),
+
+    // T25: bigram LIFT — collocation strength, the association metric a
+    // tokenizer/phrase-mining pass ranks n-grams by (t6 ranks by RAW
+    // count, which surfaces "of the"; lift = P(ab)/(P(a)P(b)) surfaces
+    // genuinely bound pairs). Kept log-free and integer-exact:
+    // lift·1e6 = c_ab·U²·1e6 / (c_a·c_b·B), computed as two staged
+    // truncating divisions — (c_ab·U·1e4 div c_a)·U·100 div (c_b·B) —
+    // each sized for decimal38/HUGEINT at a 1e13-token corpus (c_ab <=
+    // c_a bounds the first quotient by U·1e4). The unigram join is left
+    // unhinted like t7's dfreq join: a web-scale vocabulary is not
+    // always broadcastable, AQE decides. min-count floor 5 before any
+    // join — the candidate set, not the corpus, pays the join.
+    Q("t25_bigram_lift",
+      (s, d) => {
+        val toks = documents(s, d).select(tokens(col("text")).as("w"))
+        val uni = toks.select(explode(col("w")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+        val utot = uni.agg(sum(col("cu")).cast("decimal(38,0)").as("u"))
+        val btot = toks
+          .agg(sum(greatest(size(col("w")) - 1, lit(0))).cast("decimal(38,0)")
+            .as("b"))
+        val bi = toks.select(explode(shingles(col("w"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+          .select(col("bigram"), col("cab"),
+            split(col("bigram"), " ").getItem(0).as("w1"),
+            split(col("bigram"), " ").getItem(1).as("w2"))
+        bi.join(uni.select(col("t").as("w1"), col("cu").as("ca")), Seq("w1"))
+          .join(uni.select(col("t").as("w2"), col("cu").as("cb")), Seq("w2"))
+          .crossJoin(broadcast(utot)).crossJoin(broadcast(btot))
+          .select(col("bigram"), col("cab").as("n_pair"),
+            col("ca").as("n_first"), col("cb").as("n_second"),
+            expr("""CAST(CAST(cab AS DECIMAL(38,0)) * u * 10000 div ca
+                   |  AS DECIMAL(38,0)) * u * 100
+                   | div (CAST(cb AS DECIMAL(38,0)) * b)""".stripMargin)
+              .as("lift_x1e6"))
+          .orderBy(desc("lift_x1e6"), col("bigram"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT string_split(lower(text), ' ') AS w FROM documents
+             |), uni AS (
+             |  SELECT unnest(w) AS t FROM tok
+             |), cu AS (
+             |  SELECT t, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY t
+             |), ut AS (SELECT CAST(sum(cu) AS HUGEINT) AS u FROM cu),
+             |bt AS (
+             |  SELECT CAST(sum(greatest(len(w) - 1, 0)) AS HUGEINT) AS b
+             |  FROM tok
+             |), bi AS (
+             |  SELECT unnest([array_to_string(w[i:i+1], ' ')
+             |    for i in range(1, len(w))]) AS bigram
+             |  FROM tok
+             |), cc AS (
+             |  SELECT bigram, CAST(count(*) AS BIGINT) AS cab
+             |  FROM bi GROUP BY bigram HAVING count(*) >= 5
+             |), j AS (
+             |  SELECT cc.bigram, cab, a.cu AS ca, bb.cu AS cb, u, b
+             |  FROM cc
+             |  JOIN cu a ON a.t = string_split(cc.bigram, ' ')[1]
+             |  JOIN cu bb ON bb.t = string_split(cc.bigram, ' ')[2]
+             |  CROSS JOIN ut CROSS JOIN bt
+             |)
+             |SELECT bigram, cab AS n_pair, ca AS n_first, cb AS n_second,
+             |  CAST((CAST(cab AS HUGEINT) * u * 10000 // ca) * u * 100
+             |    // (CAST(cb AS HUGEINT) * b) AS BIGINT) AS lift_x1e6
+             |FROM j ORDER BY lift_x1e6 DESC, bigram LIMIT 20""".stripMargin)),
+
+    // SK2: salted EXACT distinct-count for skewed group keys — sk1's
+    // aggregation sibling. count(DISTINCT user) keeps per-key dedup
+    // state; one hot event_type concentrates that state (and its sort)
+    // in one task. Salting by hash(user) % 16 splits it 16 ways and
+    // stays EXACT — the same user always lands in the same salt bucket,
+    // so per-(key, salt) distinct counts are additive. Stage 2 merges
+    // |keys|·16 scalar rows. The oracle is the plain count(DISTINCT):
+    // identical result is the whole point, as with sk1.
+    Q("sk2_skew_salted_agg",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"), col("user_id"))
+        ev.withColumn("salt", pmod(hash(col("user_id")), lit(16)))
+          .groupBy(col("event_type"), col("salt"))
+          .agg(countDistinct(col("user_id")).as("du"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("du")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin))
   )
 }

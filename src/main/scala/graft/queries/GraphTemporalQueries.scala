@@ -410,16 +410,29 @@ object GraphTemporalQueries {
             sum(dec(col("dx"))).as("sx"),
             sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
             sum(dec(col("dx")) * dec(col("dy"))).as("sxy"))
+          // Adaptive shared-digit truncation, a25's rule (ADVICE r11): on
+          // a hub-heavy graph the degree moments make |n·Sxy − Sx²| blow
+          // past the fixed drop-3 form's ~1e19 headroom (Spark decimal38
+          // nulls, DuckDB raises). tr = 1 at tested scales (bit-exact,
+          // better than drop-3); the −18 branch keeps each `div` (LONG-
+          // lowering) inside int64. See a25 for the full sizing argument.
           .select(col("n").as("n_points"),
             expr("""CASE WHEN n * sxy - sx * sx > 0 THEN 1
                    | WHEN n * sxy - sx * sx < 0 THEN -1 ELSE 0 END"""
               .stripMargin).as("sign"),
-            expr("""CAST((n * sxy - sx * sx) div 1000 AS DECIMAL(38,0))
-                   | * CAST((n * sxy - sx * sx) div 1000 AS DECIMAL(38,0))
-                   | * 1000000
-                   | div nullif(CAST((n * sxx - sx * sx) div 1000 AS DECIMAL(38,0))
-                   |   * CAST((n * sxx - sx * sx) div 1000 AS DECIMAL(38,0)), 0)"""
-              .stripMargin).as("r2_x1e6"))
+            expr("n * sxy - sx * sx").as("rnum"),
+            expr("n * sxx - sx * sx").as("rden"))
+          .select(col("n_points"), col("sign"), col("rnum"), col("rden"),
+            expr("""CAST(concat('1', repeat('0', greatest(0,
+                   |  length(CAST(abs(rnum) AS STRING)) - 16,
+                   |  length(CAST(rden AS STRING)) - 18)))
+                   | AS DECIMAL(38,0))""".stripMargin).as("tr"))
+          .select(col("n_points"), col("sign"),
+            expr("""CAST(rnum div tr AS DECIMAL(38,0))
+                   | * CAST(rnum div tr AS DECIMAL(38,0)) * 1000000
+                   | div nullif(CAST(rden div tr AS DECIMAL(38,0))
+                   |   * CAST(rden div tr AS DECIMAL(38,0)), 0)""".stripMargin)
+              .as("r2_x1e6"))
       },
       Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -435,15 +448,23 @@ object GraphTemporalQueries {
              |        JOIN deg dy ON nb.nbr = dy.node),
              |st AS (SELECT count(*) AS n, sum(x) AS sx,
              |         sum(x * x) AS sxx, sum(x * y) AS sxy
-             |       FROM pts)
+             |       FROM pts),
+             |rr AS (
+             |  SELECT n, n * sxy - sx * sx AS rnum, n * sxx - sx * sx AS rden
+             |  FROM st
+             |), scaled AS (
+             |  SELECT *, CAST('1' || repeat('0', greatest(0,
+             |      length(CAST(abs(rnum) AS VARCHAR)) - 16,
+             |      length(CAST(rden AS VARCHAR)) - 18)) AS HUGEINT) AS tr
+             |  FROM rr
+             |)
              |SELECT CAST(n AS BIGINT) AS n_points,
-             |  CASE WHEN n * sxy - sx * sx > 0 THEN 1
-             |    WHEN n * sxy - sx * sx < 0 THEN -1 ELSE 0 END AS sign,
-             |  CAST(((n * sxy - sx * sx) // 1000) * ((n * sxy - sx * sx) // 1000)
-             |    * 1000000
-             |    // nullif(((n * sxx - sx * sx) // 1000)
-             |      * ((n * sxx - sx * sx) // 1000), 0) AS BIGINT) AS r2_x1e6
-             |FROM st""".stripMargin)),
+             |  CASE WHEN rnum > 0 THEN 1
+             |    WHEN rnum < 0 THEN -1 ELSE 0 END AS sign,
+             |  CAST((rnum // tr) * (rnum // tr) * 1000000
+             |    // nullif((rden // tr) * (rden // tr), 0) AS BIGINT)
+             |    AS r2_x1e6
+             |FROM scaled""".stripMargin)),
 
     // G10: degree-distribution histogram over the co-occurrence graph —
     // the first diagnostic a graph pipeline runs before choosing
@@ -2286,6 +2307,54 @@ object GraphTemporalQueries {
             (col("rel_err_x1e6") <= 12000L).cast("int"))
           .orderBy(col("event_type"), col("q"))
       },
-      None)
+      None),
+
+    // F7: cohort lifetime-value matrix — f2's retention counts upgraded
+    // to cumulative revenue: users cohort by the week of their FIRST
+    // event (any type; f2's exact epoch-week grid — integer div of the
+    // canonical nanos, no calendar floats), purchases accrue to
+    // (cohort, weeks-since), and LTV is the running total across age.
+    // Revenue is exact cents. Scale shape: one groupBy finds each
+    // user's cohort week (map-side combining min), one shuffle joins it
+    // back on user_id, one partial-combining agg builds the
+    // |cohorts|·|ages| matrix — and ONLY that tiny matrix rides the
+    // cumulative window (partitioned by cohort), never the fact table.
+    Q("f7_cohort_ltv",
+      (s, d) => {
+        val m = events(s, d).select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("c"),
+          expr("ts div 604800000000000").as("wk"))
+        val cohort = m.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+        val matrix = m.filter(col("event_type") === "purchase")
+          .join(cohort, Seq("user_id"))
+          .select(col("w0"), (col("wk") - col("w0")).as("age"),
+            col("c"), col("user_id"))
+          .groupBy(col("w0"), col("age"))
+          .agg(countDistinct(col("user_id")).as("n_buyers"),
+            sum(col("c")).as("rev_cents"))
+        val w = Window.partitionBy(col("w0")).orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        matrix.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+          .orderBy("w0", "age")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS c,
+             |    epoch_ns(ts) // 604800000000000 AS wk
+             |  FROM events
+             |), ch AS (
+             |  SELECT user_id, min(wk) AS w0 FROM m GROUP BY user_id
+             |), mat AS (
+             |  SELECT w0, wk - w0 AS age,
+             |    CAST(count(DISTINCT m.user_id) AS BIGINT) AS n_buyers,
+             |    CAST(sum(c) AS BIGINT) AS rev_cents
+             |  FROM m JOIN ch ON m.user_id = ch.user_id
+             |  WHERE event_type = 'purchase'
+             |  GROUP BY w0, wk - w0
+             |)
+             |SELECT w0, age, n_buyers, rev_cents,
+             |  CAST(sum(rev_cents) OVER (PARTITION BY w0 ORDER BY age
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+             |FROM mat ORDER BY w0, age""".stripMargin))
   )
 }

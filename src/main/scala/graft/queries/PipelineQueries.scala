@@ -3027,8 +3027,17 @@ object PipelineQueries {
     Q("u7_snapshot_rollback",
       (s, d) => {
         import graft.operators.SnapshotStore
+        // Deterministic root per (session, sfDir) + wipe-before-publish:
+        // a UUID-per-invocation root let repeated gate/bench runs inside
+        // one long-lived JVM accumulate unbounded scratch stores (ADVICE
+        // r11); a stable name re-used across invocations would instead
+        // keep APPENDING versions (v4, v5, …) and break the exact 3-row
+        // oracle. Overwrite semantics give both properties.
         val root = graft.Scratch.dir(s,
-          s"u7_store_${java.util.UUID.randomUUID().toString.take(8)}")
+          f"u7_store_${d.hashCode & 0x7fffffff}%08x")
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(rootPath)) fs.delete(rootPath, true)
         val docs = documents(s, d).select(col("doc_id"), col("source"))
         SnapshotStore.publish(docs.filter(col("doc_id") % 2 === 0), root)
         SnapshotStore.publish(docs, root)
@@ -3059,7 +3068,124 @@ object PipelineQueries {
              |SELECT 2::BIGINT, al.n, al.dg, 0 FROM al
              |UNION ALL
              |SELECT 3::BIGINT, ev.n, ev.dg, 1 FROM ev
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    // M15 (multimodal): ViT-style PATCH GRID — the tiling step between
+    // m3's resize and a vision encoder: each resized image becomes its
+    // grid of 64px patches with edge patches clipped, the row explosion
+    // a multimodal training pipeline feeds to the tokenizer (one row per
+    // patch, so downstream packing/batching operators — t9/t13 — apply
+    // unchanged to vision tokens). Dims derive from m1/m3's md5-hash32
+    // expressions and the resize replays m3's exact min/num/den clamp,
+    // so the whole grid is integer-deterministic and the oracle replays
+    // it cell for cell. Map-side only: project + two bounded explodes
+    // (<= ceil(256/64)² = 16 rows per media), no shuffle at all until
+    // the presentation sort.
+    Q("m15_patch_grid",
+      (s, d) => {
+        val dims = documents(s, d).select(col("doc_id").as("media_id"),
+          (hash32(col("text")) % 1280 + 64).cast("long").as("in_w"),
+          (hash32(reverse(col("text"))) % 720 + 64).cast("long").as("in_h"))
+        val out = dims
+          .select(col("media_id"), col("in_w"), col("in_h"),
+            expr("least(256 * in_h, 256 * in_w)").as("num"),
+            (col("in_w") * col("in_h")).as("den"))
+          .select(col("media_id"),
+            expr("""CASE WHEN num >= den THEN in_w
+                   | ELSE greatest(1, in_w * num div den) END""".stripMargin)
+              .as("out_w"),
+            expr("""CASE WHEN num >= den THEN in_h
+                   | ELSE greatest(1, in_h * num div den) END""".stripMargin)
+              .as("out_h"))
+        out
+          .select(col("media_id"), col("out_w"), col("out_h"),
+            explode(sequence(lit(0L), expr("(out_h + 63) div 64 - 1")))
+              .as("py"))
+          .select(col("media_id"), col("out_w"), col("out_h"), col("py"),
+            explode(sequence(lit(0L), expr("(out_w + 63) div 64 - 1")))
+              .as("px"))
+          .select(col("media_id"), col("px"), col("py"),
+            (col("px") * 64).as("x0"), (col("py") * 64).as("y0"),
+            least(lit(64L), col("out_w") - col("px") * 64).as("pw"),
+            least(lit(64L), col("out_h") - col("py") * 64).as("ph"))
+          .orderBy("media_id", "py", "px")
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id AS media_id,
+              |    ${sqlH32("text")} % 1280 + 64 AS in_w,
+              |    ${sqlH32("reverse(text)")} % 720 + 64 AS in_h
+              |  FROM documents
+              |), r AS (
+              |  SELECT media_id, in_w, in_h,
+              |    least(256 * in_h, 256 * in_w) AS num, in_w * in_h AS den
+              |  FROM f
+              |), o AS (
+              |  SELECT media_id,
+              |    CAST(CASE WHEN num >= den THEN in_w
+              |      ELSE greatest(1, in_w * num // den) END AS BIGINT) AS out_w,
+              |    CAST(CASE WHEN num >= den THEN in_h
+              |      ELSE greatest(1, in_h * num // den) END AS BIGINT) AS out_h
+              |  FROM r
+              |), gy AS (
+              |  SELECT media_id, out_w, out_h,
+              |    unnest(range(0, (out_h + 63) // 64)) AS py
+              |  FROM o
+              |), gxy AS (
+              |  SELECT media_id, out_w, out_h, py,
+              |    unnest(range(0, (out_w + 63) // 64)) AS px
+              |  FROM gy
+              |)
+              |SELECT media_id, CAST(px AS BIGINT) AS px,
+              |  CAST(py AS BIGINT) AS py,
+              |  CAST(px * 64 AS BIGINT) AS x0, CAST(py * 64 AS BIGINT) AS y0,
+              |  CAST(least(64, out_w - px * 64) AS BIGINT) AS pw,
+              |  CAST(least(64, out_h - py * 64) AS BIGINT) AS ph
+              |FROM gxy ORDER BY media_id, py, px""".stripMargin)),
+
+    // U8: CDC APPLY — the merge step that turns a change feed
+    // (insert/update/delete ops keyed by entity, ordered by time) into
+    // the entity's final state: u1's upsert generalized with DELETE
+    // tombstones. The scale point: last-writer-wins is an ASSOCIATIVE
+    // reduction — max of (ts, id, op, payload) structs — so Spark runs
+    // it as ONE partial-combining aggregate (map-side max per key, no
+    // window, no per-key sort of the fact table); the oracle's
+    // row_number()-DESC window is the semantic spec, not the plan.
+    // The feed derives deterministically from events (view→I, click→U,
+    // purchase→D) so every surviving row is exactly oracled.
+    Q("u8_cdc_apply",
+      (s, d) => {
+        val ops = events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"),
+          when(col("event_type") === "view", "I")
+            .when(col("event_type") === "purchase", "D")
+            .otherwise("U").as("op"),
+          round(col("value") * 100).cast("long").as("c"))
+        ops.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_ops"),
+            max(struct(col("ts"), col("event_id"), col("op"), col("c")))
+              .as("last"))
+          .select(col("user_id"), col("n_ops"),
+            col("last.op").as("last_op"), col("last.c").as("value_cents"))
+          .filter(col("last_op") =!= "D")
+          .orderBy("user_id")
+      },
+      Some("""WITH ops AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN event_type = 'view' THEN 'I'
+             |      WHEN event_type = 'purchase' THEN 'D'
+             |      ELSE 'U' END AS op,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |), ranked AS (
+             |  SELECT user_id, op, c,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+             |  FROM ops
+             |)
+             |SELECT user_id, n_ops, op AS last_op, c AS value_cents
+             |FROM ranked WHERE rn = 1 AND op <> 'D'
+             |ORDER BY user_id""".stripMargin))
   )
 
 }

@@ -44,9 +44,13 @@ class Round11LawsSpec extends SparkSpec {
       val den = n * sxx - sx * sx
       val num = n * sxy - sx * sy
       val deny = n * syy - sy * sy
+      // r2 rides the ADAPTIVE shared-digit truncation (round 12): tr =
+      // 10^max(0, digits(|num|)-16, digits(den)-18, digits(deny)-18)
+      val tr = BigInt(10).pow(List(num.abs.toString.length - 16,
+        den.toString.length - 18, deny.toString.length - 18, 0).max)
       name -> ((num * 1000000 / den,
         (sy * den - num * sx) * 100 / (n * den),
-        (num / 1000) * (num / 1000) * 1000000 / ((den / 1000) * (deny / 1000))))
+        (num / tr) * (num / tr) * 1000000 / ((den / tr) * (deny / tr))))
     }
     rows.foreach { r =>
       val (slope, icept, r2) = want(r.getString(0))
@@ -187,9 +191,13 @@ class Round11LawsSpec extends SparkSpec {
     assert(dn >= 0L && dn <= na * nb, "D numerator bounded by n_a*n_b")
     assert(ks >= 0L && ks <= 10000L)
     assert(ks === dn * 10000L / (na * nb))
-    val lhs = BigInt(dn) * dn * 1000000
-    val rhs = BigInt(1844164) * (na + nb) * na * nb
-    assert(rej === (if (lhs > rhs) 1 else 0))
+    // round-12 overflow-safe decision: divided through by (n_a*n_b)^2
+    // BEFORE squaring, truncating to the 1e-6 lattice on both sides
+    // (BigInt '/' truncates toward zero — the shared div semantics)
+    val nm = BigInt(na) * nb
+    val qq = BigInt(dn) * 1000000 / nm
+    val rhs = BigInt(1844164) * (na + nb) * 1000000 / nm
+    assert(rej === (if (qq * qq > rhs) 1 else 0))
   }
 
   test("d14: agreement bounded by the signature, scaled values consistent") {
