@@ -219,6 +219,20 @@ object DecisionAudit {
         "2-dp-grain data) and is payload, not decision: last-writer-wins " +
         "picks by the exact (ts, event_id) order, unique by event_id",
       Seq("round(value * 100)", "ORDER BY ts DESC, event_id DESC")),
+    "w16_changepoint" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); bin sums, prefix sums, and every split's " +
+        "cross-multiplied mean gap ride DECIMAL(38,0) vs HUGEINT with " +
+        "truncating x100 divisions — the argmax orders exact integers " +
+        "with an earliest-split tie-break, abs() on exact integers only",
+      Seq("round(value * 100)", "ORDER BY gap_x100 DESC, s LIMIT 1")),
+    "a31_cramers_v" -> IntegerDecided(
+      "a26's contingency arithmetic verbatim (exact counts, adaptive " +
+        "shared-digit truncation with abs() feeding only the " +
+        "digit-length), plus one more exact integer division for " +
+        "V² x1e6 — no fp anywhere",
+      Seq("length(CAST(abs(u) AS VARCHAR))",
+        "(CAST(nn AS HUGEINT) * (least(nl, ns) - 1))")),
     "a30_tukey_fences" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); quartiles are discrete order statistics " +

@@ -1513,6 +1513,124 @@ object AdvancedQueries {
       Some("""SELECT event_type,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events GROUP BY event_type ORDER BY event_type"""
-        .stripMargin))
+        .stripMargin)),
+
+    // A31: Cramér's V effect size — the answer to "a26 rejected
+    // independence, but is the association LARGE?": chi² is sample-size
+    // inflated (doubles when the corpus doubles at fixed association),
+    // V² = chi²/(N·(min(r,k)−1)) ∈ [0,1] is the scale-free readout a
+    // mixture designer actually thresholds. Same one-scan contingency
+    // shape and adaptive-truncation term arithmetic as a26 (see there
+    // for the overflow sizing); sqrt-free by emitting V² at the 1e6
+    // grain, exactly as g13 emits r². One summary row at any scale.
+    Q("a31_cramers_v",
+      (s, d) => {
+        val docs = documents(s, d).select(col("lang"), col("source"))
+        val obs = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rt = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+        val ct = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
+        val tot = obs.agg(sum(col("o")).as("nn"))
+        val dims = rt.agg(count(lit(1)).as("nl"))
+          .crossJoin(broadcast(ct.agg(count(lit(1)).as("ns"))))
+        val chi2 = rt.crossJoin(broadcast(ct))
+          .join(obs, Seq("lang", "source"), "left")
+          .crossJoin(broadcast(tot))
+          .select(coalesce(col("o"), lit(0L)).as("o"),
+            col("r").cast("decimal(38,0)").as("r"),
+            col("c").cast("decimal(38,0)").as("c"),
+            col("nn").cast("decimal(38,0)").as("nn"))
+          .select(col("nn"), expr("o * nn - r * c").as("u"),
+            expr("r * c * nn").as("den"))
+          .select(col("nn"), col("u"), col("den"),
+            expr("""CAST(concat('1', repeat('0', greatest(0,
+                   |  length(CAST(abs(u) AS STRING)) - 16,
+                   |  length(CAST(den AS STRING)) - 18)))
+                   | AS DECIMAL(38,0))""".stripMargin).as("tr"))
+          .select(col("nn"),
+            expr("""CAST(u div tr AS DECIMAL(38,0))
+                   | * CAST(u div tr AS DECIMAL(38,0)) * 1000000
+                   | div nullif(den div tr div tr, 0)""".stripMargin)
+              .as("term_x1e6"))
+          .groupBy(col("nn"))
+          .agg(sum(col("term_x1e6")).as("chi2_x1e6"))
+        chi2.crossJoin(broadcast(dims))
+          .select(col("nn").cast("long").as("n_docs"),
+            col("chi2_x1e6"),
+            ((col("nl") - 1) * (col("ns") - 1)).as("df"),
+            least(col("nl"), col("ns")).as("k_min"),
+            expr("""chi2_x1e6 div (CAST(nn AS DECIMAL(38,0))
+                   | * (least(nl, ns) - 1))""".stripMargin).as("v2_x1e6"))
+      },
+      Some("""WITH obs AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+             |  FROM documents GROUP BY lang, source
+             |), rt AS (
+             |  SELECT lang, CAST(sum(o) AS BIGINT) AS r
+             |  FROM obs GROUP BY lang
+             |), ct AS (
+             |  SELECT source, CAST(sum(o) AS BIGINT) AS c
+             |  FROM obs GROUP BY source
+             |), tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM obs),
+             |dims AS (
+             |  SELECT (SELECT count(*) FROM rt) AS nl,
+             |         (SELECT count(*) FROM ct) AS ns
+             |), cells AS (
+             |  SELECT nn, coalesce(obs.o, 0) * nn - rt.r * ct.c AS u,
+             |    rt.r * ct.c * nn AS den
+             |  FROM rt CROSS JOIN ct
+             |  LEFT JOIN obs ON rt.lang = obs.lang AND ct.source = obs.source
+             |  CROSS JOIN tot
+             |), scaled AS (
+             |  SELECT *, CAST('1' || repeat('0', greatest(0,
+             |      length(CAST(abs(u) AS VARCHAR)) - 16,
+             |      length(CAST(den AS VARCHAR)) - 18)) AS HUGEINT) AS tr
+             |  FROM cells
+             |), total AS (
+             |  SELECT nn, sum((u // tr) * (u // tr) * 1000000
+             |    // nullif(den // tr // tr, 0)) AS chi2_x1e6
+             |  FROM scaled GROUP BY nn
+             |)
+             |SELECT CAST(nn AS BIGINT) AS n_docs,
+             |  CAST(chi2_x1e6 AS BIGINT) AS chi2_x1e6,
+             |  CAST((nl - 1) * (ns - 1) AS BIGINT) AS df,
+             |  CAST(least(nl, ns) AS BIGINT) AS k_min,
+             |  CAST(chi2_x1e6 // (CAST(nn AS HUGEINT) * (least(nl, ns) - 1))
+             |    AS BIGINT) AS v2_x1e6
+             |FROM total CROSS JOIN dims""".stripMargin)),
+
+    // T26: hapax-legomena audit per source — the vocabulary-health
+    // signal beside t24's growth curve: a source whose vocabulary is
+    // mostly singletons is OCR noise / boilerplate-ID soup; one whose
+    // hapax share collapses is template spam. All exact integers off
+    // ONE (source, token) count frame: vocab = rows, hapax = count-1
+    // rows, tokens = summed counts — partial-combining aggregates end
+    // to end, output is |sources| rows at any corpus size.
+    Q("t26_hapax_ratio",
+      (s, d) => {
+        val tc = documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("t"))
+          .groupBy(col("source"), col("t"))
+          .agg(count(lit(1)).as("cnt"))
+        tc.groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            sum((col("cnt") === 1).cast("long")).as("hapax"))
+          .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+            expr("hapax * 1000000 div vocab").as("hapax_ratio_x1e6"))
+          .orderBy("source")
+      },
+      Some("""WITH tc AS (
+             |  SELECT source, t, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+             |        FROM documents) u
+             |  GROUP BY source, t
+             |)
+             |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS vocab,
+             |  CAST(sum(CAST(cnt = 1 AS BIGINT)) AS BIGINT) AS hapax,
+             |  CAST(sum(CAST(cnt = 1 AS BIGINT)) * 1000000 // count(*)
+             |    AS BIGINT) AS hapax_ratio_x1e6
+             |FROM tc GROUP BY source ORDER BY source""".stripMargin))
   )
 }

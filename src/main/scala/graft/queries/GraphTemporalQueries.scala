@@ -2355,6 +2355,127 @@ object GraphTemporalQueries {
              |SELECT w0, age, n_buyers, rev_cents,
              |  CAST(sum(rev_cents) OVER (PARTITION BY w0 ORDER BY age
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
-             |FROM mat ORDER BY w0, age""".stripMargin))
+             |FROM mat ORDER BY w0, age""".stripMargin)),
+
+    // W16: single changepoint localization — a21's CUSUM says "this
+    // series shifted"; this answers WHERE: the split of the hourly
+    // revenue series maximizing the between-segment mean gap (binary
+    // segmentation's first cut, the standard screening pass before a
+    // full PELT run). Exact integers end to end: the series compresses
+    // to per-hour sums (map-side), ONE GlobalRank pass yields position
+    // + inclusive prefix in two phases (a million-bin series never
+    // coalesces into one window partition), and each split's gap
+    // |S_l·(n−s) − S_r·s| / (s·(n−s)) is DECIMAL(38,0) vs HUGEINT with
+    // a x100 truncating division — ties broken by earliest split, so
+    // the argmax is a total order and lowers to TakeOrdered(1), never
+    // a global sort.
+    Q("w16_changepoint",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val byBin = events(s, d)
+          .select(expr("ts div 3600000000000").as("bin"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy(col("bin")).agg(sum(col("c")).as("sb"))
+        val cum = GlobalRank.withRankAndRunningTotals(byBin,
+          Seq(col("bin").asc), Seq("sb"), "idx", Seq("cums"))
+        val tot = byBin.agg(count(lit(1)).as("n"),
+          sum(col("sb")).cast("decimal(38,0)").as("st"))
+        cum.crossJoin(broadcast(tot))
+          .filter(col("idx") < col("n"))
+          .select(col("bin"), col("idx"), col("n"),
+            col("cums").cast("decimal(38,0)").as("sl"),
+            col("st"))
+          .select(col("bin").as("split_bin"), col("idx").as("s"),
+            col("n").as("n_bins"),
+            expr("sl * 100 div idx").as("mean_l_x100"),
+            expr("(st - sl) * 100 div (n - idx)").as("mean_r_x100"),
+            expr("""abs(sl * (n - idx) - (st - sl) * idx) * 100
+                   | div (idx * (n - idx))""".stripMargin).as("gap_x100"))
+          .orderBy(desc("gap_x100"), col("s"))
+          .limit(1)
+      },
+      Some("""WITH bins AS (
+             |  SELECT epoch_ns(ts) // 3600000000000 AS bin,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS sb
+             |  FROM events GROUP BY 1
+             |), cum AS (
+             |  SELECT bin,
+             |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS idx,
+             |    CAST(sum(sb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS sl
+             |  FROM bins
+             |), tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(sb) AS HUGEINT) AS st
+             |  FROM bins
+             |)
+             |SELECT bin AS split_bin, idx AS s, n AS n_bins,
+             |  CAST(CAST(sl AS HUGEINT) * 100 // idx AS BIGINT)
+             |    AS mean_l_x100,
+             |  CAST((st - sl) * 100 // (n - idx) AS BIGINT) AS mean_r_x100,
+             |  CAST(abs(CAST(sl AS HUGEINT) * (n - idx) - (st - sl) * idx)
+             |    * 100 // (idx * (n - idx)) AS BIGINT) AS gap_x100
+             |FROM cum CROSS JOIN tot
+             |WHERE idx < n
+             |ORDER BY gap_x100 DESC, s LIMIT 1""".stripMargin)),
+
+    // G14: local clustering coefficient for the top hubs — "is this
+    // hub a community core or a pure star?", the per-node refinement of
+    // g3's global triangle count and the signal behind hub-cap /
+    // community-seed choices. Per-node triangles enumerate wedges
+    // (nbr-pair join, b < c canonical) probed against the canonical
+    // edge list — Σdeg² wedge volume, g3's cost class, on the shared
+    // cached edge artifact; LCC = 2·tri·1e6 div (deg·(deg−1)) exact.
+    // Top-100 by (degree, node) lowers to TakeOrdered — the hub set is
+    // what a partitioner actually needs, never all |V| rows.
+    Q("g14_clustering_coeff",
+      (s, d) => {
+        val e = coocEdges(s, d)
+        val nb = e.select(col("u").as("node"), col("v").as("nbr"))
+          .union(e.select(col("v"), col("u")))
+        val deg = nb.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val tri = nb.select(col("node"), col("nbr").as("b"))
+          .join(nb.select(col("node"), col("nbr").as("c")), Seq("node"))
+          .filter(col("b") < col("c"))
+          .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+          .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+        deg.filter(col("deg") >= 2)
+          .join(tri, Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+          // n_tri reaches deg²/2: ride decimal38 so 2e6·n_tri can't wrap
+          // int64 on a mega-hub (deg > ~3e6)
+          .select(col("node"), col("deg"), col("n_tri"),
+            expr("""CAST(n_tri AS DECIMAL(38,0)) * 2 * 1000000
+                   | div (CAST(deg AS DECIMAL(38,0)) * (deg - 1))"""
+              .stripMargin).as("lcc_x1e6"))
+          .orderBy(desc("deg"), col("node"))
+          .limit(100)
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             |      FROM pairs a JOIN pairs b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |nb AS (SELECT u AS node, v AS nbr FROM e
+             |       UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+             |        FROM nb GROUP BY node),
+             |tri AS (
+             |  SELECT w1.node, CAST(count(*) AS BIGINT) AS n_tri
+             |  FROM nb w1 JOIN nb w2
+             |    ON w1.node = w2.node AND w1.nbr < w2.nbr
+             |  JOIN e ON e.u = w1.nbr AND e.v = w2.nbr
+             |  GROUP BY w1.node
+             |)
+             |SELECT deg.node, deg,
+             |  coalesce(tri.n_tri, 0) AS n_tri,
+             |  CAST(CAST(coalesce(tri.n_tri, 0) AS HUGEINT) * 2 * 1000000
+             |    // (CAST(deg AS HUGEINT) * (deg - 1)) AS BIGINT)
+             |    AS lcc_x1e6
+             |FROM deg LEFT JOIN tri ON deg.node = tri.node
+             |WHERE deg >= 2
+             |ORDER BY deg DESC, deg.node LIMIT 100""".stripMargin))
   )
 }

@@ -3185,7 +3185,48 @@ object PipelineQueries {
              |)
              |SELECT user_id, n_ops, op AS last_op, c AS value_cents
              |FROM ranked WHERE rn = 1 AND op <> 'D'
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // C15: curriculum phase assignment — length-ordered easy-to-hard
+    // scheduling (the standard curriculum proxy: short documents first),
+    // the ordering complement of c13's temperature mixing and c7's
+    // epoch shuffle. The global rank rides GlobalRank's two-phase pass
+    // (t9/t15's rule — a 100 TB corpus never coalesces into one window
+    // partition; the oracle's row_number() window is the semantic spec,
+    // not the plan), the phase is the exact integer (rank−1)·4 div n,
+    // and the output is the 4-row phase manifest a training scheduler
+    // consumes — counts, char ranges, and per-phase char mass, all
+    // exact longs.
+    Q("c15_curriculum_phases",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+        val ranked = GlobalRank.withRowNumber(docs,
+          Seq(col("n_chars").asc, col("doc_id").asc), "rk")
+        val tot = docs.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_chars"),
+            expr("(rk - 1) * 4 div n").as("phase"))
+          .groupBy(col("phase"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("phase")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+             |      AS BIGINT) AS rk
+             |  FROM documents
+             |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+             |SELECT (rk - 1) * 4 // n AS phase,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM ranked CROSS JOIN tot
+             |GROUP BY phase ORDER BY phase""".stripMargin))
   )
 
 }

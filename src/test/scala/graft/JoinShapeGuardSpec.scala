@@ -51,7 +51,11 @@ class JoinShapeGuardSpec extends SparkSpec {
     "t24_heaps_law",          // 1-row doc-count frame (checkpoint stride)
     "m14_pr_curve",           // 6-row literal threshold frame
     "a28_ks_test",            // 1-row sample-size frame (n_a, n_b)
-    "f6_markov_stationary"    // 1-row state-count seed + 1-row mass frame
+    "f6_markov_stationary",   // 1-row state-count seed + 1-row mass frame
+    "t25_bigram_lift",        // 1-row unigram-total + 1-row bigram-total frames
+    "a31_cramers_v",          // a26's category frames + 1-row N/dims frames
+    "w16_changepoint",        // 1-row (n_bins, series-total) frame
+    "c15_curriculum_phases"   // 1-row corpus-count frame (phase denominator)
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {

@@ -162,6 +162,127 @@ class Round12LawsSpec extends SparkSpec {
     }
   }
 
+  test("a31: V² consistent with a26's chi2, bounded, df/k from the grid") {
+    val v = q("a31_cramers_v").collect()
+    assert(v.length === 1)
+    val r = v.head
+    val (nDocs, chi2, df, kMin, v2) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val a26 = q("a26_chi_square").collect()
+    assert(chi2 === a26.head.getLong(5), "chi2 must equal a26's total")
+    assert(df === a26.head.getLong(6))
+    assert(nDocs === a26.map(_.getLong(2)).sum)
+    val nl = a26.map(_.getString(0)).distinct.length.toLong
+    val ns = a26.map(_.getString(1)).distinct.length.toLong
+    assert(kMin === math.min(nl, ns))
+    assert(v2 === chi2 / (nDocs * (kMin - 1)))
+    assert(v2 >= 0L && v2 <= 1000000L)
+  }
+
+  test("t26: hapax <= vocab <= tokens; ratio exact; totals match the corpus") {
+    val rows = q("t26_hapax_ratio").collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(size(split(lower(col("text")), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(_.getLong(1)).sum === totalTokens)
+    rows.foreach { r =>
+      val (tok, vocab, hapax, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hapax <= vocab && vocab <= tok)
+      assert(ratio === hapax * 1000000L / vocab)
+    }
+  }
+
+  test("w16: split maximizes the gap over an exhaustive BigInt recomputation") {
+    val rows = q("w16_changepoint").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    import org.apache.spark.sql.functions._
+    val bins = Tables.events(spark, sfDir)
+      .select(expr("ts div 3600000000000").as("bin"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("bin").agg(sum(col("c")).as("sb"))
+      .collect().map(b => (b.getLong(0), BigInt(b.getLong(1))))
+      .sortBy(_._1)
+    val n = bins.length
+    val st = bins.map(_._2).sum
+    var best: (BigInt, Int) = (BigInt(-1), -1)
+    var sl = BigInt(0)
+    bins.zipWithIndex.dropRight(1).foreach { case ((_, sb), i) =>
+      sl += sb
+      val s = i + 1
+      val gap = (sl * (n - s) - (st - sl) * s).abs * 100 / (BigInt(s) * (n - s))
+      if (gap > best._1) best = (gap, s)
+    }
+    assert(r.getLong(1) === best._2.toLong, "argmax split index")
+    assert(r.getLong(2) === n.toLong)
+    assert(r.getLong(0) === bins(best._2 - 1)._1, "split bin id")
+    assert(BigInt(r.getLong(5)) === best._1, "gap value")
+    val s = best._2
+    assert(BigInt(r.getLong(3)) ===
+      bins.take(s).map(_._2).sum * 100 / s)
+    assert(BigInt(r.getLong(4)) ===
+      bins.drop(s).map(_._2).sum * 100 / (n - s))
+  }
+
+  test("g14: LCC exact vs brute-force neighborhood check on the top hubs") {
+    val rows = q("g14_clustering_coeff").collect()
+    assert(rows.length === 100)
+    // brute-force adjacency from the same co-occurrence definition
+    import org.apache.spark.sql.functions._
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = pairs.as("x").join(pairs.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("u", "v").collect().map(e => (e.getLong(0), e.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val degs = rows.map(_.getLong(1))
+    assert(degs.toSeq === degs.toSeq.sortBy(-_), "descending degree order")
+    rows.foreach { r =>
+      val (node, deg, tri, lcc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val nbrs = adj(node)
+      assert(deg === nbrs.size.toLong, s"node $node degree")
+      val wantTri = nbrs.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }
+      assert(tri === wantTri.toLong, s"node $node triangles")
+      assert(lcc === tri * 2L * 1000000L / (deg * (deg - 1)))
+      assert(lcc >= 0L && lcc <= 1000000L)
+    }
+  }
+
+  test("c15: phases partition the corpus into length-ordered quarters") {
+    val rows = q("c15_curriculum_phases").collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+    assert(rows.map(_.getLong(0)).toSeq === (0L until rows.length).toSeq)
+    // quarter sizes differ by at most 1; char ranges non-overlapping in
+    // phase order (equal n_chars may straddle a boundary only via the
+    // doc_id tie-break, so ranges are monotone, not strictly disjoint)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1L)
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getLong(3) <= hi.getLong(2),
+          "max_chars of an earlier phase cannot exceed min_chars of a later")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(4) >= r.getLong(1) * r.getLong(2)
+        && r.getLong(4) <= r.getLong(1) * r.getLong(3))
+    }
+  }
+
   test("u8: survivors match a window recomputation; deleted keys absent") {
     val got = q("u8_cdc_apply").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
