@@ -150,6 +150,14 @@ object DecisionAudit {
         "exact integer cents x (100 - pct) products in DECIMAL(38,0) " +
         "vs HUGEINT — j3's round(sum) float variant, exactified",
       Seq("round(l_extendedprice * 100)", "round(l_discount * 100)")),
+    "b3_tpch_q3" -> GrainMargin(0.5,
+      "b2's discipline verbatim: the two per-row cents/percent " +
+        "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +
+        "data); revenue accumulates exact integer cents x (100 - pct) " +
+        "in DECIMAL(38,0) vs HUGEINT, o_orderdate emits as an exact " +
+        "epoch-day long, and the top-10 orders exact integers",
+      Seq("round(l_extendedprice * 100)", "round(l_discount * 100)",
+        "epoch_us(o_orderdate) // 86400000000")),
     "f6_markov_stationary" -> IntegerDecided(
       "pi is an integer x1e6 vector throughout: every power-round term " +
         "is the exact integer division pi_i * n_pair div n_from, sums " +

@@ -1631,6 +1631,39 @@ object AdvancedQueries {
              |  CAST(sum(CAST(cnt = 1 AS BIGINT)) AS BIGINT) AS hapax,
              |  CAST(sum(CAST(cnt = 1 AS BIGINT)) * 1000000 // count(*)
              |    AS BIGINT) AS hapax_ratio_x1e6
-             |FROM tc GROUP BY source ORDER BY source""".stripMargin))
+             |FROM tc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // J18: Bloom-filtered join — the semi-join reduction a 100 TB fact
+    // scan pays FIRST so the shuffle doesn't: the dim-side key set
+    // builds a fixed-size bloom sketch (operators/Bloom — distributed
+    // partial-combining build, only the bit array reaches the driver),
+    // the probe evaluates as a codegen'd MAP-SIDE predicate on the fact
+    // table, and only survivors (matches + the ~1% false positives)
+    // enter the exact join that removes the FPs. The result is
+    // IDENTICAL to the plain join — which is exactly what the oracle
+    // checks, sk1-style. Spark's own InjectRuntimeFilter makes this
+    // same move when statistics let it; the library call makes it
+    // deterministic and reusable from any later job against a sketch
+    // built once.
+    Q("j18_bloom_filtered_join",
+      (s, d) => {
+        val small = part(s, d).filter(col("p_size") < 10)
+          .select(col("p_partkey"), col("p_brand"))
+        val bloom = graft.operators.Bloom.build(small, col("p_partkey"),
+          expectedItems = 65536L,
+          numBits = graft.operators.Bloom.optimalNumBits(65536L, 0.01))
+        val big = lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity").cast("long").as("q"))
+          .filter(graft.operators.Bloom.mightContain(bloom, col("l_partkey")))
+        big.join(broadcast(small), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size < 10
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
   )
 }

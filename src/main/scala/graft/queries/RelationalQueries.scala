@@ -208,6 +208,55 @@ object RelationalQueries {
              |GROUP BY n_name
              |ORDER BY revenue_x1e4 DESC, n_name""".stripMargin)),
 
+    // B3: TPC-H Q3 (shipping priority) — the second flagship beside
+    // b2's Q5: segment-filtered customers broadcast into FACT-scale
+    // orders, the date brackets pushed to both scans (o_orderdate on
+    // orders, l_shipdate on lineitem — PushedFilters carry the prune at
+    // 100 TB), revenue exactified to cents x (100−pct) like b2, and the
+    // top-10 lowers to TakeOrderedAndProject — a billion-group result
+    // never globally sorts. o_orderdate emits as an exact epoch-day
+    // long (raw timestamps crash the driver comparator).
+    Q("b3_tpch_q3",
+      (s, d) => {
+        val cut = "1998-06-01"
+        val cust = customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = orders(s, d)
+          .filter(col("o_orderdate") < lit(cut))
+          .select(col("o_orderkey"), col("o_custkey"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+              .as("o_day"),
+            col("o_orderpriority"))
+        val li = lineitem(s, d)
+          .filter(col("l_shipdate") > lit(cut))
+          .select(col("l_orderkey"),
+            (round(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_x1e4"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_day"), col("o_orderpriority"))
+          .agg(sum(col("rev_x1e4").cast("decimal(38,0)")).cast("long")
+            .as("revenue_x1e4"))
+          .orderBy(col("revenue_x1e4").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  epoch_us(o_orderdate) // 86400000000 AS o_day,
+             |  o_orderpriority,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             |    AS BIGINT) AS revenue_x1e4
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-06-01'
+             |  AND l_shipdate > TIMESTAMP '1998-06-01'
+             |GROUP BY l_orderkey, o_day, o_orderpriority
+             |ORDER BY revenue_x1e4 DESC, l_orderkey LIMIT 10""".stripMargin)),
+
     // J4: anti-join (sample_indexer.py:32-33 driver set-difference,
     // rebuilt distributed — SURVEY §7.3 hazard 1).
     Q("j4_anti_join",

@@ -283,6 +283,46 @@ class Round12LawsSpec extends SparkSpec {
     }
   }
 
+  test("b3: top-10 matches a plain recomputation; revenue order total") {
+    val rows = q("b3_tpch_q3").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getLong(3))
+    assert(revs.toSeq === revs.toSeq.sortBy(-_), "descending revenue")
+    assert(revs.forall(_ > 0L))
+    import org.apache.spark.sql.functions._
+    val want = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1998-06-01"))
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") < lit("1998-06-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum((round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .cast("decimal(38,0)")).cast("long").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, rev) => (-rev, k) }.take(rows.length)
+    assert(rows.map(r => (r.getLong(0), r.getLong(3))).toSeq === want.toSeq)
+  }
+
+  test("j18: bloom-filtered join result identical to the plain join") {
+    val got = q("j18_bloom_filtered_join").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    import org.apache.spark.sql.functions._
+    val want = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_size") < 10),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sq"))
+      .orderBy("p_brand")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq,
+      "bloom prefilter must not change the join result (no false negatives)")
+  }
+
   test("u8: survivors match a window recomputation; deleted keys absent") {
     val got = q("u8_cdc_apply").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
