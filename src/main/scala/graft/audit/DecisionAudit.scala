@@ -150,6 +150,13 @@ object DecisionAudit {
         "exact integer cents x (100 - pct) products in DECIMAL(38,0) " +
         "vs HUGEINT — j3's round(sum) float variant, exactified",
       Seq("round(l_extendedprice * 100)", "round(l_discount * 100)")),
+    "a32_two_proportion" -> IntegerDecided(
+      "user counts and purchase flags are exact longs; the pooled z² " +
+        "decision is rational in counts, divided through by (n1·n2)²·N " +
+        "so both truncating quotients stay inside int64 at any scale or " +
+        "split imbalance — abs() runs on exact integers only, no fp " +
+        "anywhere",
+      Seq("38416", "// (CAST(n1 AS HUGEINT) * n2 * (n1 + n2))")),
     "b3_tpch_q3" -> GrainMargin(0.5,
       "b2's discipline verbatim: the two per-row cents/percent " +
         "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +

@@ -1664,6 +1664,80 @@ object AdvancedQueries {
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE p_size < 10
-             |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // A32: two-proportion z-test — the conversion-rate A/B readout
+    // (a20 compares MEANS, a28/a29 distributions; this compares the
+    // binomial rates product teams actually ship on): users split into
+    // deterministic variants by user_id parity, success = the user
+    // purchased at least once. The pooled z² = D²·N/(n1·n2·X·(N−X))
+    // with D = x1·n2 − x2·n1 is rational in counts, so the alpha=0.05
+    // decision is EXACT integer arithmetic — divided through by
+    // (n1·n2)² before squaring (a28/a29's rule): q = |D|·1e6 div
+    // (n1·n2) <= 1e6 and both sides ride DECIMAL(38,0) vs HUGEINT to
+    // beyond 1e10 users. One scan: per-user partial-combining max,
+    // then a 2-row variant aggregate.
+    Q("a32_two_proportion",
+      (s, d) => {
+        val perUser = events(s, d)
+          .select((col("user_id") % 2).as("variant"), col("user_id"),
+            (col("event_type") === "purchase").cast("long").as("p"))
+          .groupBy(col("variant"), col("user_id"))
+          .agg(max(col("p")).as("purchased"))
+        val v = perUser.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("purchased")).as("x"))
+        val a = v.filter(col("variant") === 0)
+          .select(col("n").as("n1"), col("x").as("x1"))
+        val b = v.filter(col("variant") === 1)
+          .select(col("n").as("n2"), col("x").as("x2"))
+        a.crossJoin(broadcast(b))
+          .select(col("n1"), col("x1"), col("n2"), col("x2"),
+            expr("x1 * 1000000 div n1").as("p1_x1e6"),
+            expr("x2 * 1000000 div n2").as("p2_x1e6"),
+            // both sides divided through by (n1·n2)²·N: q <= 1e6 keeps
+            // the LHS at q²·1e4 <= 1e16 (int64), and X(N−X)/(n1·n2·N)
+            // <= 1/4 + eps for ANY split keeps the RHS quotient under
+            // ~1e16 too — no long-lowered `div` can overflow at any
+            // scale or imbalance
+            expr("""CAST(
+                   |  (abs(CAST(x1 AS DECIMAL(38,0)) * n2
+                   |       - CAST(x2 AS DECIMAL(38,0)) * n1) * 1000000
+                   |     div (CAST(n1 AS DECIMAL(38,0)) * n2))
+                   |  * (abs(CAST(x1 AS DECIMAL(38,0)) * n2
+                   |       - CAST(x2 AS DECIMAL(38,0)) * n1) * 1000000
+                   |     div (CAST(n1 AS DECIMAL(38,0)) * n2))
+                   |  * 10000
+                   |  > 38416 * CAST(x1 + x2 AS DECIMAL(38,0))
+                   |    * (n1 + n2 - x1 - x2) * 1000000000000
+                   |    div (CAST(n1 AS DECIMAL(38,0)) * n2 * (n1 + n2))
+                   | AS INT)""".stripMargin).as("reject_05"))
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id % 2 AS variant, user_id,
+             |    max(CAST(event_type = 'purchase' AS BIGINT)) AS purchased
+             |  FROM events GROUP BY variant, user_id
+             |), v AS (
+             |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(purchased) AS BIGINT) AS x
+             |  FROM pu GROUP BY variant
+             |), ab AS (
+             |  SELECT a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2
+             |  FROM (SELECT n, x FROM v WHERE variant = 0) a
+             |  CROSS JOIN (SELECT n, x FROM v WHERE variant = 1) b
+             |)
+             |SELECT n1, x1, n2, x2,
+             |  CAST(x1 * 1000000 // n1 AS BIGINT) AS p1_x1e6,
+             |  CAST(x2 * 1000000 // n2 AS BIGINT) AS p2_x1e6,
+             |  CAST(
+             |    (abs(CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+             |       * 1000000 // (CAST(n1 AS HUGEINT) * n2))
+             |    * (abs(CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+             |       * 1000000 // (CAST(n1 AS HUGEINT) * n2))
+             |    * 10000
+             |    > 38416 * CAST(x1 + x2 AS HUGEINT)
+             |      * (n1 + n2 - x1 - x2) * 1000000000000
+             |      // (CAST(n1 AS HUGEINT) * n2 * (n1 + n2))
+             |   AS INT) AS reject_05
+             |FROM ab""".stripMargin))
   )
 }

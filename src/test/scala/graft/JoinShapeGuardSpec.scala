@@ -55,7 +55,8 @@ class JoinShapeGuardSpec extends SparkSpec {
     "t25_bigram_lift",        // 1-row unigram-total + 1-row bigram-total frames
     "a31_cramers_v",          // a26's category frames + 1-row N/dims frames
     "w16_changepoint",        // 1-row (n_bins, series-total) frame
-    "c15_curriculum_phases"   // 1-row corpus-count frame (phase denominator)
+    "c15_curriculum_phases",  // 1-row corpus-count frame (phase denominator)
+    "a32_two_proportion"      // two 1-row variant frames (n, x) each
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {

@@ -323,6 +323,31 @@ class Round12LawsSpec extends SparkSpec {
       "bloom prefilter must not change the join result (no false negatives)")
   }
 
+  test("a32: counts and decision match an exact BigInt recomputation") {
+    val rows = q("a32_two_proportion").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (n1, x1, n2, x2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    import org.apache.spark.sql.functions._
+    val want = Tables.events(spark, sfDir)
+      .select((col("user_id") % 2).as("v"), col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("p"))
+      .groupBy("v", "user_id").agg(max(col("p")).as("pu"))
+      .groupBy("v").agg(count(lit(1)).as("n"), sum(col("pu")).as("x"))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2)))
+      .sortBy(_._1)
+    assert((n1, x1) === ((want(0)._2, want(0)._3)))
+    assert((n2, x2) === ((want(1)._2, want(1)._3)))
+    assert(r.getLong(4) === x1 * 1000000L / n1)
+    assert(r.getLong(5) === x2 * 1000000L / n2)
+    val d = (BigInt(x1) * n2 - BigInt(x2) * n1).abs
+    val qd = d * 1000000 / (BigInt(n1) * n2)
+    val rhs = BigInt(38416) * (x1 + x2) * (n1 + n2 - x1 - x2) *
+      BigInt("1000000000000") / (BigInt(n1) * n2 * (n1 + n2))
+    assert(r.getInt(6) === (if (qd * qd * 10000 > rhs) 1 else 0))
+  }
+
   test("u8: survivors match a window recomputation; deleted keys absent") {
     val got = q("u8_cdc_apply").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
