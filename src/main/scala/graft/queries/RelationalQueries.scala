@@ -209,13 +209,17 @@ object RelationalQueries {
              |ORDER BY revenue_x1e4 DESC, n_name""".stripMargin)),
 
     // B3: TPC-H Q3 (shipping priority) — the second flagship beside
-    // b2's Q5: segment-filtered customers broadcast into FACT-scale
-    // orders, the date brackets pushed to both scans (o_orderdate on
-    // orders, l_shipdate on lineitem — PushedFilters carry the prune at
-    // 100 TB), revenue exactified to cents x (100−pct) like b2, and the
-    // top-10 lowers to TakeOrderedAndProject — a billion-group result
-    // never globally sorts. o_orderdate emits as an exact epoch-day
-    // long (raw timestamps crash the driver comparator).
+    // b2's Q5: the date brackets push to both fact scans (o_orderdate
+    // on orders, l_shipdate on lineitem — PushedFilters carry the prune
+    // at 100 TB), revenue exactified to cents x (100−pct) like b2, and
+    // the top-10 lowers to TakeOrderedAndProject — a billion-group
+    // result never globally sorts. b2's broadcast discipline: customer
+    // is FACT-scale at TPC-H proportions (1/10 of orders), so the
+    // segment-filtered side carries no broadcast hint — it joins by
+    // shuffle unless AQE measures it small (it does at test SF, and
+    // that adaptivity, not a hard-coded hint, is the 100 TB-safe call).
+    // o_orderdate emits as an exact epoch-day long (raw timestamps
+    // crash the driver comparator).
     Q("b3_tpch_q3",
       (s, d) => {
         val cut = "1998-06-01"
@@ -235,7 +239,7 @@ object RelationalQueries {
               * (lit(100L) - round(col("l_discount") * 100).cast("long")))
               .as("rev_x1e4"))
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_day"), col("o_orderpriority"))
           .agg(sum(col("rev_x1e4").cast("decimal(38,0)")).cast("long")
             .as("revenue_x1e4"))
