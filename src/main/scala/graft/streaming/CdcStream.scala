@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming CDC apply — the streaming face of `u8_cdc_apply`: change
+  * ops (I/U/D keyed by entity, ordered by (ts, op_id)) land as parquet
+  * files; each micro-batch folds into a persisted last-writer-wins
+  * state table, with delete tombstones RETAINED in the state (not
+  * dropped) so a late-arriving older op for a deleted key cannot
+  * resurrect it. Readers take `currentState` (tombstones filtered) —
+  * exactly u8's survivor set.
+  *
+  * Why this is safe under re-delivery: the merge is max-of-(ts, op_id)
+  * per key — associative, commutative, and IDEMPOTENT — so
+  * `Trigger.AvailableNow` + checkpoint's at-least-once file replay
+  * cannot change the final state (CdcStreamSpec replays a batch to pin
+  * this). That is also the 100 TB shape: each micro-batch costs ONE
+  * partial-combining aggregate over (state ∪ batch) — no window, no
+  * per-key sort of history, state carries exactly one row per live or
+  * tombstoned key.
+  *
+  * The rewrite of the state table is atomic-by-rename per directory
+  * version (`v<k>` subdirs + a `_LIVE` pointer file, SnapshotStore's
+  * readers-never-see-partial discipline in miniature): a crash between
+  * "write new version" and "move pointer" leaves the old state live and
+  * the next drain re-folds the same batch idempotently.
+  */
+object CdcStream {
+
+  private val Pointer = "_LIVE"
+
+  private def fs(s: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def livePath(s: SparkSession, stateDir: String): Option[String] = {
+    val f = fs(s, stateDir)
+    val ptr = new org.apache.hadoop.fs.Path(s"$stateDir/$Pointer")
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      try {
+        val v = scala.io.Source.fromInputStream(in).mkString.trim
+        if (v.isEmpty) None else Some(s"$stateDir/$v")
+      } finally in.close()
+    }
+  }
+
+  /** Fold every already-landed op file into the state exactly once
+    * (Trigger.AvailableNow drain, same cadence contract as
+    * DocIngest.ingestOnce). Op schema: (key LONG, ts LONG, op_id LONG,
+    * op STRING in I/U/D, payload LONG).
+    */
+  def applyOnce(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String): Unit = {
+    val schema =
+      try spark.read.parquet(srcDir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND")
+                || c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          return
+      }
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val prev = livePath(s, stateDir).map(s.read.parquet)
+        val all = prev match {
+          case Some(st) => st.unionByName(batch)
+          case None => batch
+        }
+        // last-writer-wins: ONE partial-combining max-of-struct per key;
+        // tombstones stay in state so late older ops cannot resurrect
+        val next = all
+          .groupBy(col("key"))
+          .agg(max(struct(col("ts"), col("op_id"), col("op"),
+            col("payload"))).as("last"))
+          .select(col("key"), col("last.ts").as("ts"),
+            col("last.op_id").as("op_id"), col("last.op").as("op"),
+            col("last.payload").as("payload"))
+        val f = fs(s, stateDir)
+        val vDir = s"v$batchId-${System.nanoTime()}"
+        next.write.mode("overwrite").parquet(s"$stateDir/$vDir")
+        // pointer swap: write-then-rename is atomic on a local/HDFS fs
+        val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.$Pointer.tmp")
+        val out = f.create(tmp, true)
+        try out.write(vDir.getBytes("UTF-8")) finally out.close()
+        val ptr = new org.apache.hadoop.fs.Path(s"$stateDir/$Pointer")
+        f.delete(ptr, false)
+        f.rename(tmp, ptr)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The reader's view: live entities only (tombstones filtered) —
+    * u8's survivor contract.
+    */
+  def currentState(spark: SparkSession, stateDir: String): DataFrame =
+    livePath(spark, stateDir) match {
+      case Some(p) => spark.read.parquet(p).filter(col("op") =!= "D")
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long, String, Long)]
+          .toDF("key", "ts", "op_id", "op", "payload")
+    }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stream==batch parity for CdcStream (u8's streaming face), plus the
+  * two safety laws the batch oracle can't state: idempotence under
+  * re-delivery, and tombstone retention against late older ops.
+  */
+class CdcStreamSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  /** The u8 op feed, derived from events exactly as the batch query
+    * derives it (key = user_id, op from event_type, payload = cents).
+    */
+  private def opFeed() =
+    Tables.events(spark, sfDir).select(
+      col("user_id").as("key"), col("ts"),
+      col("event_id").as("op_id"),
+      when(col("event_type") === "view", "I")
+        .when(col("event_type") === "purchase", "D")
+        .otherwise("U").as("op"),
+      round(col("value") * 100).cast("long").as("payload"))
+
+  test("two-wave stream drain equals the one-shot batch CDC apply") {
+    val src = tmp("cdc_src"); val state = tmp("cdc_state")
+    val ckpt = tmp("cdc_ckpt")
+    val ops = opFeed().cache()
+    try {
+      // wave 1: even op_ids land first; wave 2: the rest — file order is
+      // NOT time order, which is exactly what LWW must tolerate
+      ops.filter(col("op_id") % 2 === 0).write.mode("append").parquet(src)
+      streaming.CdcStream.applyOnce(spark, src, state, ckpt)
+      ops.filter(col("op_id") % 2 === 1).write.mode("append").parquet(src)
+      streaming.CdcStream.applyOnce(spark, src, state, ckpt)
+
+      val got = streaming.CdcStream.currentState(spark, state)
+        .select("key", "op", "payload")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      val want = SparkEntry.queries("u8_cdc_apply")(spark, sfDir)
+        .select(col("user_id"), col("last_op"), col("value_cents"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(got.toSeq === want.toSeq,
+        "streamed CDC state must equal the batch u8 survivor set")
+    } finally ops.unpersist()
+  }
+
+  test("re-draining the same files is a no-op (idempotent merge)") {
+    val src = tmp("cdc_src2"); val state = tmp("cdc_state2")
+    val ops = opFeed().limit(200).cache()
+    try {
+      ops.write.mode("append").parquet(src)
+      streaming.CdcStream.applyOnce(spark, src, state, tmp("cdc_ckpt2a"))
+      val first = streaming.CdcStream.currentState(spark, state)
+        .collect().map(_.toString).sorted
+      // a FRESH checkpoint replays every file — at-least-once delivery
+      streaming.CdcStream.applyOnce(spark, src, state, tmp("cdc_ckpt2b"))
+      val second = streaming.CdcStream.currentState(spark, state)
+        .collect().map(_.toString).sorted
+      assert(first.toSeq === second.toSeq,
+        "full re-delivery must not change the folded state")
+    } finally ops.unpersist()
+  }
+
+  test("a late OLDER op cannot resurrect a tombstoned key") {
+    import spark.implicits._
+    val src = tmp("cdc_src3"); val state = tmp("cdc_state3")
+    // delete at ts=100 lands first; an update from ts=50 arrives later
+    Seq((7L, 100L, 2L, "D", 0L)).toDF("key", "ts", "op_id", "op", "payload")
+      .write.mode("append").parquet(src)
+    streaming.CdcStream.applyOnce(spark, src, state, tmp("cdc_ckpt3a"))
+    Seq((7L, 50L, 1L, "U", 999L)).toDF("key", "ts", "op_id", "op", "payload")
+      .write.mode("append").parquet(src)
+    streaming.CdcStream.applyOnce(spark, src, state, tmp("cdc_ckpt3b"))
+    assert(streaming.CdcStream.currentState(spark, state)
+      .filter(col("key") === 7L).count() === 0L,
+      "tombstone must win over the late older update")
+  }
+}

@@ -346,6 +346,65 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-12 additions keep their scale shapes") {
+    // a29/w16/c15: global rank/prefix rides GlobalRank's range
+    // repartition — never an unpartitioned window over the data frame
+    for (q <- Seq("a29_mann_whitney", "w16_changepoint",
+        "c15_curriculum_phases")) {
+      val p = plan(q)
+      assert(p.toLowerCase.contains("rangepartitioning"),
+        s"$q lost GlobalRank's range repartition:\n" + p.take(1500))
+    }
+    // w16/g14/t25/b3: the argmax/top-k lowers to TakeOrderedAndProject,
+    // never a global sort of the candidate frame
+    for (q <- Seq("w16_changepoint", "g14_clustering_coeff",
+        "t25_bigram_lift", "b3_tpch_q3")) {
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q top-k grew a global sort")
+    }
+    // b3: BOTH date brackets reach their parquet scans
+    val b3 = plan("b3_tpch_q3")
+    assert(b3.contains("LessThan(o_orderdate"),
+      "b3 order-date bracket not pushed to the orders scan")
+    assert(b3.contains("GreaterThan(l_shipdate"),
+      "b3 ship-date bracket not pushed to the lineitem scan")
+    assert(!b3.contains("CartesianProduct") && !b3.contains("NestedLoop"))
+    // j18: the bloom probe evaluates as a predicate on the fact side
+    // (map-side semi-join reduction), and the exact join is broadcast
+    val j18 = plan("j18_bloom_filtered_join")
+    assert(j18.contains("might_contain"),
+      "j18 lost its bloom probe predicate:\n" + j18.take(1500))
+    assert(j18.contains("BroadcastHashJoin"),
+      "j18 exact join not broadcast")
+    // sk2: the salt is in the first-stage grouping (pmod of the hash)
+    // and both stages partial-aggregate before their shuffles
+    val sk2 = plan("sk2_skew_salted_agg")
+    assert(sk2.contains("pmod"), "sk2 lost its salt derivation")
+    assert(sk2.contains("partial_count") || sk2.contains("partial count"),
+      "sk2 distinct stage lost its map-side combine")
+    // u8: CDC apply is ONE partial-combining aggregate — no window, no
+    // join, no per-key sort of the fact table
+    val u8 = plan("u8_cdc_apply")
+    assert(u8.contains("partial_max") || u8.contains("partial max"),
+      "u8 last-writer-wins lost its map-side combine")
+    assert(!u8.contains("Window"), "u8 grew a window over the fact table")
+    assert(!u8.contains("Join"), "u8 grew a join")
+    // m15: pure map-side tiling — two Generates, no join at all
+    val m15 = plan("m15_patch_grid")
+    assert(m15.contains("Generate"), "m15 lost its explode tiling")
+    assert(!m15.contains("Join"), "m15 grew a join")
+    // g14: wedge enumeration stays equi-join over the shared edges
+    val g14 = plan("g14_clustering_coeff")
+    assert(!g14.contains("CartesianProduct") && !g14.contains("NestedLoop"),
+      "g14 wedge join degraded from equi-join")
+    // a30/f7/t26/a31/a32: partial-combining aggregates, no cartesian
+    for (q <- Seq("a30_tukey_fences", "f7_cohort_ltv", "t26_hapax_ratio",
+        "a31_cramers_v", "a32_two_proportion")) {
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q degraded to a cartesian product")
+    }
+  }
+
   test("m10: fold ranking is GlobalRank-shaped — no single-partition " +
       "window over the scored fold rows (VERDICT r8 #2)") {
     val p = plan("m10_cv")
