@@ -3226,7 +3226,53 @@ object PipelineQueries {
              |  CAST(max(n_chars) AS BIGINT) AS max_chars,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM ranked CROSS JOIN tot
-             |GROUP BY phase ORDER BY phase""".stripMargin))
+             |GROUP BY phase ORDER BY phase""".stripMargin)),
+
+    // T27: content-defined chunking — the dedup-friendly chunker beside
+    // t13's fixed-size windows: a boundary falls AFTER token p whenever
+    // the trigram ending at p hashes to 0 mod 64 (expected chunk ~64
+    // tokens), so an insertion early in a document shifts only the
+    // chunks it touches — fixed-size chunking re-cuts everything after
+    // the edit, content-defined cuts re-align (the property rsync/LBFS
+    // built on, and what makes chunk-hash dedup incremental). Hashes
+    // are the engine-identical md5-derived hash32 (d2's discipline), so
+    // boundaries are exactly oracled. Scale shape: the WHOLE computation
+    // is per-row array HOFs — no explode, no window, no shuffle before
+    // the presentation sort; chunk stats come off the boundary-position
+    // array in the same projection.
+    Q("t27_cdc_chunking",
+      (s, d) => {
+        val bounds = filter(
+          sequence(lit(3), size(col("w"))),
+          p => hash32(concat_ws(" ", slice(col("w"), p - 2, lit(3)))) % 64 === 0)
+        tokenized(s, d)
+          .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+            bounds.as("bs"))
+          .select(col("doc_id"), col("n_tokens"),
+            (size(col("bs")) + 1).cast("long").as("n_chunks"),
+            expr("n_tokens * 1000 div (size(bs) + 1)").as("avg_chunk_x1000"),
+            // try_element_at: a boundary-free doc has an EMPTY bs and
+            // plain element_at raises under ANSI array indexing
+            coalesce(expr("try_element_at(bs, 1)").cast("long"),
+              col("n_tokens")).as("first_chunk_len"),
+            (col("n_tokens")
+              - coalesce(expr("try_element_at(bs, -1)").cast("long"), lit(0L)))
+              .as("last_chunk_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlTok, b AS (
+              |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+              |    [p for p in range(3, len(w) + 1)
+              |     if ${sqlH32("array_to_string(w[p-2:p], ' ')")} % 64 = 0]
+              |      AS bs
+              |  FROM tok
+              |)
+              |SELECT doc_id, n AS n_tokens,
+              |  CAST(len(bs) + 1 AS BIGINT) AS n_chunks,
+              |  CAST(n * 1000 // (len(bs) + 1) AS BIGINT) AS avg_chunk_x1000,
+              |  CAST(coalesce(bs[1], n) AS BIGINT) AS first_chunk_len,
+              |  CAST(n - coalesce(bs[-1], 0) AS BIGINT) AS last_chunk_len
+              |FROM b ORDER BY doc_id""".stripMargin))
   )
 
 }

@@ -348,6 +348,33 @@ class Round12LawsSpec extends SparkSpec {
     assert(r.getInt(6) === (if (qd * qd * 10000 > rhs) 1 else 0))
   }
 
+  test("t27: boundaries match a JVM md5 recomputation; chunk algebra exact") {
+    val rows = q("t27_cdc_chunking").collect()
+    assert(rows.nonEmpty)
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val texts = Tables.tokenizedDocs(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split(" ", -1).toSeq)).toMap
+    rows.foreach { r =>
+      val (id, n, nc, avg, first, last) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val w = texts(id)
+      assert(n === w.length.toLong)
+      val bs = (3 to w.length).filter(p =>
+        h32(w.slice(p - 3, p).mkString(" ")) % 64 == 0)
+      assert(nc === bs.length + 1L, s"doc $id chunk count")
+      assert(avg === n * 1000 / (bs.length + 1))
+      assert(first === bs.headOption.map(_.toLong).getOrElse(n))
+      assert(last === n - bs.lastOption.map(_.toLong).getOrElse(0L))
+    }
+  }
+
   test("u8: survivors match a window recomputation; deleted keys absent") {
     val got = q("u8_cdc_apply").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
