@@ -3272,7 +3272,84 @@ object PipelineQueries {
               |  CAST(n * 1000 // (len(bs) + 1) AS BIGINT) AS avg_chunk_x1000,
               |  CAST(coalesce(bs[1], n) AS BIGINT) AS first_chunk_len,
               |  CAST(n - coalesce(bs[-1], 0) AS BIGINT) AS last_chunk_len
-              |FROM b ORDER BY doc_id""".stripMargin))
+              |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // D15: chunk-hash dedup — WHY t27 exists: content-defined chunks
+    // hash stably across edits, so cross-document duplicate chunks are
+    // found by a plain hash groupBy (dedup-storage's FastCDC move,
+    // applied to corpus curation: shared boilerplate/quoted passages
+    // surface as multi-doc chunk groups even when the surrounding
+    // documents differ — the chunk-granular middle ground between d1's
+    // whole-doc hash and d9's k-gram spans). Per-row HOFs derive the
+    // chunk spans off t27's boundary array and hash each span (one
+    // hash32 per chunk, engine-identical md5 arithmetic); ONE
+    // partial-combining groupBy on the 32-bit chunk hash finds the
+    // groups; >= 2 distinct docs keeps only cross-doc duplication;
+    // top-20 lowers to TakeOrdered. No self-join, no all-pairs,
+    // no window.
+    Q("d15_chunk_dedup",
+      (s, d) => {
+        // unlike t27's stat readout, the spans get HASHED here — so a
+        // boundary after the FINAL token (which would make a degenerate
+        // empty last chunk: Spark hashes "", DuckDB nulls it) is
+        // excluded: the range stops at n−1 and every chunk is non-empty.
+        // The when() guards the 3-token doc: Spark's sequence(3, 2)
+        // would run DESCENDING, not empty like DuckDB's range(3, 3).
+        val bounds = filter(
+          when(size(col("w")) >= 4, sequence(lit(3), size(col("w")) - 1))
+            .otherwise(array().cast("array<int>")),
+          p => hash32(concat_ws(" ", slice(col("w"), p - 2, lit(3)))) % 64 === 0)
+        // materialize (w, bs) to storage before the chunk-hash pass:
+        // the optimizer re-inlines the tokenizer split() into the HOF
+        // lambdas otherwise (LambdaCseGuardSpec's class — re-tokenizing
+        // once per chunk), and a 100 TB pipeline hashes chunks off a
+        // materialized token table anyway (d5's discipline)
+        val dir = graft.Scratch.dir(s, "d15_chunks")
+        tokenized(s, d)
+          .select(col("doc_id"), col("w"), bounds.as("bs"))
+          .write.mode("overwrite").parquet(dir)
+        val base = s.read.parquet(dir)
+        val starts = concat(array(lit(1)), transform(col("bs"), b => b + 1))
+        val ends = concat(col("bs"), array(size(col("w"))))
+        base
+          .select(col("doc_id"),
+            zip_with(starts, ends, (st, en) =>
+              hash32(concat_ws(" ", slice(col("w"), st, en - st + 1))))
+              .as("hs"))
+          .select(col("doc_id"), explode(col("hs")).as("chunk_hash"))
+          .groupBy(col("chunk_hash"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(desc("n_occ"), col("chunk_hash"))
+          .limit(20)
+      },
+      Some(s"""WITH $sqlTok, b AS (
+              |  SELECT doc_id, w, len(w) AS n,
+              |    [p for p in range(3, len(w))
+              |     if ${sqlH32("array_to_string(w[p-2:p], ' ')")} % 64 = 0]
+              |      AS bs
+              |  FROM tok
+              |), ch AS (
+              |  SELECT doc_id, unnest([
+              |    ${sqlH32(
+                     """array_to_string(w[
+                       |      (CASE WHEN i = 1 THEN 1 ELSE bs[i-1] + 1 END)
+                       |      : (CASE WHEN i = len(bs) + 1 THEN n
+                       |         ELSE bs[i] END)], ' ')""".stripMargin)}
+              |    for i in range(1, len(bs) + 2)]) AS chunk_hash
+              |  FROM b
+              |)
+              |SELECT chunk_hash,
+              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(count(*) AS BIGINT) AS n_occ,
+              |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+              |  CAST(max(doc_id) AS BIGINT) AS max_doc
+              |FROM ch GROUP BY chunk_hash
+              |HAVING count(DISTINCT doc_id) >= 2
+              |ORDER BY n_occ DESC, chunk_hash LIMIT 20""".stripMargin))
   )
 
 }

@@ -375,6 +375,41 @@ class Round12LawsSpec extends SparkSpec {
     }
   }
 
+  test("d15: duplicate-chunk groups match a JVM md5 recomputation") {
+    val rows = q("d15_chunk_dedup").collect()
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val occs = Tables.tokenizedDocs(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val w = r.getString(1).toLowerCase.split(" ", -1).toSeq
+        val bs = (3 until w.length).filter(p =>
+          h32(w.slice(p - 3, p).mkString(" ")) % 64 == 0)
+        val starts = 1 +: bs.map(_ + 1)
+        val ends = bs :+ w.length
+        starts.zip(ends).map { case (s0, e0) =>
+          (id, h32(w.slice(s0 - 1, e0).mkString(" ")))
+        }
+      }
+    val want = occs.groupBy(_._2)
+      .map { case (h, xs) =>
+        (h, xs.map(_._1).distinct.length.toLong, xs.length.toLong,
+          xs.map(_._1).min, xs.map(_._1).max)
+      }
+      .filter(_._2 >= 2L).toSeq
+      .sortBy { case (h, _, nOcc, _, _) => (-nOcc, h) }
+      .take(20)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === want,
+      "cross-doc duplicate chunk groups must match the JVM recomputation")
+  }
+
   test("u8: survivors match a window recomputation; deleted keys absent") {
     val got = q("u8_cdc_apply").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
