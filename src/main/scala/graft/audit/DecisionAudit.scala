@@ -241,6 +241,14 @@ object DecisionAudit {
         "truncating x100 divisions — the argmax orders exact integers " +
         "with an earliest-split tie-break, abs() on exact integers only",
       Seq("round(value * 100)", "ORDER BY gap_x100 DESC, s LIMIT 1")),
+    "w17_bollinger_bands" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); rolling sums / sums-of-squares ride " +
+        "DECIMAL(38,0) vs HUGEINT and the 2-sigma flag is the exact " +
+        "squared-inequality (x·n − S)² > 4(n·Sxx − S²) — no sqrt, no " +
+        "float variance; warm-up rows emit NULL, identically typed on " +
+        "both engines",
+      Seq("round(value * 100)", "> 4 * (n * sxx - sw * sw)")),
     "a31_cramers_v" -> IntegerDecided(
       "a26's contingency arithmetic verbatim (exact counts, adaptive " +
         "shared-digit truncation with abs() feeding only the " +

@@ -2476,6 +2476,70 @@ object GraphTemporalQueries {
              |    AS lcc_x1e6
              |FROM deg LEFT JOIN tri ON deg.node = tri.node
              |WHERE deg >= 2
-             |ORDER BY deg DESC, deg.node LIMIT 100""".stripMargin))
+             |ORDER BY deg DESC, deg.node LIMIT 100""".stripMargin)),
+
+    // W17: Bollinger-band outlier flags — the rolling complement of
+    // a16's global z-score and w16's single cut: each hour's revenue is
+    // judged against its own trailing 24-hour window (self-inclusive,
+    // the monitoring default), so a regime CHANGE flags once instead of
+    // poisoning a global mean. sqrt-free by squaring the 2-sigma rule
+    // into exact integers: |x − S/n| > 2σ  <=>  (x·n − S)² >
+    // 4·(n·Sxx − S²), with sums/sum-of-squares riding DECIMAL(38,0) vs
+    // HUGEINT (x² alone needs it past ~3e9 cents/hour). Scale shape:
+    // the fact table compresses to per-(type, hour) sums map-side; the
+    // 24-row sliding window runs over THAT series, partitioned by type
+    // with bounded frame state; warm-up rows (n < 24) emit flag NULL
+    // rather than a noisy verdict.
+    Q("w17_bollinger_bands",
+      (s, d) => {
+        val byBin = events(s, d)
+          .select(col("event_type"), expr("ts div 3600000000000").as("bin"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(sum(col("c")).as("x"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(-23, Window.currentRow)
+        byBin
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sw", sum(col("x").cast("decimal(38,0)")).over(w))
+          .withColumn("sxx", sum(col("x").cast("decimal(38,0)")
+            * col("x")).over(w))
+          .select(col("event_type"), col("bin"), col("x").as("x_cents"),
+            col("n").as("n_win"),
+            expr("sw * 100 div n").as("mean_x100"),
+            expr("(CAST(x AS DECIMAL(38,0)) * n - sw) * 100 div n")
+              .as("dev_x100"),
+            expr("""CASE WHEN n = 24 THEN CAST(
+                   |  (CAST(x AS DECIMAL(38,0)) * n - sw)
+                   |    * (CAST(x AS DECIMAL(38,0)) * n - sw)
+                   |  > 4 * (n * sxx - sw * sw) AS INT)
+                   | ELSE CAST(NULL AS INT) END""".stripMargin)
+              .as("outside_2sigma"))
+          .orderBy("event_type", "bin")
+      },
+      Some("""WITH bins AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bin,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS x
+             |  FROM events GROUP BY event_type, bin
+             |), roll AS (
+             |  SELECT event_type, bin, x,
+             |    CAST(count(*) OVER w AS BIGINT) AS n,
+             |    CAST(sum(x) OVER w AS HUGEINT) AS sw,
+             |    sum(CAST(x AS HUGEINT) * x) OVER w AS sxx
+             |  FROM bins
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY bin
+             |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT event_type, bin, x AS x_cents, n AS n_win,
+             |  CAST(sw * 100 // n AS BIGINT) AS mean_x100,
+             |  CAST((CAST(x AS HUGEINT) * n - sw) * 100 // n AS BIGINT)
+             |    AS dev_x100,
+             |  CASE WHEN n = 24 THEN CAST(
+             |    (CAST(x AS HUGEINT) * n - sw)
+             |      * (CAST(x AS HUGEINT) * n - sw)
+             |    > 4 * (n * sxx - sw * sw) AS INT)
+             |   ELSE CAST(NULL AS INT) END AS outside_2sigma
+             |FROM roll ORDER BY event_type, bin""".stripMargin))
   )
 }

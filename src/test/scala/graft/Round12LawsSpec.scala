@@ -410,6 +410,39 @@ class Round12LawsSpec extends SparkSpec {
       "cross-doc duplicate chunk groups must match the JVM recomputation")
   }
 
+  test("w17: bands match an explicit trailing-window BigInt recomputation") {
+    val rows = q("w17_bollinger_bands").collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val series = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("bin"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "bin").agg(sum(col("c")).as("x"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val byType = series.keys.groupBy(_._1)
+      .map { case (t, ks) => (t, ks.map(_._2).toSeq.sorted) }
+    rows.foreach { r =>
+      val (t, bin, x, nWin) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val bins = byType(t)
+      val idx = bins.indexOf(bin)
+      val windowBins = bins.slice(math.max(0, idx - 23), idx + 1)
+      assert(nWin === windowBins.length.toLong, s"$t/$bin window size")
+      val xs = windowBins.map(b => BigInt(series((t, b))))
+      assert(BigInt(x) === xs.last)
+      val n = BigInt(xs.length); val sw = xs.sum
+      assert(BigInt(r.getLong(4)) === sw * 100 / n, s"$t/$bin mean")
+      assert(BigInt(r.getLong(5)) === (BigInt(x) * n - sw) * 100 / n)
+      if (nWin == 24L) {
+        val sxx = xs.map(v => v * v).sum
+        val want = if ((BigInt(x) * n - sw).pow(2) > 4 * (n * sxx - sw * sw))
+          1 else 0
+        assert(r.getInt(6) === want, s"$t/$bin flag")
+      } else assert(r.isNullAt(6), s"$t/$bin warm-up row must be NULL")
+    }
+  }
+
   test("u8: survivors match a window recomputation; deleted keys absent") {
     val got = q("u8_cdc_apply").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
