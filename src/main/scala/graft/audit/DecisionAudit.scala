@@ -241,6 +241,13 @@ object DecisionAudit {
         "truncating x100 divisions — the argmax orders exact integers " +
         "with an earliest-split tie-break, abs() on exact integers only",
       Seq("round(value * 100)", "ORDER BY gap_x100 DESC, s LIMIT 1")),
+    "a33_mad_outliers" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); median and MAD are exact order statistics " +
+        "selected by integer rank (2·cum vs n) off value/deviation " +
+        "histograms, and the 3·MAD outlier mass is exact longs — abs() " +
+        "runs on exact integers only",
+      Seq("round(value * 100)", "cd * 2 >= n")),
     "w17_bollinger_bands" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); rolling sums / sums-of-squares ride " +

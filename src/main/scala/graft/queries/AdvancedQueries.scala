@@ -1425,6 +1425,87 @@ object AdvancedQueries {
              |GROUP BY fen.event_type, n, q1_c, q3_c
              |ORDER BY fen.event_type""".stripMargin)),
 
+    // A33: MAD robust outlier audit — the median-absolute-deviation
+    // member of the robust family (a30's quartile fences tolerate 25%
+    // contamination; MAD's breakdown point is 50%, the standard for
+    // sensor/billing feeds where a burst can poison a whole quartile).
+    // Everything is exact order statistics off per-type HISTOGRAMS:
+    // median = min value with 2·cum >= n, then the DEVIATION histogram
+    // (|c − med| re-aggregated from the value histogram, never from
+    // raw rows) yields MAD the same way, and outlier mass |x − med| >
+    // 3·MAD sums histogram masses. Three tiny frames, two partitioned
+    // cumulative windows whose state scales with the value DOMAIN
+    // (a30's compression discipline) — the fact table is scanned once.
+    Q("a33_mad_outliers",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+        val bv = ev.groupBy(col("event_type"), col("c"))
+          .agg(count(lit(1)).as("m"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = bv.groupBy(col("event_type")).agg(sum(col("m")).as("n"))
+        val med = bv.withColumn("cm", sum(col("m")).over(w))
+          .join(broadcast(tot), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"))
+          .agg(min(when(col("cm") * 2 >= col("n"), col("c"))).as("med_c"))
+        val dv = bv.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), col("n"), col("med_c"),
+            abs(col("c") - col("med_c")).as("dd"), col("m"))
+          .groupBy(col("event_type"), col("n"), col("med_c"), col("dd"))
+          .agg(sum(col("m")).as("dm"))
+        val wd = Window.partitionBy(col("event_type")).orderBy(col("dd"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mad = dv.withColumn("cd", sum(col("dm")).over(wd))
+          .groupBy(col("event_type"), col("n"), col("med_c"))
+          .agg(min(when(col("cd") * 2 >= col("n"), col("dd"))).as("mad_c"))
+        bv.join(broadcast(mad), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"), col("med_c"), col("mad_c"))
+          .agg(coalesce(sum(when(abs(col("c") - col("med_c"))
+            > col("mad_c") * 3, col("m"))), lit(0L)).as("n_out"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |), bv AS (
+             |  SELECT event_type, c, CAST(count(*) AS BIGINT) AS m
+             |  FROM ev GROUP BY event_type, c
+             |), tot AS (
+             |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n
+             |  FROM bv GROUP BY event_type
+             |), cum AS (
+             |  SELECT event_type, c, m,
+             |    CAST(sum(m) OVER (PARTITION BY event_type ORDER BY c
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+             |  FROM bv
+             |), med AS (
+             |  SELECT cum.event_type, n,
+             |    min(CASE WHEN cm * 2 >= n THEN c END) AS med_c
+             |  FROM cum JOIN tot ON cum.event_type = tot.event_type
+             |  GROUP BY cum.event_type, n
+             |), dv AS (
+             |  SELECT bv.event_type, n, med_c, abs(c - med_c) AS dd,
+             |    CAST(sum(m) AS BIGINT) AS dm
+             |  FROM bv JOIN med ON bv.event_type = med.event_type
+             |  GROUP BY bv.event_type, n, med_c, dd
+             |), dcum AS (
+             |  SELECT event_type, n, med_c, dd, dm,
+             |    CAST(sum(dm) OVER (PARTITION BY event_type ORDER BY dd
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cd
+             |  FROM dv
+             |), mad AS (
+             |  SELECT event_type, n, med_c,
+             |    min(CASE WHEN cd * 2 >= n THEN dd END) AS mad_c
+             |  FROM dcum GROUP BY event_type, n, med_c
+             |)
+             |SELECT bv.event_type, n, med_c, mad_c,
+             |  CAST(coalesce(sum(CASE WHEN abs(c - med_c) > mad_c * 3
+             |    THEN m END), 0) AS BIGINT) AS n_out
+             |FROM bv JOIN mad ON bv.event_type = mad.event_type
+             |GROUP BY bv.event_type, n, med_c, mad_c
+             |ORDER BY bv.event_type""".stripMargin)),
+
     // T25: bigram LIFT — collocation strength, the association metric a
     // tokenizer/phrase-mining pass ranks n-grams by (t6 ranks by RAW
     // count, which surfaces "of the"; lift = P(ab)/(P(a)P(b)) surfaces

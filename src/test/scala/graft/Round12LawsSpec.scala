@@ -443,6 +443,28 @@ class Round12LawsSpec extends SparkSpec {
     }
   }
 
+  test("a33: median/MAD are the exact order statistics; outlier mass exact") {
+    val rows = q("a33_mad_outliers").collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r0 => (r0.getString(0), r0.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).sorted) }
+    rows.foreach { r =>
+      val (t, n, med, mad, nOut) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val xs = raw(t)
+      assert(n === xs.length.toLong)
+      // min value with 2*cum >= n == 0-based index ceil(n/2) - 1
+      assert(med === xs(((xs.length + 1) / 2) - 1), s"$t median")
+      val ds = xs.map(v => math.abs(v - med)).sorted
+      assert(mad === ds(((ds.length + 1) / 2) - 1), s"$t MAD")
+      assert(nOut === xs.count(v => math.abs(v - med) > 3 * mad).toLong)
+      assert(nOut <= n / 2, "MAD's breakdown bound")
+    }
+  }
+
   test("u8: survivors match a window recomputation; deleted keys absent") {
     val got = q("u8_cdc_apply").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
