@@ -241,6 +241,14 @@ object DecisionAudit {
         "truncating x100 divisions — the argmax orders exact integers " +
         "with an earliest-split tie-break, abs() on exact integers only",
       Seq("round(value * 100)", "ORDER BY gap_x100 DESC, s LIMIT 1")),
+    "a34_runs_test" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); the median is a rank-selected order " +
+        "statistic, runs count by exact integer sign flips, and the " +
+        "alpha=0.05 decision is the a28/a29 divide-through integer " +
+        "form with every truncating quotient bounded — abs() on exact " +
+        "integers only",
+      Seq("round(value * 100)", "38416")),
     "a33_mad_outliers" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); median and MAD are exact order statistics " +

@@ -1506,6 +1506,121 @@ object AdvancedQueries {
              |GROUP BY bv.event_type, n, med_c, mad_c
              |ORDER BY bv.event_type""".stripMargin)),
 
+    // A34: Wald-Wolfowitz runs test — "is the hourly revenue sequence
+    // RANDOM around its median, or does it trend/cluster?": the
+    // nonparametric autocorrelation screen that complements w16 (which
+    // localizes one shift) and w17 (which flags level outliers). All
+    // exact integers: the hourly series compresses map-side; the
+    // global median of bin sums is an order statistic off the bin-value
+    // HISTOGRAM through one GlobalRank prefix pass (ties to the median
+    // are discarded, the standard treatment); the kept sequence ranks
+    // through a second GlobalRank pass and sign flips count via the
+    // rank→rank+1 EQUI-join (the oracle's lag() window is the spec, not
+    // the plan). The alpha=0.05 normal-approx decision uses a28/a29's
+    // divide-through rule with m = n1·n2: q = |N(R−1) − 2m|·1e6 div 2m,
+    // reject iff q²·(N−1)·1e4 > 38416·(2m−N)·1e12 div 2m — every
+    // truncating quotient bounded at any scale.
+    Q("a34_runs_test",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val byBin = events(s, d)
+          .select(expr("ts div 3600000000000").as("bin"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy(col("bin")).agg(sum(col("c")).as("x"))
+        val hv = byBin.groupBy(col("x")).agg(count(lit(1)).as("hm"))
+        val cum = GlobalRank.withRankAndRunningTotals(hv,
+          Seq(col("x").asc), Seq("hm"), "vr", Seq("cumm"))
+        val nAll = byBin.agg(count(lit(1)).as("n_all"))
+        val med = cum.crossJoin(broadcast(nAll))
+          .agg(min(when(col("cumm") * 2 >= col("n_all"), col("x")))
+            .as("med_x"))
+        val kept = byBin.crossJoin(broadcast(med))
+          .filter(col("x") =!= col("med_x"))
+          .select(col("bin"), (col("x") > col("med_x")).cast("int").as("b"))
+        // materialize the ranked sequence once: the successor self-join
+        // keys on rk vs rk+1 (different shuffle expressions — no
+        // ReusedExchange), so without storage the whole
+        // histogram+median+rank chain would execute twice (d5/d15's
+        // materialization discipline; 3.2 s -> 2.6 s at sf0.1, and at
+        // 100 TB the saved recomputation is a full fact-table scan)
+        val dir = graft.Scratch.dir(s, "a34_ranked")
+        GlobalRank.withRowNumber(kept, Seq(col("bin").asc), "rk")
+          .select(col("rk"), col("b"))
+          .write.mode("overwrite").parquet(dir)
+        val ranked = s.read.parquet(dir)
+        val flips = ranked.as("a")
+          .join(ranked.as("p"), col("a.rk") === col("p.rk") + 1)
+          .agg(coalesce(sum((col("a.b") =!= col("p.b")).cast("long")),
+            lit(0L)).as("n_flips"))
+        val counts = ranked.agg(sum((col("b") === 1).cast("long")).as("n1"),
+          sum((col("b") === 0).cast("long")).as("n2"))
+        counts.crossJoin(broadcast(flips))
+          .select(col("n1"), col("n2"),
+            (col("n1") + col("n2")).as("nn"),
+            (col("n_flips") + 1).as("n_runs"),
+            (col("n1").cast("decimal(38,0)") * col("n2")).as("m"))
+          .select(col("n1"), col("n2"), col("nn"), col("n_runs"),
+            // expected runs x100 = (2m/N + 1)*100
+            expr("(2 * m * 100 + CAST(nn AS DECIMAL(38,0)) * 100) div nullif(nn, 0)")
+              .as("mu_x100"),
+            // q lowers to LONG off the div; q²·(N−1)·1e4 must ride
+            // decimal38 (a25's recast rule) — headroom to ~3e7 bins,
+            // i.e. hourly grain for four millennia
+            expr("""CAST(
+                   |  CAST(abs(CAST(nn AS DECIMAL(38,0)) * (n_runs - 1) - 2 * m)
+                   |     * 1000000 div nullif(2 * m, 0) AS DECIMAL(38,0))
+                   |  * CAST(abs(CAST(nn AS DECIMAL(38,0)) * (n_runs - 1) - 2 * m)
+                   |     * 1000000 div nullif(2 * m, 0) AS DECIMAL(38,0))
+                   |  * (nn - 1) * 10000
+                   |  > 38416 * (2 * m - nn) * 1000000000000
+                   |     div nullif(2 * m, 0)
+                   | AS INT)""".stripMargin).as("reject_05"))
+      },
+      Some("""WITH bins AS (
+             |  SELECT epoch_ns(ts) // 3600000000000 AS bin,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS x
+             |  FROM events GROUP BY 1
+             |), med AS (
+             |  SELECT min(x) AS med_x FROM (
+             |    SELECT x, CAST(sum(count(*))
+             |        OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS cumm
+             |    FROM bins GROUP BY x) h
+             |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_all
+             |              FROM bins) t
+             |  WHERE cumm * 2 >= n_all
+             |), kept AS (
+             |  SELECT bin, CAST(x > med_x AS INT) AS b
+             |  FROM bins CROSS JOIN med WHERE x <> med_x
+             |), seq AS (
+             |  SELECT b, lag(b) OVER (ORDER BY bin) AS pb FROM kept
+             |), st AS (
+             |  SELECT
+             |    CAST((SELECT coalesce(sum(CAST(b = 1 AS BIGINT)), 0)
+             |          FROM kept) AS BIGINT) AS n1,
+             |    CAST((SELECT coalesce(sum(CAST(b = 0 AS BIGINT)), 0)
+             |          FROM kept) AS BIGINT) AS n2,
+             |    CAST((SELECT coalesce(sum(CAST(b <> pb AS BIGINT)), 0)
+             |          FROM seq WHERE pb IS NOT NULL) AS BIGINT) AS n_flips
+             |)
+             |SELECT n1, n2, n1 + n2 AS nn,
+             |  n_flips + 1 AS n_runs,
+             |  CAST((2 * CAST(n1 AS HUGEINT) * n2 * 100 + (n1 + n2) * 100)
+             |    // nullif(n1 + n2, 0) AS BIGINT) AS mu_x100,
+             |  CAST(
+             |    (abs(CAST(n1 + n2 AS HUGEINT) * (n_flips + 1 - 1)
+             |         - 2 * CAST(n1 AS HUGEINT) * n2)
+             |       * 1000000 // nullif(2 * CAST(n1 AS HUGEINT) * n2, 0))
+             |    * (abs(CAST(n1 + n2 AS HUGEINT) * (n_flips + 1 - 1)
+             |         - 2 * CAST(n1 AS HUGEINT) * n2)
+             |       * 1000000 // nullif(2 * CAST(n1 AS HUGEINT) * n2, 0))
+             |    * (n1 + n2 - 1) * 10000
+             |    > 38416 * (2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2))
+             |       * 1000000000000 // nullif(2 * CAST(n1 AS HUGEINT) * n2, 0)
+             |   AS INT) AS reject_05
+             |FROM st""".stripMargin)),
+
     // T25: bigram LIFT — collocation strength, the association metric a
     // tokenizer/phrase-mining pass ranks n-grams by (t6 ranks by RAW
     // count, which surfaces "of the"; lift = P(ab)/(P(a)P(b)) surfaces

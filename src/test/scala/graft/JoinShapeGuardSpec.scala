@@ -56,7 +56,8 @@ class JoinShapeGuardSpec extends SparkSpec {
     "a31_cramers_v",          // a26's category frames + 1-row N/dims frames
     "w16_changepoint",        // 1-row (n_bins, series-total) frame
     "c15_curriculum_phases",  // 1-row corpus-count frame (phase denominator)
-    "a32_two_proportion"      // two 1-row variant frames (n, x) each
+    "a32_two_proportion",     // two 1-row variant frames (n, x) each
+    "a34_runs_test"           // 1-row median / bin-count / flip-count frames
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {

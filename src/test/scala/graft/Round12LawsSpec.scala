@@ -465,6 +465,33 @@ class Round12LawsSpec extends SparkSpec {
     }
   }
 
+  test("a34: runs/median/decision match an explicit sequence recomputation") {
+    val rows = q("a34_runs_test").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    import org.apache.spark.sql.functions._
+    val series = Tables.events(spark, sfDir)
+      .select(expr("ts div 3600000000000").as("bin"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("bin").agg(sum(col("c")).as("x"))
+      .collect().map(b => (b.getLong(0), b.getLong(1))).sortBy(_._1)
+    val xs = series.map(_._2).sorted
+    val med = xs(((xs.length + 1) / 2) - 1)
+    val kept = series.filter(_._2 != med).map(_._2 > med)
+    val n1 = kept.count(identity).toLong
+    val n2 = kept.count(!_).toLong
+    val runs = if (kept.isEmpty) 1L
+      else 1L + kept.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    assert(r.getLong(0) === n1 && r.getLong(1) === n2)
+    assert(r.getLong(2) === n1 + n2)
+    assert(r.getLong(3) === runs, "runs count")
+    val nn = BigInt(n1 + n2); val m = BigInt(n1) * n2
+    assert(BigInt(r.getLong(4)) === (2 * m * 100 + nn * 100) / nn)
+    val qd = (nn * (runs - 1) - 2 * m).abs * 1000000 / (2 * m)
+    val rhs = BigInt(38416) * (2 * m - nn) * BigInt("1000000000000") / (2 * m)
+    assert(r.getInt(5) === (if (qd * qd * (nn - 1) * 10000 > rhs) 1 else 0))
+  }
+
   test("u8: survivors match a window recomputation; deleted keys absent") {
     val got = q("u8_cdc_apply").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
