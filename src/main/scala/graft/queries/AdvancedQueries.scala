@@ -1552,8 +1552,12 @@ object AdvancedQueries {
           .join(ranked.as("p"), col("a.rk") === col("p.rk") + 1)
           .agg(coalesce(sum((col("a.b") =!= col("p.b")).cast("long")),
             lit(0L)).as("n_flips"))
-        val counts = ranked.agg(sum((col("b") === 1).cast("long")).as("n1"),
-          sum((col("b") === 0).cast("long")).as("n2"))
+        // coalesce to 0 like n_flips: a degenerate series (every bin at
+        // the median, or no events) must emit the same defined row the
+        // oracle's coalesce(...,0) does, not NULL n1/n2/nn
+        val counts = ranked.agg(
+          coalesce(sum((col("b") === 1).cast("long")), lit(0L)).as("n1"),
+          coalesce(sum((col("b") === 0).cast("long")), lit(0L)).as("n2"))
         counts.crossJoin(broadcast(flips))
           .select(col("n1"), col("n2"),
             (col("n1") + col("n2")).as("nn"),

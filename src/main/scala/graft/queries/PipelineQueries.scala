@@ -2209,13 +2209,17 @@ object PipelineQueries {
     Q("u5_snapshot_publish",
       (s, d) => {
         import graft.operators.SnapshotStore
-        // fresh store per EXECUTION: re-running the query in one session
-        // must re-publish v1/v2 into an empty root, not append v3/v4 to
-        // the last run's store — the emitted version numbers are part of
-        // the deterministic output (QueriesSmokeSpec's stability law,
-        // which protects the driver's single-run hash compare)
+        // u7's scratch discipline (ADVICE r12): deterministic root per
+        // (session, sfDir) + wipe-before-publish. A UUID-per-invocation
+        // root accumulated one store per gate/bench run inside a
+        // long-lived JVM; the wipe keeps the fresh-versions-per-execution
+        // requirement (re-runs must re-publish v1/v2, not append v3/v4 —
+        // the version numbers are part of the deterministic output).
         val root = graft.Scratch.dir(s,
-          s"u5_store_${java.util.UUID.randomUUID().toString.take(8)}")
+          f"u5_store_${d.hashCode & 0x7fffffff}%08x")
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val rfs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (rfs.exists(rootPath)) rfs.delete(rootPath, true)
         val docs = documents(s, d).select(col("doc_id"), col("source"))
         SnapshotStore.publish(docs.filter(col("doc_id") % 2 === 0), root)
         SnapshotStore.publish(docs, root)
@@ -2256,8 +2260,12 @@ object PipelineQueries {
     Q("u6_wap_audit",
       (s, d) => {
         import graft.operators.SnapshotStore
+        // deterministic root + wipe, u7's pattern (see u5 above)
         val root = graft.Scratch.dir(s,
-          s"u6_store_${java.util.UUID.randomUUID().toString.take(8)}")
+          f"u6_store_${d.hashCode & 0x7fffffff}%08x")
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val rfs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (rfs.exists(rootPath)) rfs.delete(rootPath, true)
         val docs = documents(s, d).select(col("doc_id"), col("source"),
           col("n_chars"))
         SnapshotStore.publish(docs, root) // v1 = the live table

@@ -35,17 +35,46 @@ object CdcStream {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Committed state versions under stateDir, as (batchId, nanos, path),
+    * newest-first. Used both for pointer-loss recovery and for GC.
+    */
+  private def versionDirs(s: SparkSession, stateDir: String)
+      : Seq[(Long, Long, org.apache.hadoop.fs.Path)] = {
+    val f = fs(s, stateDir)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory
+        && st.getPath.getName.matches("v\\d+-\\d+"))
+      .map { st =>
+        val body = st.getPath.getName.stripPrefix("v")
+        val i = body.indexOf('-')
+        (body.take(i).toLong, body.drop(i + 1).toLong, st.getPath)
+      }
+      .sortBy { case (b, n, _) => (-b, -n) }
+  }
+
   private def livePath(s: SparkSession, stateDir: String): Option[String] = {
     val f = fs(s, stateDir)
     val ptr = new org.apache.hadoop.fs.Path(s"$stateDir/$Pointer")
-    if (!f.exists(ptr)) None
-    else {
-      val in = f.open(ptr)
-      try {
-        val v = scala.io.Source.fromInputStream(in).mkString.trim
-        if (v.isEmpty) None else Some(s"$stateDir/$v")
-      } finally in.close()
-    }
+    val fromPointer =
+      if (!f.exists(ptr)) None
+      else {
+        val in = f.open(ptr)
+        try {
+          val v = scala.io.Source.fromInputStream(in).mkString.trim
+          if (v.isEmpty) None else Some(s"$stateDir/$v")
+        } finally in.close()
+      }
+    // Recovery: a pointer that is absent or names a missing dir (a crash
+    // window, or a failed swap) must NOT read as "empty state" — that would
+    // silently re-fold the next batch against nothing, discarding every
+    // previously committed key/tombstone. Fall back to the newest fully
+    // written version dir (versions are write-complete before any pointer
+    // references them, so the newest one is always a committed fold).
+    fromPointer.filter(p => f.exists(new org.apache.hadoop.fs.Path(p)))
+      .orElse(versionDirs(s, stateDir).headOption
+        .map { case (_, _, p) => p.toString })
   }
 
   /** Fold every already-landed op file into the state exactly once
@@ -85,13 +114,24 @@ object CdcStream {
         val f = fs(s, stateDir)
         val vDir = s"v$batchId-${System.nanoTime()}"
         next.write.mode("overwrite").parquet(s"$stateDir/$vDir")
-        // pointer swap: write-then-rename is atomic on a local/HDFS fs
+        // pointer swap via FileContext.rename(OVERWRITE): single atomic
+        // replace, so the pointer file is never absent mid-swap, and a
+        // failure THROWS instead of being silently ignored (the old
+        // delete-then-rename pair discarded both return values and had a
+        // no-pointer crash window).
         val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.$Pointer.tmp")
         val out = f.create(tmp, true)
         try out.write(vDir.getBytes("UTF-8")) finally out.close()
         val ptr = new org.apache.hadoop.fs.Path(s"$stateDir/$Pointer")
-        f.delete(ptr, false)
-        f.rename(tmp, ptr)
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          ptr.toUri, s.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        // GC superseded versions (keep the one just published plus the
+        // immediately previous for reader grace) — without this a
+        // long-running feed grows one full state copy per micro-batch.
+        versionDirs(s, stateDir).drop(2).foreach { case (_, _, p) =>
+          if (p.getName != vDir) f.delete(p, true)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -65,6 +65,46 @@ class CdcStreamSpec extends SparkSpec {
     } finally ops.unpersist()
   }
 
+  test("a lost pointer file recovers to the newest committed version") {
+    import spark.implicits._
+    val src = tmp("cdc_src4"); val state = tmp("cdc_state4")
+    Seq((1L, 10L, 1L, "I", 5L)).toDF("key", "ts", "op_id", "op", "payload")
+      .write.mode("append").parquet(src)
+    streaming.CdcStream.applyOnce(spark, src, state, tmp("cdc_ckpt4a"))
+    val before = streaming.CdcStream.currentState(spark, state)
+      .collect().map(_.toString).sorted
+    assert(before.nonEmpty)
+    // simulate the crash window: the _LIVE pointer vanishes
+    assert(new java.io.File(state, "_LIVE").delete())
+    val recovered = streaming.CdcStream.currentState(spark, state)
+      .collect().map(_.toString).sorted
+    assert(recovered.toSeq === before.toSeq,
+      "missing pointer must fall back to the newest v-dir, not empty state")
+    // and the next drain folds against the RECOVERED state, not nothing
+    Seq((2L, 20L, 2L, "I", 6L)).toDF("key", "ts", "op_id", "op", "payload")
+      .write.mode("append").parquet(src)
+    streaming.CdcStream.applyOnce(spark, src, state, tmp("cdc_ckpt4b"))
+    assert(streaming.CdcStream.currentState(spark, state).count() === 2L,
+      "previously committed keys must survive a pointer-loss drain")
+  }
+
+  test("superseded state versions are garbage-collected (keep <= 2)") {
+    import spark.implicits._
+    val src = tmp("cdc_src5"); val state = tmp("cdc_state5")
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, i * 10L, i.toLong, "I", i.toLong))
+        .toDF("key", "ts", "op_id", "op", "payload")
+        .write.mode("append").parquet(src)
+      streaming.CdcStream.applyOnce(spark, src, state, tmp(s"cdc_ckpt5$i"))
+    }
+    val vDirs = new java.io.File(state).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+-\\d+"))
+    assert(vDirs.length <= 2,
+      s"expected at most 2 retained versions, found ${vDirs.length}")
+    assert(streaming.CdcStream.currentState(spark, state).count() === 4L,
+      "GC must not touch the live state")
+  }
+
   test("a late OLDER op cannot resurrect a tombstoned key") {
     import spark.implicits._
     val src = tmp("cdc_src3"); val state = tmp("cdc_state3")
