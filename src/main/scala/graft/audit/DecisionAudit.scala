@@ -157,6 +157,22 @@ object DecisionAudit {
         "split imbalance — abs() runs on exact integers only, no fp " +
         "anywhere",
       Seq("38416", "// (CAST(n1 AS HUGEINT) * n2 * (n1 + n2))")),
+    "b4_tpch_q1" -> GrainMargin(0.5,
+      "b2's discipline on the scan face: the per-row qty/cents/pct/tax " +
+        "conversions are the only fp ops (0.5 margin each on integral-" +
+        "quantity, 2-dp-grain data); all eight aggregates accumulate " +
+        "exact integers in DECIMAL(38,0) vs HUGEINT and the three " +
+        "averages are truncating integer divides of those exact sums — " +
+        "no float forms anywhere past the grain",
+      Seq("round(l_quantity)", "round(l_extendedprice * 100)",
+        "round(l_discount * 100)", "round(l_tax * 100)")),
+    "b5_tpch_q18" -> GrainMargin(0.5,
+      "per-row qty/cents conversions are the only fp ops (0.5 margin on " +
+        "integral-quantity, 2-dp-grain data); the > 300 HAVING decision " +
+        "and the top-100 order run on exact longs with o_orderkey as the " +
+        "unique tie-break, o_orderdate emits as an exact epoch-day long",
+      Seq("round(l_quantity)", "round(o_totalprice * 100)",
+        "ORDER BY price_x100 DESC, o_orderkey")),
     "b3_tpch_q3" -> GrainMargin(0.5,
       "b2's discipline verbatim: the two per-row cents/percent " +
         "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +

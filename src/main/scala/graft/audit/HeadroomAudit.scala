@@ -1,0 +1,197 @@
+package graft.audit
+
+/** Overflow-headroom audit for every DECIMAL(38,0)/HUGEINT product in the
+  * registry (VERDICT r12 #1).
+  *
+  * The decimal-overflow class drew hand-fixed advice three rounds running
+  * (r9 a25 scaling; r11 a25/a26/a27/a28 — each an UNBOUNDED product of two
+  * non-constant integer terms that exhausts decimal38/HUGEINT once the data
+  * grows past the scale the author pictured: d_num² at a billion-point KS
+  * sample, |n·Σxy − Σx·Σy|² on price-proportional OLS groups, …). The fixes
+  * (992f140) are mechanical disciplines — divide-through-before-squaring,
+  * adaptive shared-digit truncation — but nothing SCANNED the registry for
+  * the next unbounded product the way OracleTypeGuardSpec scans result
+  * types. This audit is that scanner:
+  *
+  *   - `suspects` tokenizes a query text (oracle SQL, or a Scala query
+  *     block with `//`-comment lines stripped) and, when the text touches
+  *     wide-integer surface (HUGEINT / DECIMAL(38), reports every product
+  *     `X * Y` whose BOTH sides are non-literal terms — a constant factor
+  *     only shifts magnitude by a known amount; two data-dependent factors
+  *     are where headroom silently dies;
+  *   - every query with a suspect product MUST have an `entries` row that
+  *     states the product's magnitude BOUND (with an explicit power of
+  *     ten) and pins the SQL fragments that carry the bounding mechanism —
+  *     if a later edit drops e.g. a29's divide-through-by-nm before the
+  *     square, the pin fails in the builder's test loop, not the driver's
+  *     gate;
+  *   - HeadroomAuditSpec proves the detector fires on the round-11 a28
+  *     reject_05 text (the d_num²·1e6 form that overflowed past
+  *     d_num ≈ 3.2e15) replayed verbatim, and runs the registry scan over
+  *     both the oracle SQL map and the per-query Scala source blocks —
+  *     0 unaudited products is the green condition.
+  *
+  * Magnitude conventions used in the bounds below: fact-table rows at
+  * 100 TB ≈ 1e13; cents per row ≤ 1e7 (order values ≤ $100k); decimal38
+  * ceiling 1e38, HUGEINT ceiling ≈ 1.7e38, int64 ceiling ≈ 9.2e18 (every
+  * `div`/`//` of decimals lowers to LONG, so each truncating QUOTIENT must
+  * also be int64-bounded — the r11 lesson).
+  */
+object HeadroomAudit {
+
+  /** One audited query: the stated headroom bound (must name a power of
+    * ten) and the oracle-SQL fragments that carry the bounding mechanism.
+    */
+  final case class Headroom(bound: String, pins: Seq[String])
+
+  private val margin = "\\n\\s*\\|".r
+  private val ws = "\\s+".r
+  private val numeric = "^[0-9]+$".r
+
+  /** True when the text computes on wide-integer surface at all — only
+    * those queries can host a decimal/HUGEINT product.
+    */
+  def wideInteger(text: String): Boolean =
+    text.contains("HUGEINT") || text.contains("DECIMAL(38") ||
+      text.contains("decimal(38")
+
+  /** Every product site `X * Y` in `text` where both operands are
+    * non-literal terms. Operates on a whitespace-normalized view with
+    * stripMargin pipes removed, so Scala-wrapped SQL and plain SQL scan
+    * identically. A term ending in `)` or an identifier char counts as
+    * non-constant; a bare integer (optionally `::`-cast or parenthesized)
+    * is a constant factor.
+    */
+  def nonConstProducts(text: String): Seq[String] = {
+    val t = ws.replaceAllIn(margin.replaceAllIn(text, " "), " ")
+    val prod = "([A-Za-z0-9_().\\]]+|\\))\\s*\\*\\s*([A-Za-z0-9_(:.]+)".r
+    prod.findAllMatchIn(t).flatMap { m =>
+      val l = m.group(1).replaceAll("^\\(+|\\)+$", "")
+      val r = m.group(2)
+      val lConst = numeric.findFirstIn(l).isDefined
+      val rConst = r.headOption.exists(_.isDigit)
+      if (lConst || rConst) None else Some(m.matched)
+    }.toSeq
+  }
+
+  /** The audit trigger: suspect products of a wide-integer query text
+    * (empty = nothing to audit in this text).
+    */
+  def suspects(text: String): Seq[String] =
+    if (wideInteger(text)) nonConstProducts(text) else Nil
+
+  /** Every query whose oracle SQL or Scala block carries a suspect
+    * product, with its stated bound and mechanism pins. Adding a new
+    * wide-integer product WITHOUT a row here fails HeadroomAuditSpec.
+    */
+  val entries: Map[String, Headroom] = Map(
+    "a25_ols_trend" -> Headroom(
+      "sufficient statistics: n,Σx,Σy,Σx²,Σxy,Σy² ≤ 1e13·(1e7)² = 1e27 in " +
+        "decimal38; slope/intercept numerators n·Σxy−Σx·Σy ≤ 1e40-risky " +
+        "ONLY via R² squaring, so both engines drop the same adaptive " +
+        "tr = 10^max(0, digits(|rnum|)−16, digits(rdenx)−18, " +
+        "digits(rdeny)−18) low digits first: |rnum/tr| ≤ 1e16 keeps " +
+        "rnum_t²·1e6 ≤ 1e38 and den_t·den_t ≤ 1e36; the −18 branches keep " +
+        "every truncating quotient inside int64",
+      Seq("length(CAST(abs(rnum) AS VARCHAR)) - 16",
+        "length(CAST(rdenx AS VARCHAR)) - 18",
+        "(rnum // tr) * (rnum // tr) * 1000000")),
+    "a26_chi_square" -> Headroom(
+      "cell terms u = O·N−R·C ≤ 1e13·1e13 = 1e26 and den = R·C·N ≤ 1e39-" +
+        "risky; the a25 adaptive truncation drops tr = 10^max(0, " +
+        "digits(|u|)−16, digits(den)−18) shared digits so (u/tr)²·1e6 ≤ " +
+        "1e38 and every den//tr//tr quotient is int64",
+      Seq("length(CAST(abs(u) AS VARCHAR)) - 16",
+        "(u // tr) * (u // tr) * 1000000")),
+    "a31_cramers_v" -> Headroom(
+      "a26's contingency arithmetic verbatim (u ≤ 1e26, adaptive tr caps " +
+        "(u/tr)²·1e6 ≤ 1e38); the extra V² step divides chi2 ≤ 1e19-ish " +
+        "by N·(min(nl,ns)−1) ≤ 1e15 — one more int64-safe quotient",
+      Seq("length(CAST(abs(u) AS VARCHAR))",
+        "(CAST(nn AS HUGEINT) * (least(nl, ns) - 1))")),
+    "a27_rank_correlation" -> Headroom(
+      "ranks ≤ n ≤ 1e9 parts → Σd² ≤ n³ ≤ 1e27 in decimal38; " +
+        "6·Σd²·1e6 ≤ 6e33 and the denominator n³−n ≤ 1e27 — both inside " +
+        "decimal38/HUGEINT, and the emitted mean_d2 = Σd²/n ≤ n² ≤ 1e18 " +
+        "stays int64 (the raw sum would not past ~3e6 keys)",
+      Seq("6 * sd2 * 1000000", "sd2 // nullif(n, 0)")),
+    "a28_ks_test" -> Headroom(
+      "D numerator d_num = max|cum_a·n_b − cum_b·n_a| ≤ n_a·n_b ≤ 1e26 at " +
+        "1e13-point samples; the α=.05 decision divides through by n_a·n_b " +
+        "BEFORE squaring (q = d_num·1e6 div n_a·n_b ≤ 1e6, so q²·1e6 ≤ " +
+        "1e18 rides int64) — the r11 d_num²·1e6 form died at " +
+        "d_num ≈ 3.2e15",
+      Seq("1844164", "// nullif(CAST(n_a AS HUGEINT) * n_b, 0)")),
+    "a29_mann_whitney" -> Headroom(
+      "rank sums ≤ n² ≤ 1e26 ride decimal38 from the first aggregate; the " +
+        "decision divides |u2−nm| through by nm before squaring: each " +
+        "quotient ≤ 1e6, so the squared form ·1e4 ≤ 1e16 and the RHS " +
+        "38416·(nn+1)·1e12 // nm stays int64",
+      Seq("38416", "(abs(u2 - nm) * 1000000 // nullif(nm, 0))")),
+    "a32_two_proportion" -> Headroom(
+      "x1·n2−x2·n1 ≤ n1·n2 ≤ 1e26 in HUGEINT; the pooled z² decision " +
+        "divides through by (n1·n2)²·N: each |Δ|·1e6 // n1·n2 quotient " +
+        "≤ 1e6, the square ·1e4 ≤ 1e16, and the RHS 38416·x·(N−x)·1e12 // " +
+        "(n1·n2·N) ≤ 38416·1e12 — all int64 at any scale or imbalance",
+      Seq("38416", "// (CAST(n1 AS HUGEINT) * n2 * (n1 + n2))")),
+    "a34_runs_test" -> Headroom(
+      "m = n1·n2 ≤ nn² ≤ 1e14 at hourly grain (nn ≤ 3e7 bins even over " +
+        "four millennia); q = |nn·(runs−1)−2m|·1e6 div 2m ≤ 1e6·nn, so " +
+        "q²·(nn−1)·1e4 ≤ 1e38-safe decimal38 and the RHS " +
+        "38416·(2m−nn)·1e12 div 2m ≤ 38416·1e12 stays int64",
+      Seq("38416", "// nullif(2 * CAST(n1 AS HUGEINT) * n2, 0)")),
+    "b2_tpch_q5" -> Headroom(
+      "per-row cents·(100−pct) ≤ 1e7·100 = 1e9; the decimal38 accumulator " +
+        "holds 1e13 rows · 1e9 = 1e22 ≪ 1e38 (int64 would die at ~9e9 " +
+        "rows); no further product downstream",
+      Seq("round(l_extendedprice * 100)",
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))")),
+    "b3_tpch_q3" -> Headroom(
+      "b2's bound verbatim: per-row cents·(100−pct) ≤ 1e9, decimal38 " +
+        "accumulator ≤ 1e22 at 1e13 rows ≪ 1e38",
+      Seq("round(l_extendedprice * 100)",
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))")),
+    "b4_tpch_q1" -> Headroom(
+      "charge per row cents·(100−pct)·(100+tax) ≤ 1e7·100·210 ≈ 2e11; the " +
+        "decimal38 accumulator holds 1e13 rows · 2e11 = 2e24 ≪ 1e38; the " +
+        "three averages divide exact sums ≤ 2e24 by n ≥ group rows — each " +
+        "truncating quotient ≤ per-row magnitude ·100 ≤ 2e13, int64-safe",
+      Seq("(100 - CAST(round(l_discount * 100) AS BIGINT))",
+        "(100 + CAST(round(l_tax * 100) AS BIGINT))",
+        "// count(*) AS BIGINT) AS avg_qty_x100")),
+    "g13_assortativity" -> Headroom(
+      "degree moments: Σ(dx·dy) ≤ 2E·dmax² ≤ 1e13·(1e9)² = 1e31 in " +
+        "decimal38; R² then rides a25's adaptive truncation (|rnum/tr| ≤ " +
+        "1e16, den_t ≤ 1e18) so the square ·1e6 ≤ 1e38 and every quotient " +
+        "is int64",
+      Seq("length(CAST(abs(rnum) AS VARCHAR))",
+        "(rnum // tr) * (rnum // tr) * 1000000")),
+    "g14_clustering_coeff" -> Headroom(
+      "n_tri ≤ deg²/2 ≤ 5e17 on a 1e9-degree mega-hub; n_tri·2·1e6 ≤ 1e24 " +
+        "and deg·(deg−1) ≤ 1e18 both ride decimal38/HUGEINT (int64 wraps " +
+        "2e6·n_tri at deg ≈ 3e6); the quotient is ≤ 1e6, int64-safe",
+      Seq("AS HUGEINT) * 2 * 1000000",
+        "// (CAST(deg AS HUGEINT) * (deg - 1))")),
+    "t25_bigram_lift" -> Headroom(
+      "lift·1e6 = c_ab·U²·1e6/(c_a·c_b·B) staged as two truncating " +
+        "divisions: c_ab ≤ c_a bounds the first quotient c_ab·U·1e4 // " +
+        "c_a by U·1e4 ≤ 1e17 (U ≤ 1e13 tokens), then ·U·100 ≤ 1e32 rides " +
+        "HUGEINT/decimal38 over c_b·B ≤ 1e26 — final quotient ≤ 1e6·1e4, " +
+        "int64-safe at a 1e13-token corpus",
+      Seq("* u * 10000 // ca) * u * 100", "// (CAST(cb AS HUGEINT) * b)")),
+    "w16_changepoint" -> Headroom(
+      "prefix sums sl,st ≤ 1e13 rows · 1e7 cents = 1e20 in decimal38; the " +
+        "cross-multiplied gap |sl·(n−idx) − (st−sl)·idx| ≤ st·n ≤ 1e20·3e7 " +
+        "= 3e27 ≪ 1e38, and ·100 div idx·(n−idx) keeps the quotient at " +
+        "mean-gap scale ≤ 1e9 cents — int64-safe",
+      Seq("abs(CAST(sl AS HUGEINT) * (n - idx) - (st - sl) * idx)",
+        "// (idx * (n - idx))")),
+    "w17_bollinger_bands" -> Headroom(
+      "windowed sums over 24 hourly bins: sw ≤ 24·(1e7·4e6) ≈ 1e15 cents " +
+        "(bin sum = cents·rows-per-bin), sxx ≤ 24·(4e13)² ≈ 4e28 in " +
+        "decimal38; the squared-inequality sides (x·n−sw)² ≤ (24·4e13)² ≈ " +
+        "1e30 and 4·(n·sxx−sw²) ≤ 4e30 both ≪ 1e38 — no sqrt, no quotient " +
+        "bigger than mean·100 ≤ 1e15",
+      Seq("(CAST(x AS HUGEINT) * n - sw)", "> 4 * (n * sxx - sw * sw)"))
+  )
+}

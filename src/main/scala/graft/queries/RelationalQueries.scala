@@ -261,6 +261,131 @@ object RelationalQueries {
              |GROUP BY l_orderkey, o_day, o_orderpriority
              |ORDER BY revenue_x1e4 DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    // B4: TPC-H Q1 (pricing summary report) — the wide-aggregate scan
+    // face of the flagship trio (b2 Q5 = deep join, b3 Q3 = top-k join,
+    // b4 = pure scan+agg): ONE pass over lineitem, 8 aggregates, 4
+    // groups. This is the query whole-stage codegen exists for — filter
+    // and all partial aggregates run inside a single codegen'd stage
+    // over the scan, and the shuffle moves 4 rows x 32 partitions. At
+    // 100 TB the plan is identical: the date bracket pushes to the
+    // parquet scan, partial agg absorbs everything map-side, no
+    // operator's footprint grows with the data. Money exactification is
+    // b2's: cents x (100-disc_pct) x (100+tax_pct) in DECIMAL(38,0) vs
+    // HUGEINT (per-row <= ~1e11, so 1e13 rows stays ~1e24 << 1e38);
+    // quantities are integral in this corpus (checked across all SFs)
+    // so sum_qty is an exact long; the three averages are truncating
+    // integer divides of the exact sums (the a25 div discipline — both
+    // engines divide the SAME exact integers, so no float ever forms).
+    Q("b4_tpch_q1",
+      (s, d) => {
+        val cents = round(col("l_extendedprice") * 100).cast("long")
+        val pct = round(col("l_discount") * 100).cast("long")
+        val tax = round(col("l_tax") * 100).cast("long")
+        lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            round(col("l_quantity")).cast("long").as("qty"),
+            cents.as("cents"), pct.as("pct"), tax.as("tax"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("qty").cast("decimal(38,0)")).cast("long").as("sum_qty"),
+            sum(col("cents").cast("decimal(38,0)")).cast("long")
+              .as("sum_base_x100"),
+            sum((col("cents") * (lit(100L) - col("pct")))
+              .cast("decimal(38,0)")).cast("long").as("sum_disc_x1e4"),
+            sum((col("cents").cast("decimal(38,0)")
+              * (lit(100L) - col("pct")) * (lit(100L) + col("tax"))))
+              .cast("long").as("sum_charge_x1e6"),
+            sum(col("pct").cast("decimal(38,0)")).cast("long")
+              .as("sum_pct"),
+            count(lit(1)).as("n_rows"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("sum_qty"), col("sum_base_x100"), col("sum_disc_x1e4"),
+            col("sum_charge_x1e6"),
+            expr("CAST(sum_qty AS DECIMAL(38,0)) * 100 div n_rows")
+              .as("avg_qty_x100"),
+            expr("sum_base_x100 div n_rows").as("avg_price_x100"),
+            expr("CAST(sum_pct AS DECIMAL(38,0)) * 100 div n_rows")
+              .as("avg_disc_x1e4"),
+            col("n_rows"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             |    AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |    AS BIGINT) AS sum_base_x100,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             |    AS BIGINT) AS sum_disc_x1e4,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             |    * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+             |    AS BIGINT) AS sum_charge_x1e6,
+             |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) * 100
+             |    // count(*) AS BIGINT) AS avg_qty_x100,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |    // count(*) AS BIGINT) AS avg_price_x100,
+             |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) * 100
+             |    // count(*) AS BIGINT) AS avg_disc_x1e4,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // B5: TPC-H Q18 (large-volume customers) — the HAVING-subquery face:
+    // per-order quantity totals filtered at > 300, joined back to orders
+    // and customer, top-100 by order value. The classic formulation
+    // joins lineitem AGAIN inside the outer query to re-sum quantity;
+    // that second fact scan is pure waste — the per-order aggregate
+    // already IS the outer sum (order grain == group grain), so this
+    // plan aggregates lineitem exactly once. Scale shape: the heavy step
+    // is one partial-combining groupBy on l_orderkey (bounded fan-in —
+    // TPC-H orders carry <= 7 lines, so no hot key; a genuinely skewed
+    // feed is sk2's salting territory and AQE's skew split covers the
+    // join). After the > 300 filter the survivor set is a vanishing
+    // fraction (p99 of per-order totals is ~265 across SFs), so per
+    // b3's discipline neither join side carries a broadcast hint — AQE
+    // measures the filtered side and picks BHJ at test SF, shuffle at
+    // fact scale. Top-100 lowers to TakeOrderedAndProject (never a
+    // global sort); o_totalprice emits as exact cents and o_orderdate
+    // as an epoch-day long (the comparator rules), with o_orderkey as
+    // the unique tie-break.
+    Q("b5_tpch_q18",
+      (s, d) => {
+        val big = lineitem(s, d)
+          .select(col("l_orderkey"),
+            round(col("l_quantity")).cast("long").as("qty"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("qty").cast("decimal(38,0)")).cast("long")
+            .as("sum_qty"))
+          .filter(col("sum_qty") > 300L)
+        val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+            .as("o_day"),
+          round(col("o_totalprice") * 100).cast("long").as("price_x100"))
+        big.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d).select(col("c_custkey"), col("c_name")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_day"), col("price_x100"), col("sum_qty"))
+          .orderBy(col("price_x100").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+             |  epoch_us(o_orderdate) // 86400000000 AS o_day,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_x100,
+             |  t.sum_qty
+             |FROM (SELECT l_orderkey,
+             |        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             |          AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300) t
+             |JOIN orders ON o_orderkey = t.l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |ORDER BY price_x100 DESC, o_orderkey LIMIT 100""".stripMargin)),
+
     // J4: anti-join (sample_indexer.py:32-33 driver set-difference,
     // rebuilt distributed — SURVEY §7.3 hazard 1).
     Q("j4_anti_join",

@@ -1,0 +1,107 @@
+package graft
+
+import graft.audit.HeadroomAudit
+
+/** Mechanical enforcement of the overflow-headroom audit (VERDICT r12 #1):
+  * every DECIMAL(38,0)/HUGEINT product of two non-constant integer terms —
+  * in the oracle SQL AND in the Scala query source — must carry a reviewed
+  * entry stating its magnitude bound and pinning the bounding mechanism.
+  * The class drew hand-fixed advice three rounds running (r9, r11); this
+  * spec makes the NEXT unbounded product fail in the builder's loop.
+  */
+class HeadroomAuditSpec extends SparkSpec {
+
+  /** Per-query Scala source blocks from the queries package, with pure
+    * `//`-comment lines stripped (SQL margin lines start with `|`, so
+    * DuckDB's `//` integer-divide operator is never at line start and
+    * survives). A block runs from its `Q("name"` to the next `Q("`.
+    */
+  private lazy val scalaBlocks: Map[String, String] = {
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val src = java.nio.file.Files.list(dir).toArray.toSeq
+      .map(p => java.nio.file.Files.readString(
+        p.asInstanceOf[java.nio.file.Path]))
+      .map(_.linesIterator.filterNot(_.trim.startsWith("//"))
+        .mkString("\n"))
+      .mkString("\n")
+    val parts = src.split("Q\\(\"")
+    parts.drop(1).flatMap { part =>
+      val name = part.takeWhile(_ != '"')
+      if (name.matches("[a-z][a-z0-9_]+")) Some(name -> part) else None
+    }.toMap
+  }
+
+  test("every wide-integer product in an oracle SQL has a headroom entry") {
+    val uncovered = SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
+      case (name, sql) if HeadroomAudit.suspects(sql).nonEmpty &&
+          !HeadroomAudit.entries.contains(name) =>
+        s"$name: ${HeadroomAudit.suspects(sql).take(3).mkString(" ; ")}"
+    }
+    assert(uncovered.isEmpty,
+      s"unaudited decimal/HUGEINT products in oracle SQL:\n${uncovered.mkString("\n")}")
+  }
+
+  test("every wide-integer product in Scala query source has an entry") {
+    val uncovered = scalaBlocks.toSeq.sortBy(_._1).collect {
+      case (name, block) if SparkEntry.queries.contains(name) &&
+          HeadroomAudit.suspects(block).nonEmpty &&
+          !HeadroomAudit.entries.contains(name) =>
+        s"$name: ${HeadroomAudit.suspects(block).take(3).mkString(" ; ")}"
+    }
+    assert(uncovered.isEmpty,
+      s"unaudited decimal/HUGEINT products in Scala source:\n${uncovered.mkString("\n")}")
+  }
+
+  test("no stale entries: every audited name is flagged by a scanner") {
+    val stale = HeadroomAudit.entries.keySet.filter { name =>
+      val sqlHit = SparkEntry.oracleSql.get(name)
+        .exists(HeadroomAudit.suspects(_).nonEmpty)
+      val srcHit = scalaBlocks.get(name)
+        .exists(HeadroomAudit.suspects(_).nonEmpty)
+      !sqlHit && !srcHit
+    }
+    assert(stale.isEmpty, s"headroom entries nothing flags anymore: $stale")
+  }
+
+  test("every entry states a numeric bound and its pins are still present") {
+    val broken = Seq.newBuilder[String]
+    for ((name, h) <- HeadroomAudit.entries.toSeq.sortBy(_._1)) {
+      if (!"[0-9](e|E)[0-9]".r.findFirstIn(h.bound).isDefined)
+        broken += s"$name: bound states no power-of-ten magnitude"
+      val sql = SparkEntry.oracleSql.getOrElse(name,
+        scalaBlocks.getOrElse(name, ""))
+      for (pin <- h.pins if !sql.contains(pin))
+        broken += s"$name: missing pin «$pin»"
+    }
+    assert(broken.result().isEmpty,
+      s"headroom discipline drifted:\n${broken.result().mkString("\n")}")
+  }
+
+  test("detector fires on the round-11 a28 overflow text, replayed verbatim") {
+    // the exact reject_05 form 992f140 replaced: d_num²·1e6 overflows
+    // decimal38/HUGEINT past d_num ≈ 3.2e15 (billion-point KS samples
+    // reach d_num ≤ n_a·n_b ≈ 2.5e17)
+    val r11a28 =
+      """CAST(CAST(d_num AS HUGEINT) * 10000
+        |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_x1e4,
+        |  CAST(CAST(d_num AS HUGEINT) * d_num * 1000000
+        |    > 1844164 * CAST(n_a + n_b AS HUGEINT) * n_a * n_b AS INT)
+        |    AS reject_05""".stripMargin
+    val hits = HeadroomAudit.suspects(r11a28)
+    assert(hits.nonEmpty, "the r11 a28 unbounded square must be flagged")
+    assert(hits.exists(_.contains("* d_num")),
+      s"the d_num * d_num square specifically must be among: $hits")
+  }
+
+  test("detector ignores constant scalings and non-wide-integer texts") {
+    // constant factors only shift magnitude by a known amount
+    assert(HeadroomAudit.suspects(
+      "SELECT CAST(x AS HUGEINT) * 1000000 FROM t").isEmpty)
+    // products outside any HUGEINT/DECIMAL(38 context are out of scope
+    assert(HeadroomAudit.suspects(
+      "SELECT a * b FROM t").isEmpty)
+    // and a wide-integer nonconstant product IS in scope
+    assert(HeadroomAudit.suspects(
+      "SELECT CAST(a AS HUGEINT) * b FROM t").nonEmpty)
+  }
+}

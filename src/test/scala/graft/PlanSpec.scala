@@ -486,4 +486,90 @@ class PlanSpec extends SparkSpec {
       s"j15 should shuffle on user_id exactly once, saw $shuffles:\n" +
         p.take(1500))
   }
+
+  test("round-13 TPC-H faces keep their scale shapes (b4 scan+agg, " +
+      "b5 single lineitem pass + TakeOrdered)") {
+    // b4 (Q1): date bracket pushed to the scan, pruned ReadSchema, and
+    // the 8 aggregates partial-combine map-side — the one-pass pure-
+    // codegen shape; a second lineitem scan or a missing partial agg is
+    // a 100 TB regression
+    val p4 = plan("b4_tpch_q1")
+    assert(p4.contains("LessThanOrEqual(l_shipdate"),
+      "b4's shipdate bracket no longer reaches the parquet scan:\n" +
+        p4.take(1500))
+    assert(!p4.contains("l_orderkey"),
+      "b4 reads columns its projection doesn't need:\n" + p4.take(1500))
+    assert(p4.contains("partial_sum"),
+      "b4's aggregates lost map-side combine:\n" + p4.take(1500))
+    assert("lineitem.parquet".r.findAllIn(p4).length == 1,
+      "b4 must scan lineitem exactly once")
+    // b5 (Q18): the classic form joins lineitem twice (HAVING subquery +
+    // outer re-sum); this plan aggregates it exactly once, keeps the
+    // > 300 filter ON the aggregate (after partial combine), and lowers
+    // top-100 to TakeOrderedAndProject
+    val df5 = SparkEntry.queries("b5_tpch_q18")(spark, sfDir)
+    df5.collect()
+    // AQE prints final + initial plans; count scans in the FINAL one only
+    val p5 = df5.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("lineitem.parquet".r.findAllIn(p5).length == 1,
+      "b5 must scan lineitem exactly once (no second pass to re-sum):\n" +
+        p5.take(1500))
+    assert(p5.contains("partial_sum"),
+      "b5's per-order quantity sum lost map-side combine")
+    assert(p5.contains("TakeOrderedAndProject"),
+      "b5's top-100 materialized a global sort:\n" + p5.take(1500))
+    assert(!p5.contains("CartesianProduct"))
+  }
+
+  test("b3's broadcast-less join is genuinely ADAPTIVE: AQE broadcasts a " +
+      "measured-small side and keeps a measured-large side shuffled") {
+    // 17809dc dropped b3's customer broadcast hint arguing AQE picks BHJ
+    // when the filtered side measures small and a shuffle join when it
+    // doesn't. This pins BOTH halves on real runtime statistics: same
+    // query shape, same session confs, only the DATA size differs.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // static planning must NOT pre-broadcast (initial plan = shuffle
+      // join for both cases); only AQE's runtime measurement decides
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "32768")
+      val dir = graft.Scratch.dir(spark, "aqe_law")
+      val fact = spark.range(0, 20000)
+        .select(col("id").as("k"), (col("id") % 97).as("v"))
+      fact.write.mode("overwrite").parquet(s"$dir/fact")
+      def run(rows: Long, pad: Int) = {
+        spark.range(0, rows)
+          .select(col("id").as("k"),
+            concat_ws("", Seq.fill(pad)(lit("x")): _*).as("payload"))
+          .write.mode("overwrite").parquet(s"$dir/dim")
+        val joined = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim"), "k")
+          .groupBy(col("v")).agg(count(lit(1)).as("n"))
+        joined.collect()
+        joined.queryExecution.executedPlan.toString
+      }
+      // half 1: a side AQE measures at a few KB -> runtime BHJ
+      val small = run(rows = 50, pad = 8)
+      assert(small.contains("BroadcastHashJoin"),
+        "AQE failed to broadcast a measured-small side:\n" + small.take(1500))
+      // half 2: the same side inflated past the adaptive threshold ->
+      // the join must STAY a shuffle join (this is the half nothing
+      // tested before: a hard-coded broadcast hint would ship this to
+      // every executor no matter what it weighs)
+      val large = run(rows = 20000, pad = 200)
+      assert(!large.contains("BroadcastHashJoin"),
+        "AQE broadcast a side that measures past the threshold:\n" +
+          large.take(1500))
+      assert(large.contains("SortMergeJoin") ||
+        large.contains("ShuffledHashJoin"), large.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
