@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact maximal-substring detection via anchor k-grams + implicit
+  * longest-common-extension (Lee et al. 2022 ExactSubstr, distributed).
+  *
+  * Suffix arrays don't distribute; this is the equivalent join/window
+  * form. Fix a document pair and a diagonal (pa − pb). If tokens
+  * pa..pa+m−1 of A equal pb..pb+m−1 of B maximally (m >= k), every
+  * k-gram start in [pa, pa+m−k] is an anchor hit on that diagonal,
+  * consecutive by construction; two maximal runs on one diagonal are
+  * separated by a mismatch, so their anchor-start sets sit >= 2 apart.
+  * Gaps-and-islands over anchor starts per (pair, diagonal) therefore
+  * reconstructs EXACTLY the maximal common extensions of length >= k —
+  * no text re-comparison needed, because anchors join on the verbatim
+  * k-gram text (not a hash). ExactSubstrSpec pins the edge cases:
+  * overlapping islands, adjacent-but-mismatched runs, multi-diagonal
+  * pairs, sub-k and sub-minLen suppression.
+  *
+  * Scale shape: the anchor self-join shuffles (span, doc, pos) — fanout
+  * per anchor is its doc-frequency, which IS the pair semantics; both
+  * sides are the same exploded subtree (one exchange, reused), and the
+  * islands window partitions by (pair, diagonal), its state bounded by
+  * one run. Reference counterpart: the ExactSubstr pass of Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better" (2022).
+  */
+object ExactSubstr {
+
+  /** Maximal cross-document shared token spans of length >= minLen.
+    *
+    * @param occ anchor occurrences: (doc_id LONG, p LONG 1-based token
+    *            position, span STRING the k-gram text)
+    * @return (doc_a, doc_b, start_a, start_b, len) with doc_a < doc_b,
+    *         positions 1-based, len in tokens
+    */
+  def maximalSpans(occ: DataFrame, k: Int, minLen: Int): DataFrame = {
+    // d3's self-join discipline: repartition both (identical) sides on
+    // the join key and hint shuffle_hash — broadcasting one side of a
+    // corpus-derived self-join is wrong at scale anyway, and with both
+    // sides shuffled identically AQE dedups them into ONE exchange + a
+    // ReusedExchange, so the corpus is scanned and exploded exactly once
+    // (PlanSpec pins it).
+    val anch = occ.repartition(col("span"))
+    val pairs = anch.as("a")
+      .join(anch.as("b").hint("shuffle_hash"),
+        col("a.span") === col("b.span")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+      .withColumn("off", col("pa") - col("pb"))
+    val byDiag = Window.partitionBy(col("da"), col("db"), col("off"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("grp", col("pa") - row_number().over(byDiag))
+      .groupBy(col("da"), col("db"), col("off"), col("grp"))
+      .agg(min(col("pa")).as("start_a"),
+        (max(col("pa")) - min(col("pa")) + lit(k.toLong)).as("len"))
+      .filter(col("len") >= minLen)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("start_a"), (col("start_a") - col("off")).as("start_b"),
+        col("len"))
+  }
+
+  /** Anchor occurrences for a (doc_id, text) frame: one row per k-gram
+    * with its 1-based start position.
+    */
+  def anchors(docs: DataFrame, textCol: Column, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.shinglesNative(textCol, k))
+        .as(Seq("p0", "span")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        col("span"))
+}

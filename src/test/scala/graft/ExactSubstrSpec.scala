@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ExactSubstr
+
+/** Planted-duplicate laws for the ExactSubstr operator (VERDICT r12 #6):
+  * maximal shared spans with exact arbitrary boundaries, including the
+  * edge cases the anchor+islands construction must get right —
+  * overlapping anchor runs, adjacent-but-mismatched spans, repeats on
+  * several diagonals, and sub-threshold suppression. k=4, minLen=6 here
+  * so fixtures stay readable; the registered d16 uses k=8, minLen=12.
+  */
+class ExactSubstrSpec extends SparkSpec {
+
+  private val K = 4
+  private val L = 6
+
+  private def spans(docs: (Long, String)*): Seq[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val df = docs.toSeq.toDF("doc_id", "text")
+    ExactSubstr.maximalSpans(
+        ExactSubstr.anchors(df, lower(col("text")), K), K, L)
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+  }
+
+  private def words(n: Int, tag: String): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  test("a planted verbatim run is reported once with exact boundaries") {
+    // doc2 embeds tokens 3..10 of doc1 (8 tokens) at position 4
+    val shared = "c3 c4 c5 c6 c7 c8 c9 c10"
+    val got = spans(
+      1L -> s"a1 a2 $shared a11 a12",
+      2L -> s"b1 b2 b3 $shared b12")
+    assert(got === Seq((1L, 2L, 3L, 4L, 8L)),
+      s"one maximal span, exact ends; got $got")
+  }
+
+  test("overlapping k-gram anchors merge into ONE maximal span") {
+    // a 10-token shared run yields 7 overlapping 4-gram anchors on one
+    // diagonal — the islands pass must merge them, never emit 7 spans
+    val shared = words(10, "s")
+    val got = spans(1L -> s"x1 $shared", 2L -> s"$shared y1 y2")
+    assert(got === Seq((1L, 2L, 2L, 1L, 10L)))
+  }
+
+  test("adjacent runs split by a single mismatch stay TWO spans") {
+    // same diagonal, 7 matching tokens, one mismatch, 7 more matching:
+    // the mismatch kills every k-gram crossing it, leaving two islands
+    val a = "s1 s2 s3 s4 s5 s6 s7 DIFFA t1 t2 t3 t4 t5 t6 t7"
+    val b = "s1 s2 s3 s4 s5 s6 s7 DIFFB t1 t2 t3 t4 t5 t6 t7"
+    val got = spans(1L -> a, 2L -> b)
+    assert(got === Seq((1L, 2L, 1L, 1L, 7L), (1L, 2L, 9L, 9L, 7L)),
+      s"mismatch must split the run; got $got")
+  }
+
+  test("a repeated region reports every (pair, diagonal) occurrence") {
+    // doc2 contains the shared run TWICE -> two diagonals, two rows
+    val shared = words(6, "r")
+    val got = spans(
+      1L -> s"p1 $shared p2",
+      2L -> s"$shared q1 q2 q3 $shared")
+    assert(got === Seq((1L, 2L, 2L, 1L, 6L), (1L, 2L, 2L, 10L, 6L)),
+      s"both occurrences carry the span; got $got")
+  }
+
+  test("runs below minLen (but >= k) and below k are suppressed") {
+    val got = spans(
+      1L -> s"${words(5, "m")} z1 z2 z3", // 5-token shared run: >= k, < L
+      2L -> s"${words(5, "m")} w1 w2 w3",
+      3L -> "n1 n2 n3 o1 o2 o3 o4 o5", // 3-token run with doc 4: < k
+      4L -> "n1 n2 n3 x1 x2 x3 x4 x5")
+    assert(got.isEmpty, s"sub-threshold runs must not surface; got $got")
+  }
+
+  test("three-way duplicate reports every ordered pair exactly once") {
+    val shared = words(7, "w")
+    val got = spans(1L -> shared, 2L -> shared, 3L -> shared)
+    assert(got === Seq((1L, 2L, 1L, 1L, 7L), (1L, 3L, 1L, 1L, 7L),
+      (2L, 3L, 1L, 1L, 7L)))
+  }
+
+  test("agrees with a brute-force maximal-common-substring scan") {
+    // randomized-ish fixture (deterministic seeds via hashing) checked
+    // against an O(n*m) dynamic-programming reference
+    val vocab = Array("aa", "bb", "cc", "dd")
+    def tok(doc: Int, i: Int) = vocab(math.abs((doc * 31 + i * 17) % 4))
+    val d1 = (1 to 40).map(i => tok(1, i)).toArray
+    val d2 = (1 to 40).map(i => tok(2, i)).toArray
+    val got = spans(1L -> d1.mkString(" "), 2L -> d2.mkString(" ")).toSet
+    // brute force: for every diagonal, walk matching runs
+    val want = (for {
+      off <- -39 to 39
+      // positions where both defined and tokens equal, 0-based in d1
+      run <- {
+        val ms = (0 until 40).filter { i =>
+          val j = i - off
+          j >= 0 && j < 40 && d1(i) == d2(j)
+        }
+        // group consecutive
+        ms.foldLeft(List.empty[List[Int]]) {
+          case (acc, i) if acc.nonEmpty && acc.head.head == i - 1 =>
+            (i :: acc.head) :: acc.tail
+          case (acc, i) => List(i) :: acc
+        }
+      }
+      len = run.length if len >= L
+    } yield (1L, 2L, (run.min + 1).toLong, (run.min + 1 - off).toLong,
+      len.toLong)).toSet
+    assert(got === want, s"got=$got want=$want")
+  }
+}

@@ -522,6 +522,21 @@ class PlanSpec extends SparkSpec {
     assert(!p5.contains("CartesianProduct"))
   }
 
+  test("d16: anchor self-join computes the exploded side once and the " +
+      "islands window is (pair, diagonal)-partitioned") {
+    val df = SparkEntry.queries("d16_exact_substr")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      "d16's anchor join degraded to a cartesian product")
+    assert(p.contains("ReusedExchange") ||
+      "documents.parquet".r.findAllIn(p).length <= 1,
+      "the exploded anchor side must be computed once:\n" + p.take(1500))
+    assert(!p.contains("windowspecdefinition()"),
+      "d16's islands window lost its (pair, diagonal) partitioning")
+  }
+
   test("b3's broadcast-less join is genuinely ADAPTIVE: AQE broadcasts a " +
       "measured-small side and keeps a measured-large side shuffled") {
     // 17809dc dropped b3's customer broadcast hint arguing AQE picks BHJ
