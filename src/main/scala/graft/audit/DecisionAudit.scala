@@ -257,6 +257,19 @@ object DecisionAudit {
         "truncating x100 divisions — the argmax orders exact integers " +
         "with an earliest-split tie-break, abs() on exact integers only",
       Seq("round(value * 100)", "ORDER BY gap_x100 DESC, s LIMIT 1")),
+    "f8_sessionize" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data) and is payload, not decision: session breaks " +
+        "compare exact integer nanos gaps under the identical " +
+        "(tns, event_id) per-user total order",
+      Seq("round(value * 100)", "ORDER BY tns, event_id")),
+    "a35_acf" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); the center is the TRUNCATED integer mean " +
+        "S div n, deviations/products/sums ride DECIMAL(38,0) vs " +
+        "HUGEINT, and r_k·1e6 is the a25 adaptive-truncation integer " +
+        "division — no float anywhere past the grain",
+      Seq("round(value * 100)", "length(CAST(abs(nk) AS VARCHAR)) - 31")),
     "a34_runs_test" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); the median is a rank-selected order " +

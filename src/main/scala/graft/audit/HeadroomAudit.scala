@@ -140,6 +140,26 @@ object HeadroomAudit {
         "q²·(nn−1)·1e4 ≤ 1e38-safe decimal38 and the RHS " +
         "38416·(2m−nn)·1e12 div 2m ≤ 38416·1e12 stays int64",
       Seq("38416", "// nullif(2 * CAST(n1 AS HUGEINT) * n2, 0)")),
+    "a35_acf" -> Headroom(
+      "hourly bin sums x ≤ 3e5 rows/bin · 1e7 cents = 3e12 at 1e13-row " +
+        "hourly grain; deviations d = x − (S div n) ≤ 3e12, products " +
+        "d_i·d_{i+k} ≤ 1e25, sums N_k, D ≤ 3e32 in decimal38; since " +
+        "|N_k| ≤ D (Cauchy-Schwarz), N_k·1e6 can reach 3e38 — the a25 " +
+        "adaptive truncation tr = 10^max(0, digits(|N_k|)−31, " +
+        "digits(D)−18) keeps (N_k/tr)·1e6 ≤ 1e37 and D/tr ≤ 1e18, every " +
+        "lowered quotient int64",
+      Seq("length(CAST(abs(nk) AS VARCHAR)) - 31",
+        "(nk // tr) * 1000000",
+        "// nullif(d2 // tr, 0)")),
+    "a36_odds_ratio" -> Headroom(
+      "num = x1·(n2−x2) and den = x2·(n1−x1) ≤ n1·n2 ≤ 1e26 in HUGEINT; " +
+        "the true OR is UNBOUNDED, so the statistic saturates at 1e6x: " +
+        "the CASE tests num > den·1e6 (den·1e6 ≤ 1e32) FIRST and only " +
+        "forms num·1e6 when num ≤ den·1e6 — then num·1e6 ≤ 1e32 fits " +
+        "decimal38 and the lowered quotient is ≤ 1e12, inside int64 at " +
+        "any scale or imbalance",
+      Seq("WHEN den = 0 OR num > den * 1000000",
+        "ELSE num * 1000000 // den END")),
     "b2_tpch_q5" -> Headroom(
       "per-row cents·(100−pct) ≤ 1e7·100 = 1e9; the decimal38 accumulator " +
         "holds 1e13 rows · 1e9 = 1e22 ≪ 1e38 (int64 would die at ~9e9 " +

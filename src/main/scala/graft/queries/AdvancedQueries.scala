@@ -1938,6 +1938,164 @@ object AdvancedQueries {
              |      * (n1 + n2 - x1 - x2) * 1000000000000
              |      // (CAST(n1 AS HUGEINT) * n2 * (n1 + n2))
              |   AS INT) AS reject_05
+             |FROM ab""".stripMargin)),
+
+    // A35: lag-k autocorrelation (ACF at k = 1..3) of the hourly value
+    // series — the "is today like yesterday" diagnostic behind w11/w13's
+    // smoothing constants and w16's changepoint prior. Exact-integer
+    // throughout (HeadroomAudit-checked): bins are exact cent sums, the
+    // center is the TRUNCATED mean mu = S div n (a defined statistic both
+    // engines state identically — no float mean), deviations d_i = x_i −
+    // mu ride DECIMAL(38,0) vs HUGEINT (|d| <= ~3e12 at 100 TB hourly
+    // grain, so d_i·d_{i+k} <= 1e25 and the sums <= 3e32), and r_k·1e6
+    // applies a25's adaptive shared-digit truncation since |N_k| <= D can
+    // put N_k·1e6 past decimal38's ceiling at the extreme. Scale shape:
+    // one partial-combining groupBy builds the bins, GlobalRank's
+    // two-phase pass ranks them (no single-partition window), the ranked
+    // frame is MATERIALIZED once (a34's discipline — the lag self-join
+    // keys rk vs rk+lag, different shuffle expressions, no reuse), and
+    // every scalar is a broadcast.
+    Q("a35_acf",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val byBin = events(s, d)
+          .select(expr("ts div 3600000000000").as("bin"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy(col("bin")).agg(sum(col("c")).as("x"))
+        val dir = graft.Scratch.dir(s, "a35_ranked")
+        GlobalRank.withRowNumber(byBin, Seq(col("bin").asc), "rk")
+          .select(col("rk"), col("x"))
+          .write.mode("overwrite").parquet(dir)
+        val ranked = s.read.parquet(dir)
+        val tot = ranked.agg(
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          count(lit(1)).as("n"))
+          .select(expr("sx div n").as("mu"), col("n"))
+        val dstat = ranked.crossJoin(broadcast(tot))
+          .select((col("x").cast("decimal(38,0)") - col("mu")).as("dd"))
+          .agg(sum(col("dd") * col("dd")).as("d2"))
+        val lags = ranked.sparkSession.range(1, 4)
+          .select(col("id").as("lag"))
+        val pairs = ranked.crossJoin(broadcast(lags))
+          .select(col("lag"), (col("rk") + col("lag")).as("rk_b"),
+            col("x").as("xa"))
+          .join(ranked.select(col("rk").as("rk_b"), col("x").as("xb")),
+            Seq("rk_b"))
+        pairs.crossJoin(broadcast(tot)).crossJoin(broadcast(dstat))
+          .groupBy(col("lag"), col("d2"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum((col("xa").cast("decimal(38,0)") - col("mu"))
+              * (col("xb").cast("decimal(38,0)") - col("mu"))).as("nk"))
+          // adaptive shared-digit truncation (a25): |N_k| <= D, so
+          // N_k·1e6 can pass decimal38 only at the extreme — drop the
+          // same tr = 10^max(0, digits(|N_k|)−31, digits(D)−18) low
+          // digits on both engines; tr = 1 (bit-exact) at any test SF
+          .select(col("lag"), col("n_pairs"),
+            expr("""CAST(concat('1', repeat('0', greatest(0,
+                   |  length(CAST(abs(nk) AS STRING)) - 31,
+                   |  length(CAST(d2 AS STRING)) - 18)))
+                   | AS DECIMAL(38,0))""".stripMargin).as("tr"),
+            col("nk"), col("d2"))
+          .select(col("lag"), col("n_pairs"),
+            expr("""CAST(nk div tr AS DECIMAL(38,0)) * 1000000
+                   | div nullif(CAST(d2 div tr AS DECIMAL(38,0)), 0)"""
+              .stripMargin).as("r_x1e6"))
+          .orderBy("lag")
+      },
+      Some("""WITH bins AS (
+             |  SELECT epoch_ns(ts) // 3600000000000 AS bin,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS x
+             |  FROM events GROUP BY 1
+             |), ranked AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY bin) AS BIGINT)
+             |    AS rk, x
+             |  FROM bins
+             |), tot AS (
+             |  SELECT CAST(sum(CAST(x AS HUGEINT)) // count(*) AS HUGEINT)
+             |    AS mu, CAST(count(*) AS BIGINT) AS n
+             |  FROM ranked
+             |), ds AS (
+             |  SELECT sum((CAST(x AS HUGEINT) - mu)
+             |    * (CAST(x AS HUGEINT) - mu)) AS d2
+             |  FROM ranked CROSS JOIN tot
+             |), nk AS (
+             |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    sum((CAST(a.x AS HUGEINT) - mu)
+             |      * (CAST(b.x AS HUGEINT) - mu)) AS nk
+             |  FROM (SELECT unnest([1, 2, 3]) AS lag) l
+             |  JOIN ranked a ON true
+             |  JOIN ranked b ON b.rk = a.rk + l.lag
+             |  CROSS JOIN tot
+             |  GROUP BY l.lag
+             |), scaled AS (
+             |  SELECT lag, n_pairs, nk, d2,
+             |    CAST('1' || repeat('0', greatest(0,
+             |      length(CAST(abs(nk) AS VARCHAR)) - 31,
+             |      length(CAST(d2 AS VARCHAR)) - 18)) AS HUGEINT) AS tr
+             |  FROM nk CROSS JOIN ds
+             |)
+             |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+             |  CAST((nk // tr) * 1000000
+             |    // nullif(d2 // tr, 0) AS BIGINT) AS r_x1e6
+             |FROM scaled ORDER BY lag""".stripMargin)),
+
+    // A36: odds ratio (effect size for a32's two-proportion decision,
+    // the way a31 Cramér's V sizes a26's chi-square) — OR·1e6 =
+    // x1·(n2−x2)·1e6 / (x2·(n1−x1)) as exact integer arithmetic with a
+    // SATURATION bound: the true OR is unbounded (a zero denominator
+    // cell makes it infinite), so the statistic is defined as saturated
+    // at 1e6x (emit 1e12) — the CASE tests num > den·1e6 FIRST, so
+    // num·1e6 is only formed when it fits decimal38 (num <= den·1e6 <=
+    // 1e32) and the lowered quotient is <= 1e12, inside int64 at any
+    // scale or imbalance (HeadroomAudit entry states the chain).
+    // 0/0 (a degenerate arm) emits NULL on both engines.
+    Q("a36_odds_ratio",
+      (s, d) => {
+        val perUser = events(s, d)
+          .select((col("user_id") % 2).as("variant"), col("user_id"),
+            (col("event_type") === "purchase").cast("long").as("p"))
+          .groupBy(col("variant"), col("user_id"))
+          .agg(max(col("p")).as("purchased"))
+        val v = perUser.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("purchased")).as("x"))
+        val a = v.filter(col("variant") === 0)
+          .select(col("n").as("n1"), col("x").as("x1"))
+        val b = v.filter(col("variant") === 1)
+          .select(col("n").as("n2"), col("x").as("x2"))
+        a.crossJoin(broadcast(b))
+          .select(col("n1"), col("x1"), col("n2"), col("x2"),
+            expr("CAST(x1 AS DECIMAL(38,0)) * (n2 - x2)").as("num"),
+            expr("CAST(x2 AS DECIMAL(38,0)) * (n1 - x1)").as("den"))
+          .select(col("n1"), col("x1"), col("n2"), col("x2"),
+            expr("""CASE WHEN num = 0 AND den = 0 THEN NULL
+                   | WHEN den = 0 OR num > den * 1000000
+                   |   THEN 1000000000000
+                   | ELSE num * 1000000 div den END""".stripMargin)
+              .cast("long").as("or_x1e6"),
+            expr("CAST(num > den AS INT)").as("favors_variant0"))
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id % 2 AS variant, user_id,
+             |    max(CAST(event_type = 'purchase' AS BIGINT)) AS purchased
+             |  FROM events GROUP BY 1, 2
+             |), v AS (
+             |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(purchased) AS BIGINT) AS x
+             |  FROM pu GROUP BY variant
+             |), ab AS (
+             |  SELECT a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2,
+             |    CAST(a.x AS HUGEINT) * (b.n - b.x) AS num,
+             |    CAST(b.x AS HUGEINT) * (a.n - a.x) AS den
+             |  FROM (SELECT n, x FROM v WHERE variant = 0) a
+             |  CROSS JOIN (SELECT n, x FROM v WHERE variant = 1) b
+             |)
+             |SELECT n1, x1, n2, x2,
+             |  CAST(CASE WHEN num = 0 AND den = 0 THEN NULL
+             |    WHEN den = 0 OR num > den * 1000000
+             |      THEN 1000000000000
+             |    ELSE num * 1000000 // den END AS BIGINT) AS or_x1e6,
+             |  CAST(num > den AS INT) AS favors_variant0
              |FROM ab""".stripMargin))
   )
 }

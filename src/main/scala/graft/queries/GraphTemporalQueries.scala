@@ -2357,6 +2357,65 @@ object GraphTemporalQueries {
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
              |FROM mat ORDER BY w0, age""".stripMargin)),
 
+    // F8: SESSIONIZATION — gap-based session windows, the behavioral
+    // primitive under f1's funnel and f3's paths (both currently treat a
+    // user's whole history as one sequence; real clickstream pipelines
+    // segment it first). A new session opens when the inter-event gap
+    // exceeds 12h (the web-analytics 30-min convention scaled to this
+    // corpus's ~7h median cadence so sessions are multi-event at every
+    // SF); the break flag is one lag() and the session index its running
+    // sum — both windows share ONE (user_id) partitioning with per-user
+    // state, so a billion-user stream shuffles once and no partition
+    // holds more than one user's history (the WindowGuard shape).
+    // Everything is exact integer nanos/cents; (tns, event_id) is the
+    // total per-user order both engines replay identically.
+    Q("f8_sessionize",
+      (s, d) => {
+        val gap = 43200000000000L // 12h in nanos
+        val ev = events(s, d).select(col("user_id"), col("event_id"),
+          col("ts").as("tns"), round(col("value") * 100).cast("long").as("c"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tns"), col("event_id"))
+        val wcum = Window.partitionBy(col("user_id"))
+          .orderBy(col("tns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev
+          .withColumn("brk",
+            when(lag(col("tns"), 1).over(w).isNull
+              || col("tns") - lag(col("tns"), 1).over(w) > gap, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx", sum(col("brk")).over(wcum))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tns")).as("start_ns"),
+            (max(col("tns")) - min(col("tns"))).as("dur_ns"),
+            sum(col("c")).as("cents"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |), flg AS (
+             |  SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+             |      OR tns - lag(tns) OVER w > 43200000000000::BIGINT
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+             |), sess AS (
+             |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING)
+             |    AS BIGINT) AS session_idx
+             |  FROM flg
+             |)
+             |SELECT user_id, session_idx,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(min(tns) AS BIGINT) AS start_ns,
+             |  CAST(max(tns) - min(tns) AS BIGINT) AS dur_ns,
+             |  CAST(sum(c) AS BIGINT) AS cents
+             |FROM sess GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin)),
+
     // W16: single changepoint localization — a21's CUSUM says "this
     // series shifted"; this answers WHERE: the split of the hourly
     // revenue series maximizing the between-segment mean gap (binary

@@ -3150,6 +3150,70 @@ object PipelineQueries {
               |  CAST(least(64, out_h - py * 64) AS BIGINT) AS ph
               |FROM gxy ORDER BY media_id, py, px""".stripMargin)),
 
+    // M16 (multimodal): AUDIO FRAME GRID — the framing step between a
+    // decoder and a speech encoder (wav2vec/Whisper shape: 25 ms windows
+    // every 10 ms = win 400 / hop 160 samples at 16 kHz), completing the
+    // image (m15 patches) / video (m2 frames) / audio triple. The decode
+    // itself is STUBBED deterministically (this container ships no audio
+    // libs): sample count and rate derive from m1's hash32/byte-length
+    // expressions (16-bit mono upsampled x64 so every doc spans hundreds
+    // of frames), while the framing ARITHMETIC — frame count, last frame
+    // start, uncovered tail, integer-ms duration — is the real math a
+    // speech pipeline feeds its tokenizer, exactly oracled. Map-side
+    // only: one projection, no shuffle before the presentation sort; at
+    // 100 TB this is a pure scan (the per-FRAME explosion is t9/t13's
+    // packing problem and m2's sampleFrames path — deliberately not
+    // re-done here; this op is the grid metadata).
+    Q("m16_audio_frames",
+      (s, d) => {
+        val win = 400L
+        val hop = 160L
+        documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            (hash32(col("text")) % 2).as("h2"),
+            (octet_length(col("text").cast("binary")) * 32).cast("long")
+              .as("n_samples"))
+          .select(col("media_id"),
+            (lit(16000L) + col("h2") * 28100L).as("sample_rate"),
+            col("n_samples"))
+          .select(col("media_id"), col("sample_rate"), col("n_samples"),
+            // div, not `/`: Spark's / on longs is DOUBLE division
+            when(col("n_samples") >= win,
+              expr(s"(n_samples - $win) div $hop") + 1L)
+              .otherwise(0L).cast("long").as("n_frames"))
+          .select(col("media_id"), col("sample_rate"), col("n_samples"),
+            col("n_frames"),
+            when(col("n_frames") > 0, (col("n_frames") - 1) * hop)
+              .cast("long").as("last_start"),
+            when(col("n_frames") > 0,
+              col("n_samples") - ((col("n_frames") - 1) * hop + win))
+              .otherwise(col("n_samples")).cast("long").as("tail_samples"),
+            expr("n_samples * 1000 div sample_rate").as("dur_ms"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id AS media_id,
+              |    16000 + (${sqlH32("text")} % 2) * 28100 AS sample_rate,
+              |    CAST(octet_length(encode(text)) * 32 AS BIGINT)
+              |      AS n_samples
+              |  FROM documents
+              |), f AS (
+              |  SELECT media_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+              |    n_samples,
+              |    CAST(CASE WHEN n_samples >= 400
+              |      THEN (n_samples - 400) // 160 + 1 ELSE 0 END AS BIGINT)
+              |      AS n_frames
+              |  FROM m
+              |)
+              |SELECT media_id, sample_rate, n_samples, n_frames,
+              |  CAST(CASE WHEN n_frames > 0 THEN (n_frames - 1) * 160 END
+              |    AS BIGINT) AS last_start,
+              |  CAST(CASE WHEN n_frames > 0
+              |    THEN n_samples - ((n_frames - 1) * 160 + 400)
+              |    ELSE n_samples END AS BIGINT) AS tail_samples,
+              |  CAST(n_samples * 1000 // sample_rate AS BIGINT) AS dur_ms
+              |FROM f ORDER BY media_id""".stripMargin)),
+
     // U8: CDC APPLY — the merge step that turns a change feed
     // (insert/update/delete ops keyed by entity, ordered by time) into
     // the entity's final state: u1's upsert generalized with DELETE

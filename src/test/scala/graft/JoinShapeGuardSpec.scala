@@ -57,7 +57,9 @@ class JoinShapeGuardSpec extends SparkSpec {
     "w16_changepoint",        // 1-row (n_bins, series-total) frame
     "c15_curriculum_phases",  // 1-row corpus-count frame (phase denominator)
     "a32_two_proportion",     // two 1-row variant frames (n, x) each
-    "a34_runs_test"           // 1-row median / bin-count / flip-count frames
+    "a34_runs_test",          // 1-row median / bin-count / flip-count frames
+    "a35_acf",                // 1-row (mu, n) and (d2) scalar frames + 3-row lag frame
+    "a36_odds_ratio"          // two 1-row variant frames (a32's shape)
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {

