@@ -2357,10 +2357,13 @@ object GraphTemporalQueries {
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
              |FROM mat ORDER BY w0, age""".stripMargin)),
 
-    // F8: SESSIONIZATION — gap-based session windows, the behavioral
-    // primitive under f1's funnel and f3's paths (both currently treat a
-    // user's whole history as one sequence; real clickstream pipelines
-    // segment it first). A new session opens when the inter-event gap
+    // F8: SESSIONIZATION (composed face) — gap-based session windows,
+    // the behavioral primitive under f1's funnel and f3's paths. w4
+    // already registers Spark's NATIVE session_window(30m) readout; this
+    // is the composed lag/running-sum formulation a pipeline reaches for
+    // when it needs what the built-in won't give: a stable per-user
+    // session INDEX, per-session duration/revenue, and a gap chosen per
+    // corpus. A new session opens when the inter-event gap
     // exceeds 12h (the web-analytics 30-min convention scaled to this
     // corpus's ~7h median cadence so sessions are multi-event at every
     // SF); the break flag is one lag() and the session index its running
