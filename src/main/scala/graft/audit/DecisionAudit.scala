@@ -257,6 +257,12 @@ object DecisionAudit {
         "truncating x100 divisions — the argmax orders exact integers " +
         "with an earliest-split tie-break, abs() on exact integers only",
       Seq("round(value * 100)", "ORDER BY gap_x100 DESC, s LIMIT 1")),
+    "w18_seasonal_profile" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); hour-of-day is exact nanos modulo, the mean " +
+        "is a truncating integer divide, and the peak flag ranks exact " +
+        "integers under the (mean DESC, hod) total tie-break",
+      Seq("round(value * 100)", "ORDER BY mean_x100 DESC, hod")),
     "f8_sessionize" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data) and is payload, not decision: session breaks " +

@@ -2602,6 +2602,50 @@ object GraphTemporalQueries {
              |      * (CAST(x AS HUGEINT) * n - sw)
              |    > 4 * (n * sxx - sw * sw) AS INT)
              |   ELSE CAST(NULL AS INT) END AS outside_2sigma
-             |FROM roll ORDER BY event_type, bin""".stripMargin))
+             |FROM roll ORDER BY event_type, bin""".stripMargin)),
+
+    // W18: SEASONAL PROFILE — the hour-of-day fold w11/w13/w15 smooth
+    // ACROSS and a35's ACF measures the strength of: per (event_type,
+    // hour-of-day 0..23), activity count / exact cents / truncated mean,
+    // plus each type's peak hour (max mean, earliest-hour tie-break)
+    // flagged in-row. This is the seasonality table a forecasting
+    // pipeline subtracts before trend-fitting and a capacity planner
+    // reads directly. Scale shape: ONE partial-combining groupBy over
+    // the fact table (24 x |types| groups at any corpus size), then
+    // window algebra on the tiny profile frame only — the window
+    // partitions by event_type with 24-row state.
+    Q("w18_seasonal_profile",
+      (s, d) => {
+        val prof = events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 3600000000000) % 24").as("hod"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("n_events"), sum(col("c")).as("cents"))
+          .select(col("event_type"), col("hod"), col("n_events"),
+            col("cents"), expr("cents div n_events").as("mean_x100"))
+        val byType = Window.partitionBy(col("event_type"))
+          .orderBy(col("mean_x100").desc, col("hod"))
+        prof
+          .withColumn("is_peak",
+            (row_number().over(byType) === 1).cast("int"))
+          .orderBy("event_type", "hod")
+      },
+      Some("""WITH prof AS (
+             |  SELECT event_type,
+             |    (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM events GROUP BY 1, 2
+             |), m AS (
+             |  SELECT event_type, CAST(hod AS BIGINT) AS hod, n_events,
+             |    cents, CAST(cents // n_events AS BIGINT) AS mean_x100
+             |  FROM prof
+             |)
+             |SELECT event_type, hod, n_events, cents, mean_x100,
+             |  CAST(row_number() OVER (PARTITION BY event_type
+             |    ORDER BY mean_x100 DESC, hod) = 1 AS INT) AS is_peak
+             |FROM m ORDER BY event_type, hod""".stripMargin))
   )
 }

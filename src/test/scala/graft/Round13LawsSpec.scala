@@ -153,6 +153,25 @@ class Round13LawsSpec extends SparkSpec {
     assert(BigInt(5) * 10 > BigInt(0) * 1000000, "den=0 branch reachable")
   }
 
+  test("w18: profile partitions the fact table; one peak per type; " +
+      "means are exact truncating divides") {
+    import org.apache.spark.sql.functions._
+    val rows = q("w18_seasonal_profile").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(rows.forall(r => r._2 >= 0L && r._2 <= 23L))
+    assert(rows.forall(r => r._5 === r._4 / r._3), "mean = cents div n")
+    val byType = rows.groupBy(_._1)
+    for ((t, rs) <- byType) {
+      assert(rs.count(_._6 == 1) === 1, s"$t: exactly one peak hour")
+      val peak = rs.find(_._6 == 1).get
+      val best = rs.maxBy(r => (r._5, -r._2))
+      assert(peak._5 === best._5, s"$t: peak has the max mean")
+    }
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_._3).sum === total, "profile partitions every event")
+  }
+
   test("m16: frame grid tiles the sample range exactly") {
     val rows = q("m16_audio_frames").collect()
     assert(rows.nonEmpty)
