@@ -160,6 +160,15 @@ object HeadroomAudit {
         "any scale or imbalance",
       Seq("WHEN den = 0 OR num > den * 1000000",
         "ELSE num * 1000000 // den END")),
+    "c16_mixture_raking" -> Headroom(
+      "IPF runs on x1e12 SHARES, not counts (counts would put the " +
+        "int64-lowered quotients past 9e18 at 1e13 docs): every w, tl, " +
+        "tsrc, and marginal sum is ≤ 1e12·|cells| ≈ 1e15, each round's " +
+        "product w·t ≤ 1e27 rides DECIMAL(38,0) vs HUGEINT, and every " +
+        "truncating quotient is ≤ 1e12 — int64-safe at any corpus size " +
+        "or category skew",
+      Seq("* 1000000000000 // nn",
+        "CAST(CAST(w AS HUGEINT) * tl // nullif(sm, 0) AS BIGINT)")),
     "b2_tpch_q5" -> Headroom(
       "per-row cents·(100−pct) ≤ 1e7·100 = 1e9; the decimal38 accumulator " +
         "holds 1e13 rows · 1e9 = 1e22 ≪ 1e38 (int64 would die at ~9e9 " +

@@ -3479,7 +3479,100 @@ object PipelineQueries {
               |  CAST(start_a - off AS BIGINT) AS start_b,
               |  CAST(len AS BIGINT) AS len
               |FROM runs WHERE len >= 12
-              |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin))
+              |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin)),
+
+    // C16: MIXTURE RAKING — iterative proportional fitting of the
+    // lang x source contingency to target marginals (uniform language
+    // share x uniform source share), the statistically-grounded form of
+    // what c6's domain cap and c13's temperature mix approximate: a
+    // sampling-weight table whose BOTH margins hit their targets
+    // simultaneously. Three IPF rounds (row-fit then column-fit) on
+    // weights held as exact x1e12 SHARES — counts would blow the
+    // int64-lowered quotients at 100 TB, shares keep every product
+    // <= 1e24 in DECIMAL(38,0)/HUGEINT and every quotient <= 1e12
+    // (HeadroomAudit entry). Structural zeros (unobserved cells) stay
+    // zero, the classic raking convention. Scale shape: ONE
+    // partial-combining groupBy collapses the corpus to the |langs| x
+    // |sources| frame; every round is join+agg algebra on that tiny
+    // frame, MATERIALIZED per round (f6's discipline — each round
+    // references its predecessor twice, so an unmaterialized chain
+    // doubles the plan per round), and the fact table is scanned once.
+    Q("c16_mixture_raking",
+      (s, d) => {
+        val docs = documents(s, d).select(col("lang"), col("source"))
+        val obs = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_obs"))
+        val tot = obs.agg(sum(col("n_obs")).as("nn"))
+        val dims = obs.agg(count_distinct(col("lang")).as("nl"),
+          count_distinct(col("source")).as("ns"))
+        val base = graft.Scratch.dir(s, "c16_base")
+        obs.crossJoin(broadcast(tot)).crossJoin(broadcast(dims))
+          .select(col("lang"), col("source"), col("n_obs"),
+            expr("CAST(n_obs AS DECIMAL(38,0)) * 1000000000000 div nn")
+              .as("w"),
+            expr("1000000000000 div nl").as("tl"),
+            expr("1000000000000 div ns").as("tsrc"))
+          .write.mode("overwrite").parquet(base)
+        var cur = s.read.parquet(base)
+        for (r <- 1 to 3) {
+          val rowSum = cur.groupBy(col("lang")).agg(sum(col("w")).as("sl"))
+          val afterRow = cur.join(broadcast(rowSum), Seq("lang"))
+            .select(col("lang"), col("source"), col("n_obs"),
+              expr("CAST(w AS DECIMAL(38,0)) * tl div nullif(sl, 0)")
+                .as("w"), col("tl"), col("tsrc"))
+          val colSum = afterRow.groupBy(col("source"))
+            .agg(sum(col("w")).as("ss"))
+          val next = afterRow.join(broadcast(colSum), Seq("source"))
+            .select(col("lang"), col("source"), col("n_obs"),
+              expr("CAST(w AS DECIMAL(38,0)) * tsrc div nullif(ss, 0)")
+                .as("w"), col("tl"), col("tsrc"))
+          val p = graft.Scratch.dir(s, s"c16_round$r")
+          next.write.mode("overwrite").parquet(p)
+          cur = s.read.parquet(p)
+        }
+        val byLang = Window.partitionBy(col("lang"))
+        cur
+          .withColumn("lang_share_x1e12", sum(col("w")).over(byLang))
+          .select(col("lang"), col("source"), col("n_obs"),
+            col("w").as("w_x1e12"), col("lang_share_x1e12"))
+          .orderBy("lang", "source")
+      },
+      Some {
+        def half(k: Int, from: String, part: String, tgt: String): String =
+          s"""r$k AS MATERIALIZED (
+             |  SELECT lang, source, n_obs,
+             |    CAST(CAST(w AS HUGEINT) * $tgt // nullif(sm, 0) AS BIGINT)
+             |      AS w, tl, tsrc
+             |  FROM (SELECT *, CAST(sum(w) OVER (PARTITION BY $part)
+             |      AS BIGINT) AS sm FROM $from) x
+             |)""".stripMargin
+        s"""WITH obs AS (
+           |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_obs
+           |  FROM documents GROUP BY 1, 2
+           |), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nn FROM obs),
+           |dims AS (
+           |  SELECT CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+           |    CAST(count(DISTINCT source) AS BIGINT) AS ns
+           |  FROM obs
+           |), w0 AS MATERIALIZED (
+           |  SELECT lang, source, n_obs,
+           |    CAST(CAST(n_obs AS HUGEINT) * 1000000000000 // nn AS BIGINT)
+           |      AS w,
+           |    CAST(1000000000000 // nl AS BIGINT) AS tl,
+           |    CAST(1000000000000 // ns AS BIGINT) AS tsrc
+           |  FROM obs CROSS JOIN tot CROSS JOIN dims
+           |),
+           |${half(1, "w0", "lang", "tl")},
+           |${half(2, "r1", "source", "tsrc")},
+           |${half(3, "r2", "lang", "tl")},
+           |${half(4, "r3", "source", "tsrc")},
+           |${half(5, "r4", "lang", "tl")},
+           |${half(6, "r5", "source", "tsrc")}
+           |SELECT lang, source, n_obs, w AS w_x1e12,
+           |  CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT)
+           |    AS lang_share_x1e12
+           |FROM r6 ORDER BY lang, source""".stripMargin
+      })
   )
 
 }

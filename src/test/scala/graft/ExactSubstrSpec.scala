@@ -83,33 +83,36 @@ class ExactSubstrSpec extends SparkSpec {
       (2L, 3L, 1L, 1L, 7L)))
   }
 
-  test("agrees with a brute-force maximal-common-substring scan") {
-    // randomized-ish fixture (deterministic seeds via hashing) checked
-    // against an O(n*m) dynamic-programming reference
-    val vocab = Array("aa", "bb", "cc", "dd")
-    def tok(doc: Int, i: Int) = vocab(math.abs((doc * 31 + i * 17) % 4))
-    val d1 = (1 to 40).map(i => tok(1, i)).toArray
-    val d2 = (1 to 40).map(i => tok(2, i)).toArray
-    val got = spans(1L -> d1.mkString(" "), 2L -> d2.mkString(" ")).toSet
-    // brute force: for every diagonal, walk matching runs
-    val want = (for {
-      off <- -39 to 39
-      // positions where both defined and tokens equal, 0-based in d1
-      run <- {
-        val ms = (0 until 40).filter { i =>
-          val j = i - off
-          j >= 0 && j < 40 && d1(i) == d2(j)
+  test("agrees with a brute-force maximal-common-substring scan across " +
+      "seeded fixtures (small vocab forces rich overlap structure)") {
+    // deterministic pseudo-random fixtures checked against an O(n*m)
+    // diagonal-walk reference; vocab sizes 2..4 create dense accidental
+    // repeats (the hardest case for islands bookkeeping)
+    for (seed <- 1 to 6; vsize <- 2 to 4) {
+      val vocab = (0 until vsize).map(v => s"v$v").toArray
+      def tok(doc: Int, i: Int) =
+        vocab(math.abs((doc * 31 + i * 17 + seed * 7919) % vsize))
+      val n = 30 + seed * 3
+      val d1 = (1 to n).map(i => tok(1, i)).toArray
+      val d2 = (1 to n).map(i => tok(2, i)).toArray
+      val got = spans(1L -> d1.mkString(" "), 2L -> d2.mkString(" ")).toSet
+      val want = (for {
+        off <- -(n - 1) to (n - 1)
+        run <- {
+          val ms = (0 until n).filter { i =>
+            val j = i - off
+            j >= 0 && j < n && d1(i) == d2(j)
+          }
+          ms.foldLeft(List.empty[List[Int]]) {
+            case (acc, i) if acc.nonEmpty && acc.head.head == i - 1 =>
+              (i :: acc.head) :: acc.tail
+            case (acc, i) => List(i) :: acc
+          }
         }
-        // group consecutive
-        ms.foldLeft(List.empty[List[Int]]) {
-          case (acc, i) if acc.nonEmpty && acc.head.head == i - 1 =>
-            (i :: acc.head) :: acc.tail
-          case (acc, i) => List(i) :: acc
-        }
-      }
-      len = run.length if len >= L
-    } yield (1L, 2L, (run.min + 1).toLong, (run.min + 1 - off).toLong,
-      len.toLong)).toSet
-    assert(got === want, s"got=$got want=$want")
+        len = run.length if len >= L
+      } yield (1L, 2L, (run.min + 1).toLong, (run.min + 1 - off).toLong,
+        len.toLong)).toSet
+      assert(got === want, s"seed=$seed vsize=$vsize: got=$got want=$want")
+    }
   }
 }

@@ -61,6 +61,9 @@ class JoinShapeGuardSpec extends SparkSpec {
     "a35_acf",                // 1-row (mu, n) and (d2) scalar frames + 3-row lag frame
     "a36_odds_ratio"          // two 1-row variant frames (a32's shape)
   )
+  // (c16's scalar crossJoins execute at construction, before the
+  // per-round materialization — its RETURNED plan is a parquet read +
+  // tiny window, so it needs no allowlist row.)
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only on the frozen allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

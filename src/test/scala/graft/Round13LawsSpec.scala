@@ -172,6 +172,40 @@ class Round13LawsSpec extends SparkSpec {
     assert(rows.map(_._3).sum === total, "profile partitions every event")
   }
 
+  test("c16: IPF matches an exact BigInt replay and converges toward " +
+      "the uniform language target") {
+    import org.apache.spark.sql.functions._
+    val got = q("c16_mixture_raking").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // exact replay: same truncating-integer IPF in plain BigInt
+    val obs = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), BigInt(r.getLong(2))))
+    val nn = obs.map(_._2).sum
+    val nl = obs.map(_._1._1).distinct.length
+    val ns = obs.map(_._1._2).distinct.length
+    val tl = BigInt("1000000000000") / nl
+    val tsrc = BigInt("1000000000000") / ns
+    var w = obs.map { case (k, n) => k -> n * BigInt("1000000000000") / nn }.toMap
+    for (_ <- 1 to 3) {
+      val sl = w.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+      w = w.map { case (k, v) => k -> (if (sl(k._1) == 0) BigInt(0)
+        else v * tl / sl(k._1)) }
+      val ss = w.groupBy(_._1._2).map { case (sr, m) => sr -> m.values.sum }
+      w = w.map { case (k, v) => k -> (if (ss(k._2) == 0) BigInt(0)
+        else v * tsrc / ss(k._2)) }
+    }
+    for ((l, sr, _, wx, _) <- got)
+      assert(BigInt(wx) === w((l, sr)), s"cell ($l, $sr)")
+    // convergence: every language's achieved share within 0.1% of target
+    val shares = got.groupBy(_._1).map { case (l, rs) => l -> rs.head._5 }
+    for ((l, sh) <- shares)
+      assert((BigInt(sh) - tl).abs * 1000 <= tl,
+        s"$l share $sh vs target $tl drifted past 0.1%")
+  }
+
   test("m16: frame grid tiles the sample range exactly") {
     val rows = q("m16_audio_frames").collect()
     assert(rows.nonEmpty)
