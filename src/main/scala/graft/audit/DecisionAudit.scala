@@ -388,6 +388,12 @@ object DecisionAudit {
         "projection is pure integer arithmetic on the identical longs — " +
         "md5-derived signs are integer parity, no further fp anywhere",
       Seq("list_max", "127.0", "% 2 = 0")),
+    "e14_knn_graph" -> BitPinned(
+      arrayFold.note + "; the per-node top-3 ranks bit-identical cosines " +
+        "under the (cos DESC, nbr_id) total tie-break, so rank and cut " +
+        "decide identically; the round(.,5) emit carries the documented " +
+        "e1-class residual",
+      Seq("ORDER BY cos DESC, nbr_id", "rank <= 3")),
     "e5_quantize" -> BitPinned(
       arrayFold.note + "; scale = max|x|/127 is a max (order-free) plus one " +
         "division, and qv/cos_recon fold per-vector in element order",

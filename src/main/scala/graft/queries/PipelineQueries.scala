@@ -3481,6 +3481,125 @@ object PipelineQueries {
               |FROM runs WHERE len >= 12
               |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin)),
 
+    // U9: snapshot RETENTION (vacuum) — the missing lifecycle face of
+    // the u1-u8 table-format tier: storage is reclaimed by deleting
+    // versions older than the retention window while the live pointer
+    // and the `keep` most recent versions stay readable (u2's time
+    // travel keeps working inside the window, u7's rollback outside it
+    // becomes impossible BY POLICY — that is what retention means).
+    // Four published versions, vacuum(keep=2), and every version's
+    // post-vacuum state emitted — retained flag, row count and
+    // order-insensitive digest for survivors — all derivable from the
+    // source table, so the real store mechanics are exactly oracled.
+    // The vacuum decision is a driver action by nature (u6's rule);
+    // per-version stats are one aggregate each over tiny version reads.
+    Q("u9_snapshot_vacuum",
+      (s, d) => {
+        import graft.operators.SnapshotStore
+        // u7's scratch discipline: deterministic root + wipe
+        val root = graft.Scratch.dir(s,
+          f"u9_store_${d.hashCode & 0x7fffffff}%08x")
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val rfs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (rfs.exists(rootPath)) rfs.delete(rootPath, true)
+        val docs = documents(s, d).select(col("doc_id"), col("source"))
+        SnapshotStore.publish(docs.filter(col("doc_id") % 4 === 0), root)
+        SnapshotStore.publish(docs.filter(col("doc_id") % 2 === 0), root)
+        SnapshotStore.publish(docs.filter(col("doc_id") % 4 =!= 3), root)
+        SnapshotStore.publish(docs, root)
+        val removed = SnapshotStore.vacuum(s, root, keep = 2).toSet
+        val vCur = SnapshotStore.currentVersion(s, root).get
+        (1 to 4).map { v =>
+          if (removed(v))
+            s.range(1).select(lit(v.toLong).as("version"),
+              lit(0).as("retained"),
+              lit(null).cast("long").as("n_rows"),
+              lit(null).cast("string").as("id_digest"),
+              lit(0).as("is_live"))
+          else
+            SnapshotStore.readVersion(s, root, v)
+              .agg(count(lit(1)).as("n_rows"),
+                md5(concat_ws(",",
+                  transform(sort_array(collect_list(col("doc_id"))),
+                    _.cast("string")))).as("id_digest"))
+              .select(lit(v.toLong).as("version"), lit(1).as("retained"),
+                col("n_rows"), col("id_digest"),
+                lit(if (v == vCur) 1 else 0).as("is_live"))
+        }.reduce(_.unionByName(_)).orderBy("version")
+      },
+      Some("""WITH q3 AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS dg
+             |  FROM documents WHERE doc_id % 4 <> 3
+             |), al AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS dg
+             |  FROM documents
+             |)
+             |SELECT 1::BIGINT AS version, 0 AS retained,
+             |  NULL::BIGINT AS n_rows, NULL::VARCHAR AS id_digest,
+             |  0 AS is_live
+             |UNION ALL
+             |SELECT 2::BIGINT, 0, NULL::BIGINT, NULL::VARCHAR, 0
+             |UNION ALL
+             |SELECT 3::BIGINT, 1, q3.n, q3.dg, 0 FROM q3
+             |UNION ALL
+             |SELECT 4::BIGINT, 1, al.n, al.dg, 1 FROM al
+             |ORDER BY version""".stripMargin)),
+
+    // E14: k-NN GRAPH over the embedding table — the neighborhood
+    // structure SemDeDup-style clustering (e6) and graph dedup (d7)
+    // consume: per vector, its top-3 in-bucket neighbors by exact
+    // cosine. Candidates come from e2/e3's sign-bucket join (the
+    // never-all-pairs discipline; a web-scale build widens to more
+    // hash bits exactly like e2's scale note) taken in BOTH directions
+    // (each node ranks its own neighborhood), cosines are e1's
+    // BitPinned sequential array folds rounded at 5dp, and the top-3
+    // cut is a per-node rank under the (cos DESC, nbr_id) total
+    // tie-break — row_number <= k lowers to WindowGroupLimit (w2's
+    // shape), so the shuffle carries at most k rows per node per map
+    // partition.
+    Q("e14_knn_graph",
+      (s, d) => {
+        val emb = bucketedEmbeddings(s, d)
+        val pairs = emb.as("x")
+          .join(emb.as("y").hint("shuffle_hash"),
+            col("x.bucket") === col("y.bucket")
+              && col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_id"),
+            col("y.vec_id").as("nbr_id"),
+            round(dot(col("x.v"), col("y.v"))
+              / (col("x.nrm") * col("y.nrm")), 5).as("cos"))
+        val byNode = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("nbr_id"))
+        pairs
+          .withColumn("rank", row_number().over(byNode))
+          .filter(col("rank") <= 3)
+          .select(col("vec_id"), col("rank").cast("long").as("rank"),
+            col("nbr_id"), col("cos"))
+          .orderBy("vec_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v,
+             |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN embedding[22] > 0 THEN 2 ELSE 0 END)
+             |    + (CASE WHEN embedding[43] > 0 THEN 4 ELSE 0 END) AS bucket
+             |  FROM embeddings
+             |), p AS (
+             |  SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id,
+             |    round(list_sum([x.v[i] * y.v[i] for i in range(1, len(x.v) + 1)])
+             |      / (sqrt(list_sum([a*a for a in x.v])) * sqrt(list_sum([b*b for b in y.v]))),
+             |      5) AS cos
+             |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+             |), rk AS (
+             |  SELECT vec_id, nbr_id, cos, CAST(row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS BIGINT)
+             |    AS rank
+             |  FROM p
+             |)
+             |SELECT vec_id, rank, nbr_id, cos FROM rk WHERE rank <= 3
+             |ORDER BY vec_id, rank""".stripMargin)),
+
     // C16: MIXTURE RAKING — iterative proportional fitting of the
     // lang x source contingency to target marginals (uniform language
     // share x uniform source share), the statistically-grounded form of

@@ -206,6 +206,67 @@ class Round13LawsSpec extends SparkSpec {
         s"$l share $sh vs target $tl drifted past 0.1%")
   }
 
+  test("u9: vacuum leaves exactly the keep-window on disk and a removed " +
+      "version is unreadable") {
+    val rows = q("u9_snapshot_vacuum").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 0, 1, 1))
+    assert(rows.map(_.getInt(4)).toSeq === Seq(0, 0, 0, 1))
+    // the store the query just built: only v3/v4 directories remain
+    val root = graft.Scratch.dir(spark,
+      f"u9_store_${sfDir.hashCode & 0x7fffffff}%08x")
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName).sorted
+    assert(dirs.toSeq === Seq("v3", "v4"),
+      s"retention must leave exactly the keep-2 window, saw $dirs")
+    intercept[Exception] {
+      graft.operators.SnapshotStore.readVersion(spark, root, 1).collect()
+    }
+  }
+
+  test("e14: per-node ranks are consecutive, cosine-descending, and " +
+      "match a brute-force in-bucket recomputation") {
+    val rows = q("e14_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byNode = rows.groupBy(_._1)
+    for ((v, rs) <- byNode) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to rs.length).toSeq,
+        s"node $v ranks consecutive")
+      assert(rs.length <= 3)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      }, s"node $v order")
+    }
+    // brute force: same buckets, all candidates, sequential-fold cosine
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def bucket(v: Array[Double]) =
+      (if (v(0) > 0) 1 else 0) + (if (v(21) > 0) 2 else 0) +
+        (if (v(42) > 0) 4 else 0)
+    val byBucket = emb.groupBy { case (_, v) => bucket(v) }
+    for ((_, members) <- byBucket; (id, v) <- members) {
+      val cands = members.filter(_._1 != id).map { case (nid, nv) =>
+        val dot = v.indices.foldLeft(0.0)((s, i) => s + v(i) * nv(i))
+        val n1 = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
+        val n2 = math.sqrt(nv.foldLeft(0.0)((s, x) => s + x * x))
+        (nid, BigDecimal(dot / (n1 * n2))
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (nid, c) => (-c, nid) }.take(3)
+      val got = byNode.getOrElse(id, Array.empty).sortBy(_._2)
+        .map(r => (r._3, r._4)).toSeq
+      assert(got.map(_._1) === cands.map(_._1).toSeq, s"node $id neighbors")
+      got.zip(cands).foreach { case ((_, gc), (_, wc)) =>
+        assert(math.abs(gc - wc) < 1e-9, s"node $id cosine")
+      }
+    }
+  }
+
   test("m16: frame grid tiles the sample range exactly") {
     val rows = q("m16_audio_frames").collect()
     assert(rows.nonEmpty)
