@@ -257,6 +257,15 @@ object DecisionAudit {
         "truncating x100 divisions — the argmax orders exact integers " +
         "with an earliest-split tie-break, abs() on exact integers only",
       Seq("round(value * 100)", "ORDER BY gap_x100 DESC, s LIMIT 1")),
+    "a37_cuped" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); the cutoff is an exact integer-nanos " +
+        "midpoint, the sufficient statistics ride DECIMAL(38,0) vs " +
+        "HUGEINT, theta/rho² take a25's adaptive truncation, and the " +
+        "adjusted means state their truncation points verbatim in both " +
+        "engines — no float anywhere past the grain",
+      Seq("round(value * 100)", "(min(tns) + max(tns)) // 2",
+        "length(CAST(abs(rnum) AS VARCHAR)) - 16")),
     "w18_seasonal_profile" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); hour-of-day is exact nanos modulo, the mean " +

@@ -169,6 +169,20 @@ object HeadroomAudit {
         "or category skew",
       Seq("* 1000000000000 // nn",
         "CAST(CAST(w AS HUGEINT) * tl // nullif(sm, 0) AS BIGINT)")),
+    "a37_cuped" -> Headroom(
+      "per-user lifetime cents x, y ≤ 1e10, so Σx ≤ 1e19 and the moment " +
+        "sums Σxy ≤ 1e29 at 1e9 users ride decimal38; n·Σxy − Σx·Σy can " +
+        "reach 1e38 — theta and rho² take a25's adaptive truncation " +
+        "(|rnum/tr| ≤ 1e16, den/tr ≤ 1e18, every lowered quotient " +
+        "int64); the adjusted means fix their own truncation points: " +
+        "the centered pre-mean diff (Sx_a·n − Sx·n_a) ≤ 1e28 is divided " +
+        "by n_a·n at the x100 grain FIRST (quotient ≤ 1e12), then the " +
+        "theta_x1e6 product ≤ 1e19 rides decimal38 and divides back " +
+        "down to ≤ 1e17 — int64 at any scale or split imbalance",
+      Seq("length(CAST(abs(rnum) AS VARCHAR)) - 16",
+        "(rnum // tr) * 1000000 // nullif(rdenx // tr, 0)",
+        "(sx_a * n - sx * n_a) * 100",
+        "// nullif(n_a * n, 0)) // 100")),
     "b2_tpch_q5" -> Headroom(
       "per-row cents·(100−pct) ≤ 1e7·100 = 1e9; the decimal38 accumulator " +
         "holds 1e13 rows · 1e9 = 1e22 ≪ 1e38 (int64 would die at ~9e9 " +

@@ -1940,6 +1940,159 @@ object AdvancedQueries {
              |   AS INT) AS reject_05
              |FROM ab""".stripMargin)),
 
+    // A37: CUPED variance reduction (Deng et al. 2013, "Improving the
+    // Sensitivity of Online Controlled Experiments") — the standard
+    // industrial upgrade to a20/a32's A/B readouts: regress each user's
+    // post-period metric on their PRE-period metric (theta = Cov(X,Y)/
+    // Var(X), a25's slope verbatim), subtract the predictable component,
+    // and compare ADJUSTED variant means whose variance shrinks by rho².
+    // Exact-integer end to end: the cutoff is c10's integer-nanos
+    // midpoint (broadcast scalar), per-user (x, y) cents ride one
+    // conditional-sum pass, the five sufficient statistics accumulate in
+    // DECIMAL(38,0) vs HUGEINT, theta and rho² apply a25's adaptive
+    // shared-digit truncation, and the adjusted means fix their
+    // truncation points explicitly (centered pre-mean diff at the
+    // half-cent x100 grain, then the theta product divided back down) so
+    // both engines state the identical integer chain — HeadroomAudit
+    // carries the full magnitude derivation. Scale shape: ONE fact scan
+    // -> per-user partial-combining aggregate -> one tiny stats
+    // aggregate + two variant rows; everything downstream is broadcast
+    // scalar algebra.
+    Q("a37_cuped",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("c"))
+        val cut = ev.agg(expr("(min(ts) + max(ts)) div 2").as("cut"))
+        val perUser = ev.crossJoin(broadcast(cut))
+          .groupBy(col("user_id"))
+          .agg(coalesce(sum(when(col("ts") < col("cut"), col("c"))), lit(0L))
+            .as("x"),
+            coalesce(sum(when(col("ts") >= col("cut"), col("c"))), lit(0L))
+              .as("y"))
+          .select(col("user_id"), (col("user_id") % 2).as("variant"),
+            col("x").cast("decimal(38,0)").as("x"),
+            col("y").cast("decimal(38,0)").as("y"))
+        val st = perUser.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        val va = perUser.filter(col("variant") === 0)
+          .agg(count(lit(1)).as("n_a"), sum(col("x")).as("sx_a"),
+            sum(col("y")).as("sy_a"))
+        val vb = perUser.filter(col("variant") === 1)
+          .agg(count(lit(1)).as("n_b"), sum(col("x")).as("sx_b"),
+            sum(col("y")).as("sy_b"))
+        st.crossJoin(broadcast(va)).crossJoin(broadcast(vb))
+          .select(col("n"), col("n_a"), col("n_b"),
+            expr("n * sxy - sx * sy").as("rnum"),
+            expr("n * sxx - sx * sx").as("rdenx"),
+            expr("n * syy - sy * sy").as("rdeny"),
+            col("sx"), col("sx_a"), col("sx_b"),
+            col("sy_a"), col("sy_b"))
+          // a25's adaptive truncation for theta and rho²
+          .select(col("*"),
+            expr("""CAST(concat('1', repeat('0', greatest(0,
+                   |  length(CAST(abs(rnum) AS STRING)) - 16,
+                   |  length(CAST(rdenx AS STRING)) - 18,
+                   |  length(CAST(rdeny AS STRING)) - 18)))
+                   | AS DECIMAL(38,0))""".stripMargin).as("tr"))
+          .select(col("n"), col("n_a"), col("n_b"),
+            expr("""CAST(rnum div tr AS DECIMAL(38,0)) * 1000000
+                   | div nullif(CAST(rdenx div tr AS DECIMAL(38,0)), 0)"""
+              .stripMargin).as("theta_x1e6"),
+            expr("""CAST(rnum div tr AS DECIMAL(38,0))
+                   | * CAST(rnum div tr AS DECIMAL(38,0)) * 1000000
+                   | div nullif(CAST(rdenx div tr AS DECIMAL(38,0))
+                   |   * CAST(rdeny div tr AS DECIMAL(38,0)), 0)"""
+              .stripMargin).as("rho2_x1e6"),
+            col("sx"), col("sx_a"), col("sx_b"), col("sy_a"), col("sy_b"))
+          .select(col("n"), col("n_a"), col("n_b"), col("theta_x1e6"),
+            col("rho2_x1e6"),
+            // centered pre-mean diff at the x100 grain, then the theta
+            // product divided back down — the truncation points ARE the
+            // statistic's definition (both engines state them verbatim)
+            expr("""sy_a * 1000000 div nullif(n_a, 0)
+                   | - theta_x1e6 * ((sx_a * n - sx * n_a) * 100
+                   |     div nullif(n_a * n, 0)) div 100"""
+              .stripMargin).cast("long").as("adj_mean_a_x1e6"),
+            expr("""sy_b * 1000000 div nullif(n_b, 0)
+                   | - theta_x1e6 * ((sx_b * n - sx * n_b) * 100
+                   |     div nullif(n_b * n, 0)) div 100"""
+              .stripMargin).cast("long").as("adj_mean_b_x1e6"))
+          .select(col("n"), col("n_a"), col("n_b"), col("theta_x1e6"),
+            col("rho2_x1e6"), col("adj_mean_a_x1e6"), col("adj_mean_b_x1e6"),
+            (col("adj_mean_a_x1e6") - col("adj_mean_b_x1e6"))
+              .as("adj_diff_x1e6"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |), cut AS (
+             |  SELECT (min(tns) + max(tns)) // 2 AS cut FROM ev
+             |), pu AS (
+             |  SELECT user_id, user_id % 2 AS variant,
+             |    CAST(coalesce(sum(CASE WHEN tns < cut THEN c END), 0)
+             |      AS HUGEINT) AS x,
+             |    CAST(coalesce(sum(CASE WHEN tns >= cut THEN c END), 0)
+             |      AS HUGEINT) AS y
+             |  FROM ev CROSS JOIN cut GROUP BY 1, 2
+             |), st AS (
+             |  SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             |    sum(x * y) AS sxy, sum(y * y) AS syy
+             |  FROM pu
+             |), va AS (
+             |  SELECT CAST(count(*) AS HUGEINT) AS n_a,
+             |    sum(x) AS sx_a, sum(y) AS sy_a
+             |  FROM pu WHERE variant = 0
+             |), vb AS (
+             |  SELECT CAST(count(*) AS HUGEINT) AS n_b,
+             |    sum(x) AS sx_b, sum(y) AS sy_b
+             |  FROM pu WHERE variant = 1
+             |), rr AS (
+             |  SELECT n, n_a, n_b,
+             |    n * sxy - sx * sy AS rnum,
+             |    n * sxx - sx * sx AS rdenx,
+             |    n * syy - sy * sy AS rdeny,
+             |    sx, sx_a, sx_b, sy_a, sy_b
+             |  FROM st CROSS JOIN va CROSS JOIN vb
+             |), scaled AS (
+             |  SELECT *, CAST('1' || repeat('0', greatest(0,
+             |      length(CAST(abs(rnum) AS VARCHAR)) - 16,
+             |      length(CAST(rdenx AS VARCHAR)) - 18,
+             |      length(CAST(rdeny AS VARCHAR)) - 18)) AS HUGEINT) AS tr
+             |  FROM rr
+             |), th AS (
+             |  SELECT *,
+             |    (rnum // tr) * 1000000 // nullif(rdenx // tr, 0)
+             |      AS theta_x1e6
+             |  FROM scaled
+             |)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(n_b AS BIGINT) AS n_b,
+             |  CAST(theta_x1e6 AS BIGINT) AS theta_x1e6,
+             |  CAST((rnum // tr) * (rnum // tr) * 1000000
+             |    // nullif((rdenx // tr) * (rdeny // tr), 0) AS BIGINT)
+             |    AS rho2_x1e6,
+             |  CAST(sy_a * 1000000 // nullif(n_a, 0)
+             |    - theta_x1e6 * ((sx_a * n - sx * n_a) * 100
+             |        // nullif(n_a * n, 0)) // 100 AS BIGINT)
+             |    AS adj_mean_a_x1e6,
+             |  CAST(sy_b * 1000000 // nullif(n_b, 0)
+             |    - theta_x1e6 * ((sx_b * n - sx * n_b) * 100
+             |        // nullif(n_b * n, 0)) // 100 AS BIGINT)
+             |    AS adj_mean_b_x1e6,
+             |  CAST((sy_a * 1000000 // nullif(n_a, 0)
+             |    - theta_x1e6 * ((sx_a * n - sx * n_a) * 100
+             |        // nullif(n_a * n, 0)) // 100)
+             |   - (sy_b * 1000000 // nullif(n_b, 0)
+             |    - theta_x1e6 * ((sx_b * n - sx * n_b) * 100
+             |        // nullif(n_b * n, 0)) // 100) AS BIGINT)
+             |    AS adj_diff_x1e6
+             |FROM th""".stripMargin)),
+
     // A35: lag-k autocorrelation (ACF at k = 1..3) of the hourly value
     // series — the "is today like yesterday" diagnostic behind w11/w13's
     // smoothing constants and w16's changepoint prior. Exact-integer

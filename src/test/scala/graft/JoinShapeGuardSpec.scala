@@ -59,7 +59,8 @@ class JoinShapeGuardSpec extends SparkSpec {
     "a32_two_proportion",     // two 1-row variant frames (n, x) each
     "a34_runs_test",          // 1-row median / bin-count / flip-count frames
     "a35_acf",                // 1-row (mu, n) and (d2) scalar frames + 3-row lag frame
-    "a36_odds_ratio"          // two 1-row variant frames (a32's shape)
+    "a36_odds_ratio",         // two 1-row variant frames (a32's shape)
+    "a37_cuped"               // 1-row cutoff / stats / variant frames
   )
   // (c16's scalar crossJoins execute at construction, before the
   // per-round materialization — its RETURNED plan is a parquet read +

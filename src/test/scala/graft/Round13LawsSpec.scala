@@ -267,6 +267,49 @@ class Round13LawsSpec extends SparkSpec {
     }
   }
 
+  test("a37: theta/rho2/adjusted means match an exact BigInt replay of " +
+      "the stated truncation chain; rho2 bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = q("a37_cuped").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L,
+      "rho2 in [0, 1] at the 1e6 grain")
+    // replay: per-user (x, y) around the integer midpoint cutoff
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val pu = ev.groupBy(_._1).map { case (u, es) =>
+      (u, BigInt(es.filter(_._2 < cut).map(_._3).sum),
+        BigInt(es.filter(_._2 >= cut).map(_._3).sum))
+    }.toSeq
+    val n = BigInt(pu.length)
+    val (sx, sy) = (pu.map(_._2).sum, pu.map(_._3).sum)
+    val sxx = pu.map(p => p._2 * p._2).sum
+    val sxy = pu.map(p => p._2 * p._3).sum
+    val syy = pu.map(p => p._3 * p._3).sum
+    val (rnum, rdenx, rdeny) =
+      (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+    val tr = BigInt(10).pow(List(0, rnum.abs.toString.length - 16,
+      rdenx.toString.length - 18, rdeny.toString.length - 18).max)
+    val theta = (rnum / tr) * 1000000 / (rdenx / tr)
+    val rho2 = (rnum / tr) * (rnum / tr) * 1000000 /
+      ((rdenx / tr) * (rdeny / tr))
+    assert(BigInt(r.getLong(3)) === theta, "theta")
+    assert(BigInt(r.getLong(4)) === rho2, "rho2")
+    def adj(vn: BigInt, vsx: BigInt, vsy: BigInt) =
+      vsy * 1000000 / vn - theta * ((vsx * n - sx * vn) * 100 / (vn * n)) / 100
+    val a = pu.filter(_._1 % 2 == 0)
+    val b = pu.filter(_._1 % 2 == 1)
+    val adjA = adj(BigInt(a.length), a.map(_._2).sum, a.map(_._3).sum)
+    val adjB = adj(BigInt(b.length), b.map(_._2).sum, b.map(_._3).sum)
+    assert(BigInt(r.getLong(5)) === adjA, "adjusted mean A")
+    assert(BigInt(r.getLong(6)) === adjB, "adjusted mean B")
+    assert(r.getLong(7) === r.getLong(5) - r.getLong(6))
+  }
+
   test("m16: frame grid tiles the sample range exactly") {
     val rows = q("m16_audio_frames").collect()
     assert(rows.nonEmpty)
