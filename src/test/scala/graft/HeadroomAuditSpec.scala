@@ -93,6 +93,20 @@ class HeadroomAuditSpec extends SparkSpec {
       s"the d_num * d_num square specifically must be among: $hits")
   }
 
+  test("detector fires on Scala-side decimal products too (block form)") {
+    // the Scala-source face of the r11 class: a dec38-cast product of
+    // two columns inside a query body, as the block scanner sees it
+    val block =
+      """        val st = perUser.agg(
+        |          sum(col("x").cast("decimal(38,0)")
+        |            * col("y").cast("decimal(38,0)")).as("sxy"))""".stripMargin
+    assert(HeadroomAudit.suspects(block).nonEmpty,
+      "a decimal(38,0) column product in Scala source must be flagged")
+    // and a constant-factor Scala scaling stays out of scope
+    assert(HeadroomAudit.suspects(
+      """val s = sum(col("x").cast("decimal(38,0)") * 100)""").isEmpty)
+  }
+
   test("detector ignores constant scalings and non-wide-integer texts") {
     // constant factors only shift magnitude by a known amount
     assert(HeadroomAudit.suspects(
