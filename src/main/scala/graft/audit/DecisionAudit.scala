@@ -257,6 +257,13 @@ object DecisionAudit {
         "truncating x100 divisions — the argmax orders exact integers " +
         "with an earliest-split tie-break, abs() on exact integers only",
       Seq("round(value * 100)", "ORDER BY gap_x100 DESC, s LIMIT 1")),
+    "a38_mde" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); variance is the truncated-integer " +
+        "(n·Q − S²) div n² and MDE² is emitted squared against the " +
+        "rational (z_.975 + z_.80)² = 7848963/1e6 — no sqrt, no float " +
+        "anywhere past the grain",
+      Seq("round(value * 100)", "7848963")),
     "a37_cuped" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); the cutoff is an exact integer-nanos " +

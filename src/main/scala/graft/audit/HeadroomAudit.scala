@@ -183,6 +183,18 @@ object HeadroomAudit {
         "(rnum // tr) * 1000000 // nullif(rdenx // tr, 0)",
         "(sx_a * n - sx * n_a) * 100",
         "// nullif(n_a * n, 0)) // 100")),
+    "a38_mde" -> Headroom(
+      "per-type moments with c ≤ 1e7 cents: Q = Σc² ≤ n·1e14, so the " +
+        "risky product n·Q ≤ n²·1e14 stays inside decimal38 for " +
+        "n ≤ 1e12 rows PER TYPE — the stated envelope of this query " +
+        "(1e13 total rows over ≥ 10 types holds it; a single hotter " +
+        "type must pre-aggregate to per-user means first, the a37 " +
+        "shape, which divides n by the events-per-user factor); " +
+        "var_c2 = (n·Q − S²) div n² ≤ σ² ≤ 1e14, the final product " +
+        "7848963·2·var_c2·1e4 ≤ 1.6e25 rides decimal38, and its " +
+        "quotient ≤ 1e14 is int64-safe",
+      Seq("(n * q - sc * sc) // (n * n)",
+        "7848963::HUGEINT * 2 * var_c2 * 10000")),
     "b2_tpch_q5" -> Headroom(
       "per-row cents·(100−pct) ≤ 1e7·100 = 1e9; the decimal38 accumulator " +
         "holds 1e13 rows · 1e9 = 1e22 ≪ 1e38 (int64 would die at ~9e9 " +

@@ -2093,6 +2093,57 @@ object AdvancedQueries {
              |    AS adj_diff_x1e6
              |FROM th""".stripMargin)),
 
+    // A38: minimum detectable effect — the PLANNING face completing the
+    // A/B tier (a20 Welch analyzes, a32 decides, a37 sharpens; this
+    // answers "is the experiment even worth running": the smallest true
+    // mean shift a 50/50 split of this population detects at
+    // alpha=.05 / power=.80). Emitted SQUARED so no sqrt ever forms —
+    // MDE² = (z_.975 + z_.80)² · 2σ²/n_arm with the z-sum squared as
+    // the rational constant 7848963/1e6 ((1.959964 + 0.841621)²,
+    // correctly rounded) — the a28 squared-threshold discipline applied
+    // to power analysis. σ² is the truncated-integer population
+    // variance (n·Q − S²) div n² in exact cents² (one partial-combining
+    // aggregate per event_type; DECIMAL(38,0) vs HUGEINT since n·Q
+    // reaches ~1e39-risky only via the a25 rule — see the headroom
+    // entry for the chain). Scale shape: one fact scan, |types| output
+    // rows at any corpus size.
+    Q("a38_mde",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c").cast("decimal(38,0)")).as("sc"),
+            sum(col("c").cast("decimal(38,0)") * col("c")).as("q"))
+          .select(col("event_type"), col("n"),
+            expr("(n * q - sc * sc) div (CAST(n AS DECIMAL(38,0)) * n)")
+              .as("var_c2"))
+          .select(col("event_type"), col("n"), col("var_c2"),
+            // MDE²·1e4 in cents²: 7848963·2·σ²·1e4 div (1e6·(n div 2))
+            expr("""CAST(7848963 AS DECIMAL(38,0)) * 2 * var_c2 * 10000
+                   | div nullif(1000000 * (n div 2), 0)""".stripMargin)
+              .as("mde2_x1e4"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |), st AS (
+             |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             |    sum(CAST(c AS HUGEINT)) AS sc,
+             |    sum(CAST(c AS HUGEINT) * c) AS q
+             |  FROM ev GROUP BY event_type
+             |), v AS (
+             |  SELECT event_type, n,
+             |    (n * q - sc * sc) // (n * n) AS var_c2
+             |  FROM st
+             |)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  CAST(var_c2 AS BIGINT) AS var_c2,
+             |  CAST(7848963::HUGEINT * 2 * var_c2 * 10000
+             |    // nullif(1000000 * (n // 2), 0) AS BIGINT) AS mde2_x1e4
+             |FROM v ORDER BY event_type""".stripMargin)),
+
     // A35: lag-k autocorrelation (ACF at k = 1..3) of the hourly value
     // series — the "is today like yesterday" diagnostic behind w11/w13's
     // smoothing constants and w16's changepoint prior. Exact-integer

@@ -310,6 +310,38 @@ class Round13LawsSpec extends SparkSpec {
     assert(r.getLong(7) === r.getLong(5) - r.getLong(6))
   }
 
+  test("a38: variance and squared MDE match an exact BigInt replay; " +
+      "MDE shrinks with n (the power law a planner relies on)") {
+    import org.apache.spark.sql.functions._
+    val rows = q("a38_mde").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+      .groupBy(_._1)
+    for ((t, n, v, mde2) <- rows) {
+      val cs = ev(t).map(_._2)
+      val bn = BigInt(cs.length)
+      val (s1, q2) = (cs.sum, cs.map(c => c * c).sum)
+      val wantV = (bn * q2 - s1 * s1) / (bn * bn)
+      assert(BigInt(n) === bn && BigInt(v) === wantV, s"$t variance")
+      val wantM = BigInt(7848963) * 2 * wantV * 10000 /
+        (BigInt(1000000) * (bn / 2))
+      assert(BigInt(mde2) === wantM, s"$t mde2")
+      assert(v >= 0L && mde2 >= 0L)
+    }
+    // power law: for two types with similar variance, the larger n has
+    // the smaller squared MDE (detectability improves with samples)
+    val byV = rows.sortBy(_._2)
+    if (byV.length >= 2) {
+      val lo = byV.head; val hi = byV.last
+      if (hi._2 > 2 * lo._2 && hi._3 <= lo._3)
+        assert(hi._4 <= lo._4,
+          "more samples at no-higher variance cannot need a LARGER effect")
+    }
+  }
+
   test("m16: frame grid tiles the sample range exactly") {
     val rows = q("m16_audio_frames").collect()
     assert(rows.nonEmpty)
