@@ -51,6 +51,20 @@ object Scratch {
   def dir(spark: SparkSession, name: String): String =
     s"${spark.conf.get(ConfKey, Default)}/$name"
 
+  /** Collision-resistant per-dataset key for scratch stores that WIPE
+    * before publishing (u5/u6/u7/u9): the sanitized last path segment
+    * (the human-readable scale, e.g. `sf0.01`) PLUS the 32-bit string
+    * hash. Keying on `hashCode` alone let two different sfDirs collide
+    * (String.hashCode is 32-bit), and the wipe-before-publish then
+    * destroyed the OTHER scale's store mid-session (ADVICE r13); the
+    * path segment disambiguates every realistic collision pair.
+    */
+  def key(d: String): String = {
+    val seg = d.stripSuffix("/").split('/').last
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    f"${seg}_${d.hashCode & 0x7fffffff}%08x"
+  }
+
   /** Delete the session's resolved scratch root recursively, plus any
     * SIBLING per-pid roots whose owning process no longer exists (a
     * killed JVM never reaches its own sweep). Refuses roots whose leaf

@@ -64,13 +64,18 @@ object HeadroomAudit {
     */
   def nonConstProducts(text: String): Seq[String] = {
     val t = ws.replaceAllIn(margin.replaceAllIn(text, " "), " ")
-    val prod = "([A-Za-z0-9_().\\]]+|\\))\\s*\\*\\s*([A-Za-z0-9_(:.]+)".r
+    // The right operand is a zero-width LOOKAHEAD so product sites can
+    // overlap: in `2 * n1 * n2` the first match (`2 * `, filtered as
+    // constant) must not consume `n1`, or the unbounded `n1 * n2` that
+    // follows is never examined — exactly the const·var·var chain the
+    // scanner exists to catch (ADVICE r13).
+    val prod = "([A-Za-z0-9_().\\]]+|\\))\\s*\\*\\s*(?=([A-Za-z0-9_(:.]+))".r
     prod.findAllMatchIn(t).flatMap { m =>
       val l = m.group(1).replaceAll("^\\(+|\\)+$", "")
       val r = m.group(2)
       val lConst = numeric.findFirstIn(l).isDefined
       val rConst = r.headOption.exists(_.isDigit)
-      if (lConst || rConst) None else Some(m.matched)
+      if (lConst || rConst) None else Some(m.matched + r)
     }.toSeq
   }
 
@@ -177,8 +182,11 @@ object HeadroomAudit {
         "int64); the adjusted means fix their own truncation points: " +
         "the centered pre-mean diff (Sx_a·n − Sx·n_a) ≤ 1e28 is divided " +
         "by n_a·n at the x100 grain FIRST (quotient ≤ 1e12), then the " +
-        "theta_x1e6 product ≤ 1e19 rides decimal38 and divides back " +
-        "down to ≤ 1e17 — int64 at any scale or split imbalance",
+        "theta_x1e6 product ≤ 1e19 EXCEEDS int64 (9.2e18) — theta is " +
+        "unbounded when Var(X) is small — so the Spark side lifts the " +
+        "long-lowered theta back to DECIMAL(38,0) before the multiply " +
+        "(the a25 rule; DuckDB rides HUGEINT) and divides back down to " +
+        "≤ 1e17 — exact at any scale or split imbalance",
       Seq("length(CAST(abs(rnum) AS VARCHAR)) - 16",
         "(rnum // tr) * 1000000 // nullif(rdenx // tr, 0)",
         "(sx_a * n - sx * n_a) * 100",

@@ -1954,10 +1954,12 @@ object AdvancedQueries {
     // truncation points explicitly (centered pre-mean diff at the
     // half-cent x100 grain, then the theta product divided back down) so
     // both engines state the identical integer chain — HeadroomAudit
-    // carries the full magnitude derivation. Scale shape: ONE fact scan
-    // -> per-user partial-combining aggregate -> one tiny stats
-    // aggregate + two variant rows; everything downstream is broadcast
-    // scalar algebra.
+    // carries the full magnitude derivation. Scale shape: one min/max
+    // scan for the cutoff, then ONE fact scan feeding the per-user
+    // partial-combining aggregate, whose eleven sufficient statistics
+    // (pooled moments + per-variant conditional counts/sums) ride a
+    // single one-row aggregate; everything downstream is scalar algebra
+    // (PlanSpec pins the two-scan shape).
     Q("a37_cuped",
       (s, d) => {
         val ev = events(s, d).select(col("user_id"), col("ts"),
@@ -1972,19 +1974,23 @@ object AdvancedQueries {
           .select(col("user_id"), (col("user_id") % 2).as("variant"),
             col("x").cast("decimal(38,0)").as("x"),
             col("y").cast("decimal(38,0)").as("y"))
+        // ALL eleven sufficient statistics (pooled moments + per-variant
+        // counts/sums as conditional aggregates) ride ONE pass over
+        // perUser — separate st/va/vb frames recomputed the per-user
+        // aggregate (and its events scan) three times (ADVICE r13);
+        // PlanSpec pins the events scan count at 2 (cutoff + fact pass).
         val st = perUser.agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("x") * col("y")).as("sxy"),
-          sum(col("y") * col("y")).as("syy"))
-        val va = perUser.filter(col("variant") === 0)
-          .agg(count(lit(1)).as("n_a"), sum(col("x")).as("sx_a"),
-            sum(col("y")).as("sy_a"))
-        val vb = perUser.filter(col("variant") === 1)
-          .agg(count(lit(1)).as("n_b"), sum(col("x")).as("sx_b"),
-            sum(col("y")).as("sy_b"))
-        st.crossJoin(broadcast(va)).crossJoin(broadcast(vb))
-          .select(col("n"), col("n_a"), col("n_b"),
+          sum(col("y") * col("y")).as("syy"),
+          count(when(col("variant") === 0, 1)).as("n_a"),
+          sum(when(col("variant") === 0, col("x"))).as("sx_a"),
+          sum(when(col("variant") === 0, col("y"))).as("sy_a"),
+          count(when(col("variant") === 1, 1)).as("n_b"),
+          sum(when(col("variant") === 1, col("x"))).as("sx_b"),
+          sum(when(col("variant") === 1, col("y"))).as("sy_b"))
+        st.select(col("n"), col("n_a"), col("n_b"),
             expr("n * sxy - sx * sy").as("rnum"),
             expr("n * sxx - sx * sx").as("rdenx"),
             expr("n * syy - sy * sy").as("rdeny"),
@@ -2012,13 +2018,23 @@ object AdvancedQueries {
             // centered pre-mean diff at the x100 grain, then the theta
             // product divided back down — the truncation points ARE the
             // statistic's definition (both engines state them verbatim)
+            // theta_x1e6 comes off a long-lowered `div`, so the theta
+            // product must be LIFTED back to DECIMAL(38,0) before the
+            // multiply (the a25 rule) — in int64 it overflows at the
+            // audited ~1e19 bound while DuckDB rides HUGEINT (ADVICE
+            // r13); the n_a*n divisor rides decimal too so no factor
+            // pair is int64-bounded by luck
             expr("""sy_a * 1000000 div nullif(n_a, 0)
-                   | - theta_x1e6 * ((sx_a * n - sx * n_a) * 100
-                   |     div nullif(n_a * n, 0)) div 100"""
+                   | - CAST(theta_x1e6 AS DECIMAL(38,0))
+                   |     * ((sx_a * n - sx * n_a) * 100
+                   |     div nullif(CAST(n_a AS DECIMAL(38,0)) * n, 0))
+                   |     div 100"""
               .stripMargin).cast("long").as("adj_mean_a_x1e6"),
             expr("""sy_b * 1000000 div nullif(n_b, 0)
-                   | - theta_x1e6 * ((sx_b * n - sx * n_b) * 100
-                   |     div nullif(n_b * n, 0)) div 100"""
+                   | - CAST(theta_x1e6 AS DECIMAL(38,0))
+                   |     * ((sx_b * n - sx * n_b) * 100
+                   |     div nullif(CAST(n_b AS DECIMAL(38,0)) * n, 0))
+                   |     div 100"""
               .stripMargin).cast("long").as("adj_mean_b_x1e6"))
           .select(col("n"), col("n_a"), col("n_b"), col("theta_x1e6"),
             col("rho2_x1e6"), col("adj_mean_a_x1e6"), col("adj_mean_b_x1e6"),

@@ -2216,7 +2216,7 @@ object PipelineQueries {
         // requirement (re-runs must re-publish v1/v2, not append v3/v4 —
         // the version numbers are part of the deterministic output).
         val root = graft.Scratch.dir(s,
-          f"u5_store_${d.hashCode & 0x7fffffff}%08x")
+          s"u5_store_${graft.Scratch.key(d)}")
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val rfs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (rfs.exists(rootPath)) rfs.delete(rootPath, true)
@@ -2262,7 +2262,7 @@ object PipelineQueries {
         import graft.operators.SnapshotStore
         // deterministic root + wipe, u7's pattern (see u5 above)
         val root = graft.Scratch.dir(s,
-          f"u6_store_${d.hashCode & 0x7fffffff}%08x")
+          s"u6_store_${graft.Scratch.key(d)}")
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val rfs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (rfs.exists(rootPath)) rfs.delete(rootPath, true)
@@ -3042,7 +3042,7 @@ object PipelineQueries {
         // keep APPENDING versions (v4, v5, …) and break the exact 3-row
         // oracle. Overwrite semantics give both properties.
         val root = graft.Scratch.dir(s,
-          f"u7_store_${d.hashCode & 0x7fffffff}%08x")
+          s"u7_store_${graft.Scratch.key(d)}")
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(rootPath)) fs.delete(rootPath, true)
@@ -3498,7 +3498,7 @@ object PipelineQueries {
         import graft.operators.SnapshotStore
         // u7's scratch discipline: deterministic root + wipe
         val root = graft.Scratch.dir(s,
-          f"u9_store_${d.hashCode & 0x7fffffff}%08x")
+          s"u9_store_${graft.Scratch.key(d)}")
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val rfs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (rfs.exists(rootPath)) rfs.delete(rootPath, true)

@@ -35,23 +35,32 @@ object CdcStream {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Committed state versions under stateDir, as (batchId, nanos, path),
-    * newest-first. Used both for pointer-loss recovery and for GC.
+  /** Every version dir under stateDir (committed or not), as
+    * (seq, write-complete, path), newest-first by the persisted sequence
+    * number. Version names carry ONE monotonic counter persisted in the
+    * dir name itself — the next publish is max(seq)+1 — because the two
+    * obvious "newness" signals both lie across restarts: micro-batch ids
+    * reset to 0 with a fresh checkpoint, and nanoTime is not comparable
+    * across JVM/host reboots (ADVICE r13); either could make recovery or
+    * GC prefer a STALE fold and silently discard committed keys.
+    * Write-complete = the dir carries parquet's `_SUCCESS` marker, so a
+    * first-batch crash mid-write (partial v-dir, no pointer yet) is
+    * recognizably garbage rather than a recovery candidate.
     */
   private def versionDirs(s: SparkSession, stateDir: String)
-      : Seq[(Long, Long, org.apache.hadoop.fs.Path)] = {
+      : Seq[(Long, Boolean, org.apache.hadoop.fs.Path)] = {
     val f = fs(s, stateDir)
     val root = new org.apache.hadoop.fs.Path(stateDir)
     if (!f.exists(root)) Seq.empty
     else f.listStatus(root).toSeq
-      .filter(st => st.isDirectory
-        && st.getPath.getName.matches("v\\d+-\\d+"))
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
       .map { st =>
-        val body = st.getPath.getName.stripPrefix("v")
-        val i = body.indexOf('-')
-        (body.take(i).toLong, body.drop(i + 1).toLong, st.getPath)
+        val seq = st.getPath.getName.stripPrefix("v").toLong
+        val done = f.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+        (seq, done, st.getPath)
       }
-      .sortBy { case (b, n, _) => (-b, -n) }
+      .sortBy { case (seq, _, _) => -seq }
   }
 
   private def livePath(s: SparkSession, stateDir: String): Option[String] = {
@@ -69,12 +78,13 @@ object CdcStream {
     // Recovery: a pointer that is absent or names a missing dir (a crash
     // window, or a failed swap) must NOT read as "empty state" — that would
     // silently re-fold the next batch against nothing, discarding every
-    // previously committed key/tombstone. Fall back to the newest fully
-    // written version dir (versions are write-complete before any pointer
-    // references them, so the newest one is always a committed fold).
+    // previously committed key/tombstone. Fall back to the highest-sequence
+    // version dir that is WRITE-COMPLETE (`_SUCCESS` present): a crash
+    // mid-parquet-write leaves a partial dir with no marker, which must be
+    // skipped rather than read as the committed fold.
     fromPointer.filter(p => f.exists(new org.apache.hadoop.fs.Path(p)))
-      .orElse(versionDirs(s, stateDir).headOption
-        .map { case (_, _, p) => p.toString })
+      .orElse(versionDirs(s, stateDir)
+        .collectFirst { case (_, true, p) => p.toString })
   }
 
   /** Fold every already-landed op file into the state exactly once
@@ -112,7 +122,13 @@ object CdcStream {
             col("last.op_id").as("op_id"), col("last.op").as("op"),
             col("last.payload").as("payload"))
         val f = fs(s, stateDir)
-        val vDir = s"v$batchId-${System.nanoTime()}"
+        // persisted monotonic sequence: strictly above EVERY existing
+        // version dir, committed or partial — a partial dir's number is
+        // burned, never reused, so a reader can never confuse a fresh
+        // fold with a crashed write's leftovers
+        val seq = versionDirs(s, stateDir)
+          .headOption.map(_._1).getOrElse(0L) + 1L
+        val vDir = s"v$seq"
         next.write.mode("overwrite").parquet(s"$stateDir/$vDir")
         // pointer swap via FileContext.rename(OVERWRITE): single atomic
         // replace, so the pointer file is never absent mid-swap, and a
@@ -127,11 +143,17 @@ object CdcStream {
           ptr.toUri, s.sparkContext.hadoopConfiguration)
         fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         // GC superseded versions (keep the one just published plus the
-        // immediately previous for reader grace) — without this a
-        // long-running feed grows one full state copy per micro-batch.
-        versionDirs(s, stateDir).drop(2).foreach { case (_, _, p) =>
-          if (p.getName != vDir) f.delete(p, true)
-        }
+        // immediately previous COMMITTED fold for reader grace) — without
+        // this a long-running feed grows one full state copy per
+        // micro-batch. Partial dirs below the published sequence are
+        // crash garbage and go too; ordering is the persisted sequence
+        // number, so a restart can never retain stale folds over fresh.
+        val (committed, partial) =
+          versionDirs(s, stateDir).partition(_._2)
+        (committed.drop(2) ++ partial.filter(_._1 < seq))
+          .foreach { case (_, _, p) =>
+            if (p.getName != vDir) f.delete(p, true)
+          }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -98,11 +98,51 @@ class CdcStreamSpec extends SparkSpec {
       streaming.CdcStream.applyOnce(spark, src, state, tmp(s"cdc_ckpt5$i"))
     }
     val vDirs = new java.io.File(state).listFiles()
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+-\\d+"))
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
     assert(vDirs.length <= 2,
       s"expected at most 2 retained versions, found ${vDirs.length}")
     assert(streaming.CdcStream.currentState(spark, state).count() === 4L,
       "GC must not touch the live state")
+    // version numbers carry a PERSISTED monotonic counter — each of the
+    // four drains above ran with a FRESH checkpoint (micro-batch id 0
+    // every time), so batch-id-derived names would collide/reorder;
+    // the retained dirs must be the two highest sequence numbers
+    val seqs = vDirs.map(_.getName.stripPrefix("v").toLong).sorted
+    assert(seqs.last > seqs.head && seqs.last >= 4,
+      s"version counter must grow across checkpoint resets, got $seqs")
+  }
+
+  test("pointer-loss recovery skips a partial (no _SUCCESS) version dir") {
+    import spark.implicits._
+    val src = tmp("cdc_src6"); val state = tmp("cdc_state6")
+    Seq((1L, 10L, 1L, "I", 5L)).toDF("key", "ts", "op_id", "op", "payload")
+      .write.mode("append").parquet(src)
+    streaming.CdcStream.applyOnce(spark, src, state, tmp("cdc_ckpt6a"))
+    val before = streaming.CdcStream.currentState(spark, state)
+      .collect().map(_.toString).sorted
+    // stage the crash: a half-written NEWER version (parquet data but no
+    // _SUCCESS marker) plus a lost pointer — recovery must fall back to
+    // the older COMMITTED fold, not read the partial dir
+    Seq((999L, 1L, 1L, "I", 0L)).toDF("key", "ts", "op_id", "op", "payload")
+      .write.parquet(s"$state/v99")
+    assert(new java.io.File(s"$state/v99", "_SUCCESS").delete())
+    assert(new java.io.File(state, "_LIVE").delete())
+    val recovered = streaming.CdcStream.currentState(spark, state)
+      .collect().map(_.toString).sorted
+    assert(recovered.toSeq === before.toSeq,
+      "recovery must skip write-incomplete version dirs")
+    // the next drain buries the partial dir: its number is burned (the
+    // new fold publishes ABOVE it) and GC reaps the garbage
+    Seq((2L, 20L, 2L, "I", 6L)).toDF("key", "ts", "op_id", "op", "payload")
+      .write.mode("append").parquet(src)
+    streaming.CdcStream.applyOnce(spark, src, state, tmp("cdc_ckpt6b"))
+    assert(streaming.CdcStream.currentState(spark, state)
+      .filter(col("key") === 999L).count() === 0L,
+      "the partial dir's rows must never surface as state")
+    assert(!new java.io.File(s"$state/v99").exists(),
+      "GC must reap crash-garbage partial dirs below the published fold")
+    assert(new java.io.File(s"$state/v100").isDirectory,
+      "the publish after a v99 partial must claim sequence 100")
   }
 
   test("a late OLDER op cannot resurrect a tombstoned key") {

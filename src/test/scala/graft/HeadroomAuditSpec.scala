@@ -107,6 +107,23 @@ class HeadroomAuditSpec extends SparkSpec {
       """val s = sum(col("x").cast("decimal(38,0)") * 100)""").isEmpty)
   }
 
+  test("detector fires on const·var·var chains (overlapping product sites)") {
+    // ADVICE r13: with a consuming right operand, `2 * n1` (filtered as
+    // constant) swallowed `n1`, so the unbounded `n1 * n2` that follows
+    // was never examined. The lookahead form must flag it.
+    val hits = HeadroomAudit.suspects(
+      "SELECT CAST(2 * n1 * n2 AS HUGEINT) FROM t")
+    assert(hits.exists(h => h.contains("n1") && h.contains("* n2")),
+      s"the n1 * n2 tail of a const-led chain must be flagged, got: $hits")
+    // a34's real shape: constant, then a cast, then the second variable
+    assert(HeadroomAudit.suspects(
+      "nullif(2 * CAST(n1 AS HUGEINT) * n2, 0)").nonEmpty)
+    // and an all-constant chain stays out of scope
+    assert(HeadroomAudit.suspects(
+      "SELECT CAST(x AS HUGEINT) * 100 * 1000 FROM t")
+      .forall(h => !h.contains("100 * 1000")))
+  }
+
   test("detector ignores constant scalings and non-wide-integer texts") {
     // constant factors only shift magnitude by a known amount
     assert(HeadroomAudit.suspects(

@@ -522,6 +522,20 @@ class PlanSpec extends SparkSpec {
     assert(!p5.contains("CartesianProduct"))
   }
 
+  test("a37: all eleven CUPED statistics ride one fact pass — events is " +
+      "scanned exactly twice (cutoff min/max + per-user aggregate)") {
+    // ADVICE r13: separate st/va/vb frames recomputed the per-user
+    // aggregate three times, so the returned plan scanned events four
+    // times; the conditional-aggregate form costs exactly two scans
+    val p = plan("a37_cuped")
+    val eventScans = "events.parquet".r.findAllIn(p).length
+    assert(eventScans == 2,
+      s"a37 scans events $eventScans time(s), want exactly 2 " +
+        "(cutoff + fact pass):\n" + p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "a37's sufficient statistics lost map-side combine")
+  }
+
   test("d16: anchor self-join computes the exploded side once and the " +
       "islands window is (pair, diagonal)-partitioned") {
     val df = SparkEntry.queries("d16_exact_substr")(spark, sfDir)

@@ -214,7 +214,7 @@ class Round13LawsSpec extends SparkSpec {
     assert(rows.map(_.getInt(4)).toSeq === Seq(0, 0, 0, 1))
     // the store the query just built: only v3/v4 directories remain
     val root = graft.Scratch.dir(spark,
-      f"u9_store_${sfDir.hashCode & 0x7fffffff}%08x")
+      s"u9_store_${graft.Scratch.key(sfDir)}")
     val dirs = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .map(_.getName).sorted
