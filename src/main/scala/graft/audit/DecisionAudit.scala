@@ -273,6 +273,22 @@ object DecisionAudit {
         "engines — no float anywhere past the grain",
       Seq("round(value * 100)", "(min(tns) + max(tns)) // 2",
         "length(CAST(abs(rnum) AS VARCHAR)) - 16")),
+    "w19_theil_sen" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); the daily level is the truncating integer " +
+        "mean (Σc·100) div n, every pairwise slope is a truncating " +
+        "integer divide of exact longs, and the median is the discrete " +
+        "order statistic min slope with 2·cum >= n_pairs — no float " +
+        "anywhere past the grain",
+      Seq("round(value * 100)", "* 100 // count(*)",
+        "WHERE cm * 2 >= n_pairs")),
+    "m17_calibration" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); binning, mean predicted probability, " +
+        "empirical rate, and the Brier sum are all exact integer " +
+        "arithmetic over the cents (value-based deciles, truncating " +
+        "divides) — no rank ties, no float past the grain",
+      Seq("round(value * 100)", "least(9, c * 10 // (cmax + 1))")),
     "w18_seasonal_profile" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); hour-of-day is exact nanos modulo, the mean " +

@@ -191,6 +191,22 @@ object HeadroomAudit {
         "(rnum // tr) * 1000000 // nullif(rdenx // tr, 0)",
         "(sx_a * n - sx * n_a) * 100",
         "// nullif(n_a * n, 0)) // 100")),
+    "a39_srm" -> Headroom(
+      "assignment diff = n_a − n_b is bounded by the user count n ≤ 1e10, " +
+        "so diff²·1000 ≤ 1e23 rides DECIMAL(38,0) vs HUGEINT (int64 wraps " +
+        "past |diff| ≈ 3e9 users); the RHS 10828·n ≤ 1e14 and the emitted " +
+        "z2_x1e3 = diff²·1000 div n ≤ 1000·n ≤ 1e13 are int64-safe at any " +
+        "imbalance",
+      Seq("diff * diff * 1000", "10828::HUGEINT * n")),
+    "m17_calibration" -> Headroom(
+      "per-row squared Brier error (pred_x1e6 − label·1e6)² ≤ 1e12; the " +
+        "per-bin sum ≤ 1e13 rows · 1e12 = 1e25 rides DECIMAL(38,0) vs " +
+        "HUGEINT (int64 dies past ~9e6 rows/bin), and the emitted " +
+        "brier_x1e12 quotient ≤ 1e12 plus the mean_pred/emp_rate " +
+        "quotients ≤ 1e6 are int64-safe; pred_x1e6 = c·1e6 div cmax ≤ " +
+        "1e13 per row never leaves int64",
+      Seq("CAST(pred_x1e6 - label * 1000000 AS HUGEINT)",
+        "* 1000000 // count(*)")),
     "a38_mde" -> Headroom(
       "per-type moments with c ≤ 1e7 cents: Q = Σc² ≤ n·1e14, so the " +
         "risky product n·Q ≤ n²·1e14 stays inside decimal38 for " +

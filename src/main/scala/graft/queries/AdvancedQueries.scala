@@ -2316,6 +2316,123 @@ object AdvancedQueries {
              |      THEN 1000000000000
              |    ELSE num * 1000000 // den END AS BIGINT) AS or_x1e6,
              |  CAST(num > den AS INT) AS favors_variant0
-             |FROM ab""".stripMargin))
+             |FROM ab""".stripMargin)),
+
+    // A39: sample-ratio mismatch (SRM) guard — the sanity check every
+    // A/B readout (a20/a32/a36/a37/a38) silently assumes: the 50/50
+    // user_id % 2 assignment actually LANDED 50/50. A skewed split means
+    // broken bucketing/logging, and the convention (Fabijan et al. 2019,
+    // "Diagnosing Sample Ratio Mismatch") is a chi-square test at the
+    // strict alpha = 0.001 so the guard page only fires on real
+    // breakage. For two cells at 50/50 the statistic collapses to
+    // z² = (n_a − n_b)²/N exactly, so the decision is the pure-integer
+    // inequality diff²·1000 > 10828·N (chi²_1(0.001) = 10.828) with
+    // diff² in DECIMAL(38,0) vs HUGEINT — int64 dies past |diff| ≈ 3e9
+    // users (HeadroomAudit carries the bound). Scale shape: one distinct
+    // (shuffle on user_id with partial aggregation) then a one-row
+    // conditional aggregate; no joins at all.
+    Q("a39_srm",
+      (s, d) => {
+        val pu = events(s, d).select(col("user_id")).distinct()
+          .select((col("user_id") % 2).as("variant"))
+        pu.agg(count(lit(1)).as("n"),
+            coalesce(sum(col("variant")), lit(0L)).as("n_b"))
+          .select(col("n"), (col("n") - col("n_b")).as("n_a"), col("n_b"),
+            expr("CAST(n - n_b - n_b AS DECIMAL(38,0))").as("diff"))
+          .select(col("n"), col("n_a"), col("n_b"),
+            expr("diff * diff * 1000 div nullif(n, 0)").as("z2_x1e3"),
+            expr("""CAST(diff * diff * 1000
+                   | > CAST(10828 AS DECIMAL(38,0)) * n AS INT)"""
+              .stripMargin).as("srm_alarm"))
+      },
+      Some("""WITH pu AS (
+             |  SELECT DISTINCT user_id FROM events
+             |), v AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(coalesce(sum(user_id % 2), 0) AS BIGINT) AS n_b
+             |  FROM pu
+             |), ab AS (
+             |  SELECT n, n - n_b AS n_a, n_b,
+             |    CAST(n - n_b - n_b AS HUGEINT) AS diff
+             |  FROM v
+             |)
+             |SELECT n, n_a, n_b,
+             |  CAST(diff * diff * 1000 // nullif(n, 0) AS BIGINT)
+             |    AS z2_x1e3,
+             |  CAST(diff * diff * 1000 > 10828::HUGEINT * n AS INT)
+             |    AS srm_alarm
+             |FROM ab""".stripMargin)),
+
+    // W19: Theil–Sen robust trend — the median of all pairwise slopes of
+    // the DAILY mean-cents series (Sen 1968), the estimator that
+    // tolerates 29% contamination where a25's OLS slope is wrecked by
+    // one bad day. Everything is exact integers: the day level is the
+    // truncated mean y = (Σcents·100) div n (a defined statistic, stated
+    // identically in both engines), each pair's slope is the truncated
+    // (y_j − y_i)·1e6 div (d_j − d_i) ≤ 1e15 (y ≤ 1e9 at the x100 grain,
+    // so every quotient rides int64 with no wide-integer product), and
+    // the median is the exact lower-median order statistic (min slope
+    // with 2·cum ≥ n_pairs, a30's discrete-quartile rule). Scale shape:
+    // ONE partial-combining groupBy compresses the fact table to
+    // calendar-bounded daily rows (≤ ~4k/decade regardless of corpus
+    // size); the pair join is a broadcast over that bounded frame
+    // (n_pairs ≤ days², still calendar-bounded), the slope histogram
+    // re-compresses to distinct values, and the median rides
+    // GlobalRank's two-phase cumulative pass — no single-partition
+    // window, no shuffle proportional to the data.
+    Q("w19_theil_sen",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val daily = events(s, d)
+          .select(expr("ts div 86400000000000").as("day"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy(col("day"))
+          .agg(expr("sum(CAST(c AS DECIMAL(38,0))) * 100 div count(1)")
+            .as("y"))
+        val slopes = daily.as("a")
+          .join(broadcast(daily.as("b")), col("b.day") > col("a.day"))
+          .select(expr("(b.y - a.y) * 1000000 div (b.day - a.day)")
+            .as("slope"))
+        val hist = slopes.groupBy(col("slope"))
+          .agg(count(lit(1)).as("m"))
+        val cum = GlobalRank.withRankAndRunningTotals(hist,
+          Seq(col("slope").asc), Seq("m"), "vr", Seq("cum"))
+        val tot = hist.agg(sum(col("m")).as("n_pairs"))
+        val nd = daily.agg(count(lit(1)).as("n_days"))
+        cum.crossJoin(broadcast(tot)).crossJoin(broadcast(nd))
+          .groupBy(col("n_days"), col("n_pairs"))
+          .agg(min(when(col("cum") * 2 >= col("n_pairs"), col("slope")))
+            .as("ts_slope_x1e6"))
+          .select(col("n_days"), col("n_pairs"), col("ts_slope_x1e6"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |), daily AS (
+             |  SELECT day,
+             |    CAST(sum(CAST(c AS HUGEINT)) * 100 // count(*) AS BIGINT)
+             |      AS y
+             |  FROM ev GROUP BY day
+             |), pr AS (
+             |  SELECT (b.y - a.y) * 1000000 // (b.day - a.day) AS slope
+             |  FROM daily a JOIN daily b ON b.day > a.day
+             |), hist AS (
+             |  SELECT slope, CAST(count(*) AS BIGINT) AS m
+             |  FROM pr GROUP BY slope
+             |), cum AS (
+             |  SELECT slope, m,
+             |    CAST(sum(m) OVER (ORDER BY slope ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cm
+             |  FROM hist
+             |), tot AS (
+             |  SELECT CAST(sum(m) AS BIGINT) AS n_pairs FROM hist
+             |), dd AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+             |)
+             |SELECT n_days, n_pairs,
+             |  (SELECT min(slope) FROM cum, tot WHERE cm * 2 >= n_pairs)
+             |    AS ts_slope_x1e6
+             |FROM dd, tot""".stripMargin))
   )
 }

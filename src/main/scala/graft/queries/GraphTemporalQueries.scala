@@ -2540,6 +2540,75 @@ object GraphTemporalQueries {
              |WHERE deg >= 2
              |ORDER BY deg DESC, deg.node LIMIT 100""".stripMargin)),
 
+    // G15: link prediction scores — g12 surfaces candidate non-edges by
+    // raw common-neighbor count; this ranks them by the NORMALIZED
+    // similarity scores the link-prediction literature actually uses
+    // (Liben-Nowell & Kleinberg 2003): Jaccard = |Γa ∩ Γb| / |Γa ∪ Γb|
+    // and the overlap coefficient |Γa ∩ Γb| / min(deg). Both are exact
+    // integer quotients at the 1e6 grain — n_cn ≤ min(deg) ≤ node count,
+    // so n_cn·1e6 ≤ ~1e16 rides int64 with no wide-integer surface.
+    // Candidates are ALL 2-hop non-edges (n_cn ≥ 1, not g12's ≥ 2 —
+    // Jaccard ranks 1-common-neighbor pairs fine, and the HAVING never
+    // reduced the self-join's cost, only the aggregate's output; at
+    // sf0.1 the denser graph leaves zero ≥2 non-edges). Scale shape is
+    // g12's: the candidate generation is the one hub-bounded self-join
+    // shuffle, degrees broadcast onto it, and the top-100 lowers to
+    // TakeOrderedAndProject.
+    Q("g15_link_prediction",
+      (s, d) => {
+        val e = coocEdges(s, d)
+        val nb = e.select(col("u").as("node"), col("v").as("nbr"))
+          .union(e.select(col("v"), col("u")))
+        val cn = nb.as("x")
+          .join(nb.as("y"),
+            col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+          .groupBy(col("x.nbr").as("a"), col("y.nbr").as("b"))
+          .agg(count(lit(1)).as("n_cn"))
+                  val nonEdge = cn.join(
+          e.select(col("u").as("a"), col("v").as("b")),
+          Seq("a", "b"), "left_anti")
+        val deg = nb.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        nonEdge
+          .join(deg.select(col("node").as("a"), col("deg").as("deg_a")),
+            Seq("a"))
+          .join(deg.select(col("node").as("b"), col("deg").as("deg_b")),
+            Seq("b"))
+          .select(col("a"), col("b"), col("n_cn"), col("deg_a"), col("deg_b"),
+            expr("n_cn * 1000000 div (deg_a + deg_b - n_cn)")
+              .as("jaccard_x1e6"),
+            expr("n_cn * 1000000 div least(deg_a, deg_b)")
+              .as("overlap_x1e6"))
+          .orderBy(col("jaccard_x1e6").desc, col("n_cn").desc, col("a"),
+            col("b"))
+          .limit(100)
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             |      FROM pairs a JOIN pairs b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |nb AS (SELECT u AS node, v AS nbr FROM e
+             |       UNION ALL SELECT v, u FROM e),
+             |cn AS (SELECT x.nbr AS a, y.nbr AS b, count(*) AS n_cn
+             |       FROM nb x JOIN nb y
+             |         ON x.node = y.node AND x.nbr < y.nbr
+             |       GROUP BY 1, 2),
+             |ne AS (SELECT cn.a, cn.b, cn.n_cn FROM cn
+             |       WHERE NOT EXISTS (SELECT 1 FROM e
+             |         WHERE e.u = cn.a AND e.v = cn.b)),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+             |        FROM nb GROUP BY node)
+             |SELECT ne.a, ne.b, CAST(ne.n_cn AS BIGINT) AS n_cn,
+             |  da.deg AS deg_a, db.deg AS deg_b,
+             |  CAST(ne.n_cn * 1000000 // (da.deg + db.deg - ne.n_cn)
+             |    AS BIGINT) AS jaccard_x1e6,
+             |  CAST(ne.n_cn * 1000000 // least(da.deg, db.deg) AS BIGINT)
+             |    AS overlap_x1e6
+             |FROM ne JOIN deg da ON ne.a = da.node
+             |JOIN deg db ON ne.b = db.node
+             |ORDER BY jaccard_x1e6 DESC, n_cn DESC, a, b
+             |LIMIT 100""".stripMargin)),
+
     // W17: Bollinger-band outlier flags — the rolling complement of
     // a16's global z-score and w16's single cut: each hour's revenue is
     // judged against its own trailing 24-hour window (self-inclusive,

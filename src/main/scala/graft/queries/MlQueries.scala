@@ -611,7 +611,72 @@ object MlQueries {
              |  tp * 10000 // nullif(tp + fn, 0) AS recall_x1e4,
              |  coalesce(2 * tp * 10000 // nullif(2 * tp + fp + fn, 0), 10000)
              |    AS f1_x1e4
-             |FROM g ORDER BY t""".stripMargin))
+             |FROM g ORDER BY t""".stripMargin)),
+
+    // M17: calibration (reliability) table + Brier score — the
+    // complement of m14's PR curve: a classifier can rank well (high
+    // AUC) and still be MIS-CALIBRATED, and a training pipeline that
+    // thresholds on predicted probabilities needs the reliability
+    // diagram (Niculescu-Mizil & Caruana 2005) before trusting them.
+    // Score = cents normalized by the corpus max (pred_x1e6 = c·1e6 div
+    // cmax, a per-row int64 quotient), label = purchase; rows bin by
+    // equal-width score deciles (bin = least(9, c·10 div (cmax+1)) —
+    // value-based, so both engines bin identically with no rank ties).
+    // Per bin: mean predicted probability, empirical rate, their gap,
+    // and the Brier contribution Σ(pred_x1e6 − label·1e6)² div n at the
+    // x1e12 grain — the squared error rides DECIMAL(38,0) vs HUGEINT
+    // (1e12 per row · 1e13 rows = 1e25; HeadroomAudit carries the
+    // bound). Scale shape: one 1-row max aggregate broadcast to one
+    // partial-combining groupBy over the fact scan — 10 output rows.
+    Q("m17_calibration",
+      (s, d) => {
+        val ev = events(s, d).select(
+          round(col("value") * 100).cast("long").as("c"),
+          (col("event_type") === "purchase").cast("long").as("label"))
+        val mx = ev.agg(max(col("c")).as("cmax"))
+        ev.crossJoin(broadcast(mx))
+          .select(least(lit(9L), expr("c * 10 div (cmax + 1)")).as("bin"),
+            expr("c * 1000000 div cmax").as("pred_x1e6"),
+            col("label"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            expr("sum(CAST(pred_x1e6 AS DECIMAL(38,0))) div count(1)")
+              .as("mean_pred_x1e6"),
+            expr("sum(CAST(label AS DECIMAL(38,0))) * 1000000 div count(1)")
+              .as("emp_rate_x1e6"),
+            expr("""sum(CAST(pred_x1e6 - label * 1000000 AS DECIMAL(38,0))
+                   |  * CAST(pred_x1e6 - label * 1000000 AS DECIMAL(38,0)))
+                   |  div count(1)""".stripMargin).as("brier_x1e12"))
+          .select(col("bin"), col("n"), col("mean_pred_x1e6"),
+            col("emp_rate_x1e6"),
+            (col("emp_rate_x1e6") - col("mean_pred_x1e6")).as("gap_x1e6"),
+            col("brier_x1e12"))
+          .orderBy("bin")
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             |    CAST(event_type = 'purchase' AS BIGINT) AS label
+             |  FROM events
+             |), mx AS (
+             |  SELECT max(c) AS cmax FROM ev
+             |), b AS (
+             |  SELECT least(9, c * 10 // (cmax + 1)) AS bin,
+             |    c * 1000000 // cmax AS pred_x1e6, label
+             |  FROM ev CROSS JOIN mx
+             |), g AS (
+             |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(pred_x1e6 AS HUGEINT)) // count(*) AS BIGINT)
+             |      AS mean_pred_x1e6,
+             |    CAST(sum(CAST(label AS HUGEINT)) * 1000000 // count(*)
+             |      AS BIGINT) AS emp_rate_x1e6,
+             |    CAST(sum(CAST(pred_x1e6 - label * 1000000 AS HUGEINT)
+             |        * CAST(pred_x1e6 - label * 1000000 AS HUGEINT))
+             |      // count(*) AS BIGINT) AS brier_x1e12
+             |  FROM b GROUP BY bin
+             |)
+             |SELECT bin, n, mean_pred_x1e6, emp_rate_x1e6,
+             |  emp_rate_x1e6 - mean_pred_x1e6 AS gap_x1e6, brier_x1e12
+             |FROM g ORDER BY bin""".stripMargin))
   )
 
   /** NaN-safe integer scaling shared by the sweep queries (m7/m8/m9):

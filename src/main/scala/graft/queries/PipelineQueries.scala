@@ -3691,7 +3691,85 @@ object PipelineQueries {
            |  CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT)
            |    AS lang_share_x1e12
            |FROM r6 ORDER BY lang, source""".stripMargin
-      })
+      }),
+
+    // C17: dup-cluster survivor selection by QUALITY — d6 applies
+    // keep-min-id, the bookkeeping default; a real corpus keeps the
+    // BEST copy of each near-dup cluster (the longest / highest-quality
+    // rendition — boilerplate-stripped mirrors are usually shorter).
+    // Clusters are d7's LSH connected components verbatim; the survivor
+    // is the exact argmax of (n_chars, then min doc_id as tie-break),
+    // computed as ONE max-of-struct partial-combining aggregate per
+    // cluster — no window, no per-cluster sort. The emitted ledger
+    // (survivor + member count + characters dropped) is what a curation
+    // run reports per cluster. Scale shape: d7's iterative min-label
+    // propagation (checkpointed rounds), then one broadcast-able join
+    // onto documents and one groupBy(comp).
+    Q("c17_survivor_quality",
+      (s, d) => {
+        val bands = lshBandFrame(s, d)
+        val pairs = bands.as("x")
+          .join(bands.as("y").hint("shuffle_hash"),
+            col("x.band_idx") === col("y.band_idx")
+              && col("x.band_key") === col("y.band_key")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val scratch = graft.Scratch.dir(s, "c17")
+        pairs.write.mode("overwrite").parquet(s"$scratch/pairs")
+        val comps = graft.operators.ConnectedComponents
+          .propagateMinLabel(s.read.parquet(s"$scratch/pairs"),
+            "a_id", "b_id", maxIter = 10,
+            checkpointDir = Some(s"$scratch/labels"))
+          .select(col("node").as("doc_id"), col("comp"))
+        comps
+          .join(documents(s, d)
+            .select(col("doc_id"), col("n_chars").cast("long").as("nc")),
+            Seq("doc_id"))
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("nc")).as("total_chars"),
+            max(struct(col("nc"), (-col("doc_id")).as("neg_id")))
+              .as("best"))
+          .select(col("comp"), (-col("best.neg_id")).as("survivor_id"),
+            col("n_members"), col("best.nc").as("survivor_chars"),
+            (col("total_chars") - col("best.nc")).as("chars_dropped"))
+          .orderBy("comp")
+      },
+      Some(s"""WITH RECURSIVE $sqlTok, $sqlSig, bands AS (
+              |  SELECT doc_id, bi.b AS band_idx,
+              |    array_to_string(sig[bi.b*4 + 1 : bi.b*4 + 4], '_') AS band_key
+              |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bi
+              |), pairs AS (
+              |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+              |  FROM bands x JOIN bands y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |    AND x.doc_id < y.doc_id
+              |), sym AS (
+              |  SELECT a_id AS a, b_id AS b FROM pairs
+              |  UNION SELECT b_id, a_id FROM pairs
+              |), reach AS (
+              |  SELECT a, b FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |), comp AS (
+              |  SELECT a AS doc_id, least(a, min(b)) AS comp
+              |  FROM reach GROUP BY a
+              |), m AS (
+              |  SELECT c.comp, dd.doc_id, CAST(dd.n_chars AS BIGINT) AS nc,
+              |    row_number() OVER (PARTITION BY c.comp
+              |      ORDER BY dd.n_chars DESC, dd.doc_id) AS rn
+              |  FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
+              |), agg AS (
+              |  SELECT comp, CAST(count(*) AS BIGINT) AS n_members,
+              |    CAST(sum(nc) AS BIGINT) AS total_chars
+              |  FROM m GROUP BY comp
+              |)
+              |SELECT m.comp, m.doc_id AS survivor_id, a.n_members,
+              |  m.nc AS survivor_chars,
+              |  a.total_chars - m.nc AS chars_dropped
+              |FROM m JOIN agg a USING (comp) WHERE m.rn = 1
+              |ORDER BY comp""".stripMargin))
   )
 
 }

@@ -60,7 +60,10 @@ class JoinShapeGuardSpec extends SparkSpec {
     "a34_runs_test",          // 1-row median / bin-count / flip-count frames
     "a35_acf",                // 1-row (mu, n) and (d2) scalar frames + 3-row lag frame
     "a36_odds_ratio",         // two 1-row variant frames (a32's shape)
-    "a37_cuped"               // 1-row cutoff / stats / variant frames
+    "a37_cuped",              // 1-row cutoff / stats / variant frames
+    "w19_theil_sen",          // calendar-bounded daily pair join (d1 < d2)
+                              // + 1-row n_pairs/n_days scalar frames
+    "m17_calibration"         // 1-row cmax frame (decile denominator)
   )
   // (c16's scalar crossJoins execute at construction, before the
   // per-round materialization — its RETURNED plan is a parquet read +

@@ -536,6 +536,53 @@ class PlanSpec extends SparkSpec {
       "a37's sufficient statistics lost map-side combine")
   }
 
+  test("round-14 additions keep their scale shapes (a39 one distinct + " +
+      "agg, w19 calendar-bounded broadcast pairs, m17 two fact passes, " +
+      "g15 top-k lowering, c17 no cartesian)") {
+    // a39: ONE events scan — distinct(user_id) partial-aggregates
+    // map-side, then a one-row conditional aggregate; no joins
+    val pA = plan("a39_srm")
+    assert("events.parquet".r.findAllIn(pA).length == 1,
+      "a39 must scan events exactly once:\n" + pA.take(1500))
+    assert(pA.contains("partial_count") || pA.contains("HashAggregate"),
+      "a39's distinct lost its partial aggregation")
+    assert(!pA.contains("CartesianProduct"))
+    // w19: the pair join is a BROADCAST over the calendar-bounded daily
+    // frame (never a shuffled/cartesian product of fact rows), and the
+    // daily aggregate partial-combines before its shuffle
+    val pW = plan("w19_theil_sen")
+    assert(!pW.contains("CartesianProduct"),
+      "w19's pair join degraded to a cartesian product")
+    assert(pW.contains("BroadcastNestedLoopJoin"),
+      "w19's d1 < d2 pair join must ride the broadcast daily frame")
+    assert(pW.contains("partial_sum"),
+      "w19's daily compression lost map-side combine")
+    // m17: exactly two fact passes (1-row cmax + the binned aggregate)
+    val pM = plan("m17_calibration")
+    assert("events.parquet".r.findAllIn(pM).length == 2,
+      "m17 must scan events exactly twice (cmax + binning):\n" +
+        pM.take(1500))
+    assert(pM.contains("partial_sum"),
+      "m17's per-bin sums lost map-side combine")
+    // g15: top-100 lowers to TakeOrderedAndProject; candidate self-join
+    // stays an equi-join
+    val pG = plan("g15_link_prediction")
+    assert(pG.contains("TakeOrderedAndProject"),
+      "g15's top-100 materialized a global sort:\n" + pG.take(1500))
+    assert(!pG.contains("CartesianProduct") &&
+      !pG.contains("BroadcastNestedLoopJoin"),
+      "g15's joins must all stay equi-joins")
+    // c17: the consumer plan reads the checkpointed labels, joins
+    // documents with equi-joins only, and partial-aggregates per cluster
+    val dfC = SparkEntry.queries("c17_survivor_quality")(spark, sfDir)
+    val pC = dfC.queryExecution.executedPlan.toString
+    assert(!pC.contains("CartesianProduct") &&
+      !pC.contains("BroadcastNestedLoopJoin"),
+      "c17's joins must all stay equi-joins")
+    assert(pC.contains("partial_count") || pC.contains("partial_sum"),
+      "c17's per-cluster ledger lost map-side combine")
+  }
+
   test("d16: anchor self-join computes the exploded side once and the " +
       "islands window is (pair, diagonal)-partitioned") {
     val df = SparkEntry.queries("d16_exact_substr")(spark, sfDir)

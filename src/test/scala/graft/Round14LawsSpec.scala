@@ -1,0 +1,149 @@
+package graft
+
+/** Output laws for the round-14 additions — invariants the DuckDB hash
+  * can't state. Runs on sf0.001 like the other law suites; every query
+  * here is additionally hash-checked by the driver at sf0.01.
+  */
+class Round14LawsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("a39: z² and the SRM alarm match an exact BigInt replay over the " +
+      "distinct-user assignment") {
+    import org.apache.spark.sql.functions._
+    val rows = q("a39_srm").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val users = Tables.events(spark, sfDir).select(col("user_id"))
+      .distinct().collect().map(_.getLong(0))
+    val n = BigInt(users.length)
+    val nB = BigInt(users.count(_ % 2 == 1))
+    val nA = n - nB
+    val diff = nA - nB
+    assert(BigInt(r.getLong(0)) === n, "n")
+    assert(BigInt(r.getLong(1)) === nA, "n_a")
+    assert(BigInt(r.getLong(2)) === nB, "n_b")
+    assert(BigInt(r.getLong(3)) === diff * diff * 1000 / n, "z2_x1e3")
+    assert(r.getInt(4) === (if (diff * diff * 1000 > BigInt(10828) * n) 1
+      else 0), "srm_alarm")
+  }
+
+  test("w19: the Theil-Sen slope is the exact lower median of every " +
+      "pairwise daily-mean slope (BigInt replay)") {
+    import org.apache.spark.sql.functions._
+    val rows = q("w19_theil_sen").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val raw = Tables.events(spark, sfDir)
+      .select(expr("ts div 86400000000000").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getLong(0), BigInt(x.getLong(1))))
+    val daily = raw.groupBy(_._1).map { case (day, cs) =>
+      (day, cs.map(_._2).sum * 100 / cs.length)
+    }.toSeq.sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2) * 1000000 /
+        BigInt(daily(j)._1 - daily(i)._1)).sorted
+    assert(r.getLong(0) === daily.length.toLong, "n_days")
+    assert(r.getLong(1) === slopes.length.toLong, "n_pairs")
+    // lower median: min slope with 2·cum >= n_pairs — for a sorted seq
+    // that is the element at ceil(n/2) - 1
+    val med = slopes((slopes.length + 1) / 2 - 1)
+    assert(BigInt(r.getLong(2)) === med, "ts_slope_x1e6")
+  }
+
+  test("m17: bins, means, rates, and Brier match an exact BigInt replay; " +
+      "mean predicted probability is increasing in bin") {
+    import org.apache.spark.sql.functions._
+    val rows = q("m17_calibration").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val raw = Tables.events(spark, sfDir)
+      .select(round(col("value") * 100).cast("long").as("c"),
+        (col("event_type") === "purchase").cast("long").as("label"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1))))
+    val cmax = raw.map(_._1).max
+    val byBin = raw.map { case (c, l) =>
+      (BigInt(9).min(c * 10 / (cmax + 1)), c * 1000000 / cmax, l)
+    }.groupBy(_._1)
+    for ((bin, n, mp, er, gap, br) <- rows) {
+      val g = byBin(BigInt(bin))
+      val nn = BigInt(g.length)
+      assert(BigInt(n) === nn, s"bin $bin n")
+      assert(BigInt(mp) === g.map(_._2).sum / nn, s"bin $bin mean_pred")
+      assert(BigInt(er) === g.map(_._3).sum * 1000000 / nn, s"bin $bin emp")
+      assert(gap === er - mp, s"bin $bin gap")
+      val wantBr = g.map { case (_, p, l) =>
+        val e = p - l * 1000000; e * e
+      }.sum / nn
+      assert(BigInt(br) === wantBr, s"bin $bin brier")
+    }
+    assert(rows.map(_._1).toSeq === byBin.keySet.toSeq.map(_.toLong).sorted,
+      "every non-empty bin emitted, in order")
+    // value-based bins: predicted means must increase with bin
+    rows.map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a < b, "mean_pred increasing in bin")
+      case _ =>
+    }
+  }
+
+  test("g15: scores are exact quotients of the emitted counts, candidates " +
+      "are genuine non-edges, and the ranking is the stated total order") {
+    val rows = q("g15_link_prediction").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty && rows.length <= 100)
+    for ((a, b, cn, da, db, jac, ov) <- rows) {
+      assert(a < b, "pair is ordered")
+      assert(cn >= 1 && cn <= math.min(da, db), "n_cn bounded by degrees")
+      assert(jac === cn * 1000000L / (da + db - cn), "jaccard quotient")
+      assert(ov === cn * 1000000L / math.min(da, db), "overlap quotient")
+      assert(jac <= ov, "jaccard <= overlap")
+    }
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        val ordered = x._6 > y._6 ||
+          (x._6 == y._6 && (x._3 > y._3 ||
+            (x._3 == y._3 && (x._1 < y._1 ||
+              (x._1 == y._1 && x._2 < y._2)))))
+        assert(ordered, "(jaccard desc, n_cn desc, a, b) total order")
+      case _ =>
+    }
+    // non-edge property against the same co-occurrence edge definition
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).collect { case (e, os) if os.size >= 2 => e }.toSet
+    for ((a, b, _, _, _, _, _) <- rows)
+      assert(!edges.contains((a, b)), s"($a,$b) must not be an edge")
+  }
+
+  test("c17: the survivor is each cluster's exact (n_chars, -doc_id) " +
+      "argmax and the dropped-characters ledger balances") {
+    import org.apache.spark.sql.functions._
+    val got = q("c17_survivor_quality").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val comps = q("d7_dup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = comps.groupBy(_._2).map { case (comp, ms) =>
+      val members = ms.map(_._1)
+      val survivor = members.maxBy(id => (chars(id), -id))
+      (comp, survivor, members.length.toLong, chars(survivor),
+        members.map(chars).sum - chars(survivor))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === want,
+      "survivor ledger must match the d7 clusters + documents replay")
+  }
+}
