@@ -207,6 +207,14 @@ object HeadroomAudit {
         "1e13 per row never leaves int64",
       Seq("CAST(pred_x1e6 - label * 1000000 AS HUGEINT)",
         "* 1000000 // count(*)")),
+    "f9_survival_km" -> Headroom(
+      "the product-limit step multiplies the running survival s ≤ 1e12 " +
+        "by the risk-set remainder (n_t − d_t) ≤ N ≤ 1e10 users, so the " +
+        "intermediate ≤ 1e22 rides DECIMAL(38,0) vs HUGEINT (int64 wraps " +
+        "past N ≈ 9e6) and the floored quotient returns to ≤ 1e12 every " +
+        "step — the fold never grows past one step's headroom",
+      Seq("CAST(acc[len(acc)][5] AS HUGEINT)",
+        "* (e[1][2] - e[1][3]) // e[1][2]")),
     "a38_mde" -> Headroom(
       "per-type moments with c ≤ 1e7 cents: Q = Σc² ≤ n·1e14, so the " +
         "risky product n·Q ≤ n²·1e14 stays inside decimal38 for " +

@@ -2419,6 +2419,107 @@ object GraphTemporalQueries {
              |FROM sess GROUP BY user_id, session_idx
              |ORDER BY user_id, session_idx""".stripMargin)),
 
+    // F9: Kaplan–Meier survival curve with right-censoring — the
+    // estimator behind every churn/retention readout f2's fixed windows
+    // can't state: users whose last activity touches the observation
+    // end are CENSORED (still alive), not churned, and the product-limit
+    // form (Kaplan & Meier 1958) uses them correctly. Lifetimes are
+    // daily-grain (last − born); a user "dies" at their last active day
+    // unless that day is the corpus end. The curve is exact integers at
+    // the x1e12 grain with the per-step floor product as the statistic's
+    // DEFINITION (s ← s·(n_t − d_t) div n_t, seeded at 1e12 — both
+    // engines fold the identical integer chain; censoring-only steps
+    // multiply by exactly 1). The step product rides DECIMAL(38,0) vs
+    // HUGEINT (s·n ≤ 1e12·1e10 = 1e22; HeadroomAudit carries the bound).
+    // Scale shape: ONE per-user partial-combining aggregate over the
+    // fact scan, MATERIALIZED to scratch at the calendar-bounded
+    // lifetime grain (the a35/d5 discipline — the lifetime table feeds
+    // the cumulative pass, the total, and the fold, and lazy lineage
+    // would re-run the fact aggregate once per consumer); risk sets ride
+    // one two-phase cumulative pass, the sequential fold runs over a
+    // single collected list whose length the calendar bounds, then one
+    // explode. PlanSpec pins the zero-fact-scan consumer plan.
+    Q("f9_survival_km",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val pu = events(s, d)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .groupBy(col("user_id"))
+          .agg(min(col("day")).as("born"), max(col("day")).as("last"))
+        val end = pu.agg(max(col("last")).as("endd"))
+        val dir = graft.Scratch.dir(s, "f9_lt")
+        pu.crossJoin(broadcast(end))
+          .select((col("last") - col("born")).as("t"),
+            (col("last") < col("endd")).cast("long").as("e"))
+          .groupBy(col("t"))
+          .agg(sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("c"))
+          .withColumn("out", col("d") + col("c"))
+          .write.mode("overwrite").parquet(dir)
+        val lt = s.read.parquet(dir)
+        val cum = GlobalRank.withRankAndRunningTotals(lt,
+          Seq(col("t").asc), Seq("out"), "rk", Seq("cumout"))
+        val tot = lt.agg(sum(col("out")).as("nn"))
+        val steps = cum.crossJoin(broadcast(tot))
+          .select(col("t"), (col("nn") - col("cumout") + col("out")).as("n"),
+            col("d"), col("c"))
+        steps
+          .agg(sort_array(collect_list(struct(col("t"), col("n"),
+            col("d"), col("c")))).as("xs"))
+          .select(expr("""
+            |aggregate(
+            |  xs,
+            |  array(named_struct(
+            |    't', CAST(-1 AS BIGINT), 'n', CAST(0 AS BIGINT),
+            |    'd', CAST(0 AS BIGINT), 'c', CAST(0 AS BIGINT),
+            |    'surv', CAST(1000000000000 AS BIGINT))),
+            |  (acc, x) -> array_append(acc, named_struct(
+            |    't', x.t, 'n', x.n, 'd', x.d, 'c', x.c,
+            |    'surv', CAST(
+            |      CAST(element_at(acc, -1).surv AS DECIMAL(38,0))
+            |        * (x.n - x.d) div x.n AS BIGINT))))""".stripMargin)
+            .as("km"))
+          .select(explode(expr("filter(km, x -> x.t >= 0)")).as("u"))
+          .select(col("u.t").as("t"), col("u.n").as("n_at_risk"),
+            col("u.d").as("d"), col("u.c").as("c"),
+            col("u.surv").as("surv_x1e12"))
+          .orderBy("t")
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    min(epoch_ns(ts) // 86400000000000) AS born,
+             |    max(epoch_ns(ts) // 86400000000000) AS last
+             |  FROM events GROUP BY user_id
+             |), ed AS (
+             |  SELECT max(last) AS endd FROM pu
+             |), lt AS (
+             |  SELECT last - born AS t,
+             |    CAST(sum(CAST(last < endd AS BIGINT)) AS BIGINT) AS d,
+             |    CAST(sum(CAST(last >= endd AS BIGINT)) AS BIGINT) AS c
+             |  FROM pu CROSS JOIN ed GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM lt
+             |), steps AS (
+             |  SELECT t,
+             |    nn - CAST(sum(d + c) OVER (ORDER BY t
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + d + c AS n,
+             |    d, c
+             |  FROM lt CROSS JOIN tot
+             |), lst AS (
+             |  SELECT list([t, n, d, c] ORDER BY t) AS xs FROM steps
+             |), km AS (
+             |  SELECT unnest(list_reduce(
+             |    [[[-1, 0, 0, 0, 1000000000000::BIGINT]]]
+             |      || [[x || [0]] for x in xs],
+             |    (acc, e) -> acc || [[e[1][1], e[1][2], e[1][3], e[1][4],
+             |      CAST(CAST(acc[len(acc)][5] AS HUGEINT)
+             |        * (e[1][2] - e[1][3]) // e[1][2] AS BIGINT)]]))
+             |    AS u
+             |  FROM lst
+             |)
+             |SELECT u[1] AS t, u[2] AS n_at_risk, u[3] AS d, u[4] AS c,
+             |  u[5] AS surv_x1e12
+             |FROM km WHERE u[1] >= 0 ORDER BY t""".stripMargin)),
+
     // W16: single changepoint localization — a21's CUSUM says "this
     // series shifted"; this answers WHERE: the split of the hourly
     // revenue series maximizing the between-segment mean gap (binary

@@ -63,7 +63,8 @@ class JoinShapeGuardSpec extends SparkSpec {
     "a37_cuped",              // 1-row cutoff / stats / variant frames
     "w19_theil_sen",          // calendar-bounded daily pair join (d1 < d2)
                               // + 1-row n_pairs/n_days scalar frames
-    "m17_calibration"         // 1-row cmax frame (decile denominator)
+    "m17_calibration",        // 1-row cmax frame (decile denominator)
+    "f9_survival_km"          // 1-row observation-end + user-total frames
   )
   // (c16's scalar crossJoins execute at construction, before the
   // per-round materialization — its RETURNED plan is a parquet read +

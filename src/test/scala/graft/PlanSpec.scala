@@ -581,6 +581,17 @@ class PlanSpec extends SparkSpec {
       "c17's joins must all stay equi-joins")
     assert(pC.contains("partial_count") || pC.contains("partial_sum"),
       "c17's per-cluster ledger lost map-side combine")
+    // f9: the fact table feeds ONE per-user aggregate at CONSTRUCTION
+    // (materialized lifetime table); the consumer plan reads only the
+    // calendar-bounded scratch parquet — a fact scan here means the
+    // lifetime aggregate is being recomputed per consumer
+    val pF = plan("f9_survival_km")
+    assert("events.parquet".r.findAllIn(pF).length == 0,
+      s"f9's consumer plan re-scans events — the lifetime table must " +
+        "come from the materialized scratch parquet:\n" + pF.take(1500))
+    assert(pF.contains("f9_lt"),
+      "materialized lifetime table missing from f9's plan")
+    assert(!pF.contains("CartesianProduct"))
   }
 
   test("d16: anchor self-join computes the exploded side once and the " +

@@ -125,6 +125,46 @@ class Round14LawsSpec extends SparkSpec {
       assert(!edges.contains((a, b)), s"($a,$b) must not be an edge")
   }
 
+  test("f9: the KM curve matches an exact BigInt replay of the product-" +
+      "limit fold; survival is non-increasing and censor-steps are flat") {
+    import org.apache.spark.sql.functions._
+    val got = q("f9_survival_km").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pu = raw.groupBy(_._1).toSeq.map { case (_, ds) =>
+      (ds.map(_._2).min, ds.map(_._2).max)
+    }
+    val endd = pu.map(_._2).max
+    val lt = pu.map { case (b, l) => (l - b, if (l < endd) 1 else 0) }
+      .groupBy(_._1).map { case (t, us) =>
+        (t, us.count(_._2 == 1).toLong, us.count(_._2 == 0).toLong)
+      }.toSeq.sortBy(_._1)
+    val n0 = pu.length.toLong
+    var atRisk = n0
+    var s = BigInt(1000000000000L)
+    val want = lt.map { case (t, d, c) =>
+      val row = {
+        s = s * (atRisk - d) / atRisk
+        (t, atRisk, d, c, s.toLong)
+      }
+      atRisk -= d + c
+      row
+    }
+    assert(got.toSeq === want, "KM ledger must match the BigInt replay")
+    got.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(y._5 <= x._5, "survival non-increasing")
+        if (y._3 == 0) assert(y._5 === x._5, "censor-only step is flat")
+      case _ =>
+    }
+    assert(got.map(r => r._3 + r._4).sum === n0,
+      "every user dies or is censored exactly once")
+  }
+
   test("c17: the survivor is each cluster's exact (n_chars, -doc_id) " +
       "argmax and the dropped-characters ledger balances") {
     import org.apache.spark.sql.functions._
