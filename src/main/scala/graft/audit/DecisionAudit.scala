@@ -289,6 +289,20 @@ object DecisionAudit {
         "arithmetic over the cents (value-based deciles, truncating " +
         "divides) — no rank ties, no float past the grain",
       Seq("round(value * 100)", "least(9, c * 10 // (cmax + 1))")),
+    "c18_distribution_drift" -> IntegerDecided(
+      "no float anywhere: the cutoff is the exact integer-nanos " +
+        "midpoint, category counts are exact, abs() runs on the exact " +
+        "cross-multiplied integer |n1·t2 − n2·t1|, and every share/gap/" +
+        "TVD emit is a truncating integer divide",
+      Seq("(min(tns) + max(tns)) // 2",
+        "abs(CAST(n1 AS HUGEINT) * t2")),
+    "m18_gains_table" -> GrainMargin(0.5,
+      "the per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain data); ranking is the exact (c DESC, event_id) " +
+        "total order, deciles are exact rank arithmetic, and capture/" +
+        "lift are truncating integer divides",
+      Seq("round(value * 100)", "ORDER BY c DESC, event_id",
+        "(rk - 1) * 10 // nn")),
     "w18_seasonal_profile" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); hour-of-day is exact nanos modulo, the mean " +

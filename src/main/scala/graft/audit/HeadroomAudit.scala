@@ -207,6 +207,21 @@ object HeadroomAudit {
         "1e13 per row never leaves int64",
       Seq("CAST(pred_x1e6 - label * 1000000 AS HUGEINT)",
         "* 1000000 // count(*)")),
+    "c18_distribution_drift" -> Headroom(
+      "per-category cross-multiplied gap |n1·t2 − n2·t1| ≤ t1·t2 ≤ 1e26 " +
+        "in decimal38/HUGEINT (int64 wraps past ~3e9 rows/half); ·1e6 ≤ " +
+        "1e32 stays inside decimal38, the divisor t1·t2 ≤ 1e26 likewise, " +
+        "and every truncating quotient (shares, gaps, the TVD half-sum) " +
+        "is ≤ 1e6·|categories| — int64 at any scale or split imbalance",
+      Seq("abs(CAST(n1 AS HUGEINT) * t2",
+        "// nullif(CAST(t1 AS HUGEINT) * t2, 0)")),
+    "m18_gains_table" -> Headroom(
+      "cum_pos·nn ≤ 1e13·1e13 = 1e26 rides decimal38 vs HUGEINT; rank " +
+        "deciles guarantee cum_n ≥ nn div 10, so the lift quotient " +
+        "cum_pos·nn·1e6 div (pp·cum_n) ≤ (cum_pos div pp)·11·1e6 ≤ " +
+        "1.1e7 and capture ≤ 1e6 both ride int64 at any positive rate",
+      Seq("CAST(cum_pos AS HUGEINT) * nn * 1000000",
+        "// nullif(CAST(pp AS HUGEINT) * cum_n, 0)")),
     "f9_survival_km" -> Headroom(
       "the product-limit step multiplies the running survival s ≤ 1e12 " +
         "by the risk-set remainder (n_t − d_t) ≤ N ≤ 1e10 users, so the " +

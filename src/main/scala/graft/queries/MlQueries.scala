@@ -676,7 +676,88 @@ object MlQueries {
              |)
              |SELECT bin, n, mean_pred_x1e6, emp_rate_x1e6,
              |  emp_rate_x1e6 - mean_pred_x1e6 AS gap_x1e6, brier_x1e12
-             |FROM g ORDER BY bin""".stripMargin))
+             |FROM g ORDER BY bin""".stripMargin)),
+
+    // M18: cumulative gains / lift table — the targeting readout next to
+    // m14's PR curve and m17's calibration: rank every row by score
+    // descending, cut into rank deciles, and report what fraction of all
+    // positives the top k deciles capture (and the lift over random).
+    // The rank is GlobalRank's two-phase row number under the TOTAL
+    // order (c DESC, event_id) — deciles are exact rank arithmetic
+    // (rk−1)·10 div N, so both engines bin identically with zero tie
+    // ambiguity. Capture and lift are exact integer quotients: cum_pos·N
+    // ≤ 1e26 rides DECIMAL(38,0) vs HUGEINT, and since rank deciles
+    // guarantee cum_n ≥ N div 10, the lift quotient is ≤ ~1.1e7
+    // (HeadroomAudit carries the bound). Scale shape: the 3-column
+    // scored projection is materialized once (GlobalRank's two phases
+    // and the totals frame re-read the scratch parquet, never the fact
+    // table — PlanSpec pins zero fact scans); the cumulative window
+    // runs over the 10-row decile frame only.
+    Q("m18_gains_table",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val dir = graft.Scratch.dir(s, "m18_scored")
+        events(s, d).select(col("event_id"),
+            round(col("value") * 100).cast("long").as("c"),
+            (col("event_type") === "purchase").cast("long").as("label"))
+          .write.mode("overwrite").parquet(dir)
+        val ev = s.read.parquet(dir)
+        val ranked = GlobalRank.withRowNumber(ev,
+          Seq(col("c").desc, col("event_id").asc), "rk")
+        val tot = ev.agg(count(lit(1)).as("nn"), sum(col("label")).as("pp"))
+        val dec = ranked.crossJoin(broadcast(tot))
+          .select(expr("(rk - 1) * 10 div nn").as("decile"), col("label"),
+            col("nn"), col("pp"))
+          .groupBy(col("decile"), col("nn"), col("pp"))
+          .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+        // the cumulative window runs over <= 10 decile rows — bounded by
+        // the decile count, not the data
+        val w = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dec.withColumn("cum_n", sum(col("n")).over(w))
+          .withColumn("cum_pos", sum(col("pos")).over(w))
+          .select(col("decile"), col("n"), col("pos"), col("cum_pos"),
+            expr("""CAST(cum_pos AS DECIMAL(38,0)) * 1000000
+                   | div nullif(pp, 0)""".stripMargin).as("capture_x1e6"),
+            expr("""CAST(cum_pos AS DECIMAL(38,0)) * nn * 1000000
+                   | div nullif(CAST(pp AS DECIMAL(38,0)) * cum_n, 0)"""
+              .stripMargin).as("lift_x1e6"))
+          .orderBy("decile")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c,
+             |    CAST(event_type = 'purchase' AS BIGINT) AS label
+             |  FROM events
+             |), rk AS (
+             |  SELECT label,
+             |    row_number() OVER (ORDER BY c DESC, event_id) AS rk
+             |  FROM ev
+             |), tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS nn,
+             |    CAST(sum(label) AS BIGINT) AS pp
+             |  FROM ev
+             |), dec AS (
+             |  SELECT (rk - 1) * 10 // nn AS decile, label, nn, pp
+             |  FROM rk CROSS JOIN tot
+             |), g AS (
+             |  SELECT decile, nn, pp, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(label) AS BIGINT) AS pos
+             |  FROM dec GROUP BY 1, 2, 3
+             |), cum AS (
+             |  SELECT decile, n, pos, nn, pp,
+             |    CAST(sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum_n,
+             |    CAST(sum(pos) OVER (ORDER BY decile
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+             |  FROM g
+             |)
+             |SELECT decile, n, pos, cum_pos,
+             |  CAST(CAST(cum_pos AS HUGEINT) * 1000000 // nullif(pp, 0)
+             |    AS BIGINT) AS capture_x1e6,
+             |  CAST(CAST(cum_pos AS HUGEINT) * nn * 1000000
+             |    // nullif(CAST(pp AS HUGEINT) * cum_n, 0) AS BIGINT)
+             |    AS lift_x1e6
+             |FROM cum ORDER BY decile""".stripMargin))
   )
 
   /** NaN-safe integer scaling shared by the sweep queries (m7/m8/m9):

@@ -3769,7 +3769,91 @@ object PipelineQueries {
               |  m.nc AS survivor_chars,
               |  a.total_chars - m.nc AS chars_dropped
               |FROM m JOIN agg a USING (comp) WHERE m.rn = 1
-              |ORDER BY comp""".stripMargin))
+              |ORDER BY comp""".stripMargin)),
+
+    // C18: distribution drift between time halves — the serving-vs-
+    // training drift check a mixture pipeline (c4/c13/c16) runs before
+    // trusting its sampling weights: split the feed at c10's integer-
+    // nanos midpoint and compare the category distribution of the two
+    // halves. The headline number is the exact TOTAL VARIATION DISTANCE
+    // (TVD = ½ Σ|p_i − q_i|), the drift metric with no logarithms —
+    // PSI/KL need ln() and cannot be stated exactly across engines.
+    // Per-category shares and gaps are cross-multiplied exact integers
+    // in DECIMAL(38,0) vs HUGEINT (|n1·t2 − n2·t1| ≤ t1·t2 ≤ 1e26;
+    // HeadroomAudit carries the bound) with truncating x1e6 divisions;
+    // the '~total' row carries TVD as (Σ per-category gaps) div 2 — the
+    // per-category truncation points are the statistic's definition.
+    // Scale shape: one min/max scan for the cutoff, ONE fact scan into
+    // a per-category conditional aggregate (categories ≤ dozens)
+    // MATERIALIZED to scratch (the a35/d5 discipline — totals, the
+    // per-category rows, and the '~total' union all consume it, and
+    // lazy lineage would re-run the fact aggregate once per consumer;
+    // PlanSpec pins the zero-fact-scan consumer plan), then scalar
+    // algebra on the tiny frame.
+    Q("c18_distribution_drift",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"), col("ts"))
+        val cut = ev.agg(expr("(min(ts) + max(ts)) div 2").as("cut"))
+        val dir = graft.Scratch.dir(s, "c18_cat")
+        ev.crossJoin(broadcast(cut))
+          .groupBy(col("event_type"))
+          .agg(sum((col("ts") < col("cut")).cast("long")).as("n1"),
+            sum((col("ts") >= col("cut")).cast("long")).as("n2"))
+          .write.mode("overwrite").parquet(dir)
+        val cat = s.read.parquet(dir)
+        val tot = cat.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+        val per = cat.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n1"), col("n2"),
+            expr("CAST(n1 AS DECIMAL(38,0)) * 1000000 div nullif(t1, 0)")
+              .as("share1_x1e6"),
+            expr("CAST(n2 AS DECIMAL(38,0)) * 1000000 div nullif(t2, 0)")
+              .as("share2_x1e6"),
+            expr("""abs(CAST(n1 AS DECIMAL(38,0)) * t2
+                   |  - CAST(n2 AS DECIMAL(38,0)) * t1) * 1000000
+                   |  div nullif(CAST(t1 AS DECIMAL(38,0)) * t2, 0)"""
+              .stripMargin).as("gap_x1e6"))
+        val total = per.agg(sum(col("n1")).as("n1"), sum(col("n2")).as("n2"),
+            sum(col("share1_x1e6")).as("share1_x1e6"),
+            sum(col("share2_x1e6")).as("share2_x1e6"),
+            expr("sum(gap_x1e6) div 2").as("gap_x1e6"))
+          .select(lit("~total").as("event_type"), col("n1"), col("n2"),
+            col("share1_x1e6"), col("share2_x1e6"), col("gap_x1e6"))
+        per.unionByName(total).orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch_ns(ts) AS tns FROM events
+             |), c AS (
+             |  SELECT (min(tns) + max(tns)) // 2 AS cut FROM ev
+             |), cat AS (
+             |  SELECT event_type,
+             |    CAST(sum(CAST(tns < cut AS BIGINT)) AS BIGINT) AS n1,
+             |    CAST(sum(CAST(tns >= cut AS BIGINT)) AS BIGINT) AS n2
+             |  FROM ev CROSS JOIN c GROUP BY event_type
+             |), tot AS (
+             |  SELECT CAST(sum(n1) AS BIGINT) AS t1,
+             |    CAST(sum(n2) AS BIGINT) AS t2
+             |  FROM cat
+             |), per AS (
+             |  SELECT event_type, n1, n2,
+             |    CAST(CAST(n1 AS HUGEINT) * 1000000 // nullif(t1, 0)
+             |      AS BIGINT) AS share1_x1e6,
+             |    CAST(CAST(n2 AS HUGEINT) * 1000000 // nullif(t2, 0)
+             |      AS BIGINT) AS share2_x1e6,
+             |    CAST(abs(CAST(n1 AS HUGEINT) * t2
+             |        - CAST(n2 AS HUGEINT) * t1) * 1000000
+             |      // nullif(CAST(t1 AS HUGEINT) * t2, 0) AS BIGINT)
+             |      AS gap_x1e6
+             |  FROM cat CROSS JOIN tot
+             |)
+             |SELECT * FROM per
+             |UNION ALL
+             |SELECT '~total', CAST(sum(n1) AS BIGINT),
+             |  CAST(sum(n2) AS BIGINT),
+             |  CAST(sum(share1_x1e6) AS BIGINT),
+             |  CAST(sum(share2_x1e6) AS BIGINT),
+             |  CAST(sum(gap_x1e6) // 2 AS BIGINT)
+             |FROM per
+             |ORDER BY event_type""".stripMargin))
   )
 
 }

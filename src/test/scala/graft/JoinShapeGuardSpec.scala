@@ -64,7 +64,9 @@ class JoinShapeGuardSpec extends SparkSpec {
     "w19_theil_sen",          // calendar-bounded daily pair join (d1 < d2)
                               // + 1-row n_pairs/n_days scalar frames
     "m17_calibration",        // 1-row cmax frame (decile denominator)
-    "f9_survival_km"          // 1-row observation-end + user-total frames
+    "f9_survival_km",         // 1-row observation-end + user-total frames
+    "c18_distribution_drift", // 1-row cutoff + half-total frames
+    "m18_gains_table"         // 1-row (N, positives) totals frame
   )
   // (c16's scalar crossJoins execute at construction, before the
   // per-round materialization — its RETURNED plan is a parquet read +

@@ -581,6 +581,27 @@ class PlanSpec extends SparkSpec {
       "c17's joins must all stay equi-joins")
     assert(pC.contains("partial_count") || pC.contains("partial_sum"),
       "c17's per-cluster ledger lost map-side combine")
+    // c18: the two fact passes (cutoff + categories) run at
+    // CONSTRUCTION into the materialized category frame; the consumer
+    // plan (per-category rows + '~total' union) reads scratch only
+    val pD = plan("c18_distribution_drift")
+    assert("events.parquet".r.findAllIn(pD).length == 0,
+      "c18's consumer plan re-scans events — the category frame must " +
+        "come from the materialized scratch parquet:\n" + pD.take(1500))
+    assert(pD.contains("c18_cat"),
+      "materialized category table missing from c18's plan")
+    // m18: the scored projection is materialized at construction — the
+    // consumer plan reads scratch only, and the rank is GlobalRank's
+    // range-partitioned two-phase pass, never one window partition over
+    // the fact rows
+    val pM18 = plan("m18_gains_table")
+    assert("events.parquet".r.findAllIn(pM18).length == 0,
+      "m18's consumer plan re-scans events — the scored frame must come " +
+        "from the materialized scratch parquet:\n" + pM18.take(1500))
+    assert(pM18.contains("m18_scored"),
+      "materialized scored table missing from m18's plan")
+    assert(pM18.toLowerCase.contains("rangepartitioning"),
+      "m18's ranking lost GlobalRank's range repartition")
     // f9: the fact table feeds ONE per-user aggregate at CONSTRUCTION
     // (materialized lifetime table); the consumer plan reads only the
     // calendar-bounded scratch parquet — a fact scan here means the

@@ -165,6 +165,69 @@ class Round14LawsSpec extends SparkSpec {
       "every user dies or is censored exactly once")
   }
 
+  test("c18: per-category gaps and the TVD total match an exact BigInt " +
+      "replay of the cross-multiplied shares at the midpoint split") {
+    import org.apache.spark.sql.functions._
+    val rows = q("c18_distribution_drift").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val cut = (raw.map(_._2).min + raw.map(_._2).max) / 2
+    val cat = raw.groupBy(_._1).toSeq.map { case (t, es) =>
+      (t, BigInt(es.count(_._2 < cut)), BigInt(es.count(_._2 >= cut)))
+    }.sortBy(_._1)
+    val t1 = cat.map(_._2).sum; val t2 = cat.map(_._3).sum
+    val wantPer = cat.map { case (t, n1, n2) =>
+      (t, n1.toLong, n2.toLong, (n1 * 1000000 / t1).toLong,
+        (n2 * 1000000 / t2).toLong,
+        ((n1 * t2 - n2 * t1).abs * 1000000 / (t1 * t2)).toLong)
+    }
+    val totalRow = ("~total", t1.toLong, t2.toLong,
+      wantPer.map(_._4).sum, wantPer.map(_._5).sum,
+      wantPer.map(_._6).sum / 2)
+    assert(rows.toSeq === (wantPer :+ totalRow),
+      "drift ledger must match the BigInt replay")
+    val tvd = rows.last._6
+    assert(tvd >= 0L && tvd <= 1000000L, "TVD in [0, 1] at the 1e6 grain")
+  }
+
+  test("m18: the gains table matches an exact BigInt replay of the " +
+      "ranked deciles; capture is monotone and ends at exactly 1e6") {
+    import org.apache.spark.sql.functions._
+    val rows = q("m18_gains_table").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_id"), round(col("value") * 100).cast("long"),
+        (col("event_type") === "purchase").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ranked = raw.sortBy(r => (-r._2, r._1))
+    val nn = BigInt(ranked.length)
+    val pp = BigInt(ranked.map(_._3).sum)
+    val byDec = ranked.zipWithIndex.map { case (r, i) =>
+      ((BigInt(i) * 10 / nn).toLong, r._3)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (dec, rs) =>
+        (dec, rs.length.toLong, rs.map(_._2).sum)
+      }
+    var cumN = BigInt(0); var cumP = BigInt(0)
+    val want = byDec.map { case (dec, n, pos) =>
+      cumN += n; cumP += pos
+      (dec, n, pos, cumP.toLong, (cumP * 1000000 / pp).toLong,
+        (cumP * nn * 1000000 / (pp * cumN)).toLong)
+    }
+    assert(rows.toSeq === want, "gains table must match the BigInt replay")
+    rows.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "capture monotone")
+      case _ =>
+    }
+    assert(rows.last._5 === 1000000L, "full-depth capture is exactly 1e6")
+  }
+
   test("c17: the survivor is each cluster's exact (n_chars, -doc_id) " +
       "argmax and the dropped-characters ledger balances") {
     import org.apache.spark.sql.functions._
