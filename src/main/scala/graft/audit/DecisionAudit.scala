@@ -173,6 +173,30 @@ object DecisionAudit {
         "unique tie-break, o_orderdate emits as an exact epoch-day long",
       Seq("round(l_quantity)", "round(o_totalprice * 100)",
         "ORDER BY price_x100 DESC, o_orderkey")),
+    "b6_tpch_q6" -> GrainMargin(0.5,
+      "b2's discipline on the pure scan face: the two per-row cents/" +
+        "percent conversions are the only fp ops (0.5 margin each on " +
+        "2-dp-grain data); the discount band is the exact integer " +
+        "pct BETWEEN 4 AND 6 (never a float-literal compare) and the " +
+        "single accumulator holds exact cents·pct products in " +
+        "DECIMAL(38,0) vs HUGEINT",
+      Seq("round(l_extendedprice * 100)",
+        "CAST(round(l_discount * 100) AS BIGINT) BETWEEN 4 AND 6")),
+    "b7_tpch_q14" -> GrainMargin(0.5,
+      "b2's discipline plus an exact ratio emit: per-row cents/percent " +
+        "conversions are the only fp ops (0.5 margin each); promo and " +
+        "total revenue accumulate exact integers and the percentage is " +
+        "the cross-multiplied truncating quotient promo·1e8 div total — " +
+        "no float division",
+      Seq("round(l_extendedprice * 100)", "* 100000000")),
+    "b8_tpch_q10" -> GrainMargin(0.5,
+      "b2's discipline verbatim on the returned-items join: per-row " +
+        "cents/percent conversions are the only fp ops (0.5 margin " +
+        "each); revenue accumulates exact integer cents x (100 - pct) " +
+        "and the top-20 orders exact longs with c_custkey as the unique " +
+        "tie-break",
+      Seq("round(l_extendedprice * 100)",
+        "ORDER BY revenue_x1e4 DESC, c_custkey LIMIT 20")),
     "b3_tpch_q3" -> GrainMargin(0.5,
       "b2's discipline verbatim: the two per-row cents/percent " +
         "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +

@@ -253,6 +253,24 @@ object HeadroomAudit {
         "accumulator ≤ 1e22 at 1e13 rows ≪ 1e38",
       Seq("round(l_extendedprice * 100)",
         "(100 - CAST(round(l_discount * 100) AS BIGINT))")),
+    "b6_tpch_q6" -> Headroom(
+      "per-row cents·pct ≤ 1e7·6 = 6e7 under the pushed discount band; " +
+        "the decimal38 accumulator holds 1e13 rows · 6e7 = 6e20 ≪ 1e38 " +
+        "(int64 would die at ~1.5e11 rows); nothing downstream",
+      Seq("round(l_extendedprice * 100)",
+        "* CAST(round(l_discount * 100) AS BIGINT)")),
+    "b7_tpch_q14" -> Headroom(
+      "b2's bound per row (cents·(100−pct) ≤ 1e9, decimal38 accumulator " +
+        "≤ 1e22 at 1e13 rows); the ratio lifts promo ≤ 1e22 by 1e8 to " +
+        "≤ 1e30, still inside decimal38/HUGEINT, and the truncating " +
+        "quotient ≤ 1e8 is int64",
+      Seq("(100 - CAST(round(l_discount * 100) AS BIGINT))",
+        "* 100000000")),
+    "b8_tpch_q10" -> Headroom(
+      "b2's bound verbatim: per-row cents·(100−pct) ≤ 1e9, decimal38 " +
+        "accumulator ≤ 1e22 at 1e13 rows ≪ 1e38; no further product",
+      Seq("round(l_extendedprice * 100)",
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))")),
     "b4_tpch_q1" -> Headroom(
       "charge per row cents·(100−pct)·(100+tax) ≤ 1e7·100·210 ≈ 2e11; the " +
         "decimal38 accumulator holds 1e13 rows · 2e11 = 2e24 ≪ 1e38; the " +

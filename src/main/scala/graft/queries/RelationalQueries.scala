@@ -386,6 +386,130 @@ object RelationalQueries {
              |JOIN customer ON c_custkey = o_custkey
              |ORDER BY price_x100 DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // B6: TPC-H Q6 (forecasting revenue change) — the pure scan-filter-
+    // aggregate face: three column predicates (date bracket, discount
+    // band, quantity cap) all push to the parquet scan, one decimal38
+    // accumulator, ONE output row. The whole query is a single
+    // whole-stage-codegen span over a pruned ReadSchema — at 100 TB it
+    // is the I/O-bound lower bound every other lineitem query is judged
+    // against. Revenue = cents · pct (discount AS the revenue, per the
+    // spec's extendedprice·discount), exact at the x1e4 grain.
+    Q("b6_tpch_q6",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01")
+          && col("l_quantity") < 24)
+        .select((round(col("l_extendedprice") * 100).cast("long"))
+            .as("cents"),
+          round(col("l_discount") * 100).cast("long").as("pct"))
+        .filter(col("pct").between(4L, 6L))
+        .agg(sum((col("cents") * col("pct")).cast("decimal(38,0)"))
+          .cast("long").as("revenue_x1e4"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_x1e4,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_quantity < 24
+             |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 4 AND 6"""
+        .stripMargin)),
+
+    // B7: TPC-H Q14 (promotion effect) — the conditional-aggregate
+    // ratio face: one lineitem-part join (part is the DIMENSION side —
+    // broadcast), promo revenue vs total revenue in a single pass, and
+    // the percentage emitted as an exact cross-multiplied x1e6 integer
+    // (100·promo·1e4 div total — Q14's 100·sum/sum with both sums exact
+    // cents·pct). The month bracket pushes to the lineitem scan.
+    Q("b7_tpch_q14",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-06-01")
+          && col("l_shipdate") < lit("1996-07-01"))
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_x1e4"))
+        .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_x1e4"))
+            .cast("decimal(38,0)")).cast("long").as("promo_x1e4"),
+          sum(col("rev_x1e4").cast("decimal(38,0)")).cast("long")
+            .as("total_x1e4"),
+          count(lit(1)).as("n_rows"))
+        .select(col("promo_x1e4"), col("total_x1e4"),
+          expr("""CAST(promo_x1e4 AS DECIMAL(38,0)) * 100000000
+                 | div nullif(total_x1e4, 0)""".stripMargin)
+            .as("promo_pct_x1e6"),
+          col("n_rows")),
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+             |    CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) END)
+             |    AS BIGINT) AS promo_x1e4,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             |    AS BIGINT) AS total_x1e4,
+             |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+             |      CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |        * (100 - CAST(round(l_discount * 100) AS BIGINT)) END)
+             |      AS HUGEINT) * 100000000
+             |    // nullif(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)
+             |    AS BIGINT) AS promo_pct_x1e6,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+             |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin)),
+
+    // B8: TPC-H Q10 (returned-item reporting) — the fact-fact join +
+    // top-k face: returned lineitems (l_returnflag = 'R') joined to a
+    // date-bracketed orders quarter, revenue per customer, nation
+    // broadcast on, top-20 by lost revenue. b3's discipline end to end:
+    // both brackets push to their scans, neither fact side carries a
+    // broadcast hint (AQE decides), and the top-20 lowers to
+    // TakeOrderedAndProject with c_custkey as the unique tie-break.
+    Q("b8_tpch_q10",
+      (s, d) => {
+        val ord = orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01")
+            && col("o_orderdate") < lit("1996-04-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (round(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_x1e4"))
+        val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("n_name"))
+          .agg(sum(col("rev_x1e4").cast("decimal(38,0)")).cast("long")
+            .as("revenue_x1e4"), count(lit(1)).as("n_rows"))
+          .orderBy(col("revenue_x1e4").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, n_name,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             |    AS BIGINT) AS revenue_x1e4,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |GROUP BY c_custkey, n_name
+             |ORDER BY revenue_x1e4 DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // J4: anti-join (sample_indexer.py:32-33 driver set-difference,
     // rebuilt distributed — SURVEY §7.3 hazard 1).
     Q("j4_anti_join",

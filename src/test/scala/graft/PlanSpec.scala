@@ -536,6 +536,45 @@ class PlanSpec extends SparkSpec {
       "a37's sufficient statistics lost map-side combine")
   }
 
+  test("round-14 TPC-H faces keep their scale shapes (b6 pure pushed " +
+      "scan, b7 broadcast dimension, b8 TakeOrdered top-20)") {
+    // b6 (Q6): all three predicates reach the scan; one pass, one
+    // partial-combined accumulator — the I/O-bound lower bound
+    val p6 = plan("b6_tpch_q6")
+    // (the PushedFilters display truncates, so the quantity predicate is
+    // asserted via the scan's DataFilters text)
+    assert(p6.contains("GreaterThanOrEqual(l_shipdate")
+      && p6.contains("IsNotNull(l_quantity") && p6.contains("< 24.0"),
+      "b6's date/quantity predicates no longer reach the parquet scan:\n" +
+        p6.take(1500))
+    assert("lineitem.parquet".r.findAllIn(p6).length == 1,
+      "b6 must scan lineitem exactly once")
+    assert(p6.contains("partial_sum"),
+      "b6's accumulator lost map-side combine")
+    assert(!p6.contains("l_orderkey"),
+      "b6 reads columns its aggregate doesn't need:\n" + p6.take(1500))
+    // b7 (Q14): part is the broadcast dimension; the month bracket is
+    // pushed; lineitem scanned once
+    val p7 = plan("b7_tpch_q14")
+    assert(p7.contains("BroadcastHashJoin"),
+      "b7's part dimension join lost its broadcast:\n" + p7.take(1500))
+    assert(p7.contains("GreaterThanOrEqual(l_shipdate"),
+      "b7's month bracket no longer reaches the lineitem scan")
+    assert("lineitem.parquet".r.findAllIn(p7).length == 1,
+      "b7 must scan lineitem exactly once")
+    // b8 (Q10): returnflag + order-date brackets pushed, top-20 lowers
+    // to TakeOrderedAndProject, no cartesian
+    val p8 = plan("b8_tpch_q10")
+    assert(p8.contains("EqualTo(l_returnflag,R)"),
+      "b8's returnflag filter no longer reaches the lineitem scan:\n" +
+        p8.take(1500))
+    assert(p8.contains("GreaterThanOrEqual(o_orderdate"),
+      "b8's quarter bracket no longer reaches the orders scan")
+    assert(p8.contains("TakeOrderedAndProject"),
+      "b8's top-20 materialized a global sort:\n" + p8.take(1500))
+    assert(!p8.contains("CartesianProduct"))
+  }
+
   test("round-14 additions keep their scale shapes (a39 one distinct + " +
       "agg, w19 calendar-bounded broadcast pairs, m17 two fact passes, " +
       "g15 top-k lowering, c17 no cartesian)") {

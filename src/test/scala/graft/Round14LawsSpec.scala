@@ -228,6 +228,40 @@ class Round14LawsSpec extends SparkSpec {
     assert(rows.last._5 === 1000000L, "full-depth capture is exactly 1e6")
   }
 
+  test("b6/b7: revenue and the promo percentage match exact BigInt " +
+      "recomputations of the bracketed rows") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_shipdate").cast("string"),
+        round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        BigInt(r.getLong(3)), BigInt(r.getLong(4))))
+    // b6: shipdate in 1996, qty < 24, pct in [4, 6]
+    val q6rows = li.filter(r => r._2 >= "1996-01-01" && r._2 < "1997-01-01"
+      && r._3 < 24 && r._5 >= 4 && r._5 <= 6)
+    val got6 = q("b6_tpch_q6").collect().head
+    assert(BigInt(got6.getLong(0)) === q6rows.map(r => r._4 * r._5).sum,
+      "b6 revenue")
+    assert(got6.getLong(1) === q6rows.length.toLong, "b6 row count")
+    // b7: June 1996 joined to part, promo share at the 1e6 grain
+    val promoParts = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      .collect().map(_.getLong(0)).toSet
+    val q14rows = li.filter(r =>
+      r._2 >= "1996-06-01" && r._2 < "1996-07-01")
+    val total = q14rows.map(r => r._4 * (100 - r._5)).sum
+    val promo = q14rows.filter(r => promoParts(r._1))
+      .map(r => r._4 * (100 - r._5)).sum
+    val got7 = q("b7_tpch_q14").collect().head
+    assert(BigInt(got7.getLong(0)) === promo, "b7 promo revenue")
+    assert(BigInt(got7.getLong(1)) === total, "b7 total revenue")
+    assert(BigInt(got7.getLong(2)) === promo * 100000000 / total,
+      "b7 promo percentage")
+  }
+
   test("c17: the survivor is each cluster's exact (n_chars, -doc_id) " +
       "argmax and the dropped-characters ledger balances") {
     import org.apache.spark.sql.functions._
