@@ -1381,6 +1381,80 @@ object GraphTemporalQueries {
              |  GROUP BY 1)
              |SELECT node, dist FROM d3 ORDER BY node""".stripMargin)),
 
+    // G16: harmonic centrality (bounded-hop) — the centrality face g2's
+    // PageRank and g9's HITS don't cover: C(s) = Σ_{v≠s} 1/d(s,v),
+    // Boldi & Vigna 2014's recommended closeness variant (sums, so
+    // disconnected pairs contribute exactly 0 instead of breaking the
+    // mean). Multi-source labeled BFS over the seed set (node < 100,
+    // g5's contract): state is (seed, node, min-dist), each of the 3
+    // bounded hops is one equi-join on the frontier + one
+    // partial-combining min-aggregate with per-round scratch
+    // materialization (lineage O(1), nothing pinned). Bounded hops IS
+    // the production contract — harmonic mass beyond 3 hops is ≤ 1/4
+    // per node and a wider radius is the same per-round plan. The
+    // emitted centrality is the exact integer Σ 1e6 div dist.
+    Q("g16_harmonic_centrality",
+      (s, d) => {
+        val e = coocEdges(s, d)
+        val nbPath = graft.Scratch.dir(s, "g16_nb")
+        e.select(col("u").as("node"), col("v").as("nbr"))
+          .union(e.select(col("v"), col("u")))
+          .write.mode("overwrite").parquet(nbPath)
+        val nb = s.read.parquet(nbPath)
+        var dist = nb.select(col("node")).distinct()
+          .filter(col("node") < 100)
+          .select(col("node").as("seed"), col("node"), lit(0).as("dist"))
+        for (round <- 1 to 3) {
+          val relaxed = nb
+            .join(dist.select(col("seed"), col("node").as("dn"),
+              col("dist")), col("nbr") === col("dn"))
+            .select(col("seed"), col("node"), (col("dist") + 1).as("dist"))
+          val next = dist.unionByName(relaxed)
+            .groupBy(col("seed"), col("node"))
+            .agg(min(col("dist")).as("dist"))
+          val path = graft.Scratch.dir(s, s"g16_round$round")
+          next.write.mode("overwrite").parquet(path)
+          dist = s.read.parquet(path)
+        }
+        dist.filter(col("dist") > 0)
+          .groupBy(col("seed"))
+          .agg(count(lit(1)).as("n_reached"),
+            sum(expr("1000000 div dist")).as("harmonic_x1e6"))
+          .orderBy("seed")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             |      FROM pairs a JOIN pairs b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |nb AS (SELECT u AS node, v AS nbr FROM e
+             |       UNION ALL SELECT v, u FROM e),
+             |d0 AS MATERIALIZED (
+             |  SELECT DISTINCT node AS seed, node, 0 AS dist
+             |  FROM nb WHERE node < 100),
+             |d1 AS MATERIALIZED (
+             |  SELECT seed, node, min(dist) AS dist FROM (
+             |    SELECT seed, node, dist FROM d0
+             |    UNION ALL
+             |    SELECT d.seed, nb.node, d.dist + 1
+             |    FROM nb JOIN d0 d ON nb.nbr = d.node) GROUP BY 1, 2),
+             |d2 AS MATERIALIZED (
+             |  SELECT seed, node, min(dist) AS dist FROM (
+             |    SELECT seed, node, dist FROM d1
+             |    UNION ALL
+             |    SELECT d.seed, nb.node, d.dist + 1
+             |    FROM nb JOIN d1 d ON nb.nbr = d.node) GROUP BY 1, 2),
+             |d3 AS MATERIALIZED (
+             |  SELECT seed, node, min(dist) AS dist FROM (
+             |    SELECT seed, node, dist FROM d2
+             |    UNION ALL
+             |    SELECT d.seed, nb.node, d.dist + 1
+             |    FROM nb JOIN d2 d ON nb.nbr = d.node) GROUP BY 1, 2)
+             |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+             |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_x1e6
+             |FROM d3 WHERE dist > 0
+             |GROUP BY seed ORDER BY seed""".stripMargin)),
+
     // G6: bounded-hop WEIGHTED shortest path (distributed Bellman-Ford) —
     // g5's BFS with a cost model: edge weight = 1000 div co-occurrence
     // count, so strongly-tied parts are "close" (the similarity-distance

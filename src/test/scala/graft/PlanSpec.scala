@@ -641,6 +641,15 @@ class PlanSpec extends SparkSpec {
       "materialized scored table missing from m18's plan")
     assert(pM18.toLowerCase.contains("rangepartitioning"),
       "m18's ranking lost GlobalRank's range repartition")
+    // g16: the BFS rounds materialize — the consumer plan reads the
+    // last round's scratch only, never replays the lineitem self-join
+    val pG16 = plan("g16_harmonic_centrality")
+    assert("lineitem.parquet".r.findAllIn(pG16).length == 0,
+      "g16's consumer plan must read the round-3 scratch, not replay " +
+        "the edge build:\n" + pG16.take(1500))
+    assert(pG16.contains("g16_round3"),
+      "materialized BFS round missing from g16's plan")
+    assert(!pG16.contains("CartesianProduct"))
     // f9: the fact table feeds ONE per-user aggregate at CONSTRUCTION
     // (materialized lifetime table); the consumer plan reads only the
     // calendar-bounded scratch parquet — a fact scan here means the

@@ -120,7 +120,7 @@ class Round14LawsSpec extends SparkSpec {
       val ps = g.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- (i + 1) until ps.length)
         yield (ps(i), ps(j))
-    }.groupBy(identity).collect { case (e, os) if os.size >= 2 => e }.toSet
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
     for ((a, b, _, _, _, _, _) <- rows)
       assert(!edges.contains((a, b)), s"($a,$b) must not be an edge")
   }
@@ -226,6 +226,38 @@ class Round14LawsSpec extends SparkSpec {
       case _ =>
     }
     assert(rows.last._5 === 1000000L, "full-depth capture is exactly 1e6")
+  }
+
+  test("g16: harmonic centrality matches an in-memory per-seed BFS over " +
+      "the same co-occurrence graph") {
+    import org.apache.spark.sql.functions._
+    val got = q("g16_harmonic_centrality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ < 100)
+    val want = seeds.toSeq.sorted.flatMap { s0 =>
+      var frontier = Set(s0); var seen = Map(s0 -> 0)
+      for (dd <- 1 to 3) {
+        val nxt = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .diff(seen.keySet)
+        seen = seen ++ nxt.map(_ -> dd); frontier = nxt
+      }
+      val reached = seen.filter(_._2 > 0)
+      if (reached.isEmpty) None
+      else Some((s0, reached.size.toLong,
+        reached.values.map(dd => 1000000L / dd).sum))
+    }
+    assert(got.toSeq === want, "per-seed BFS harmonic replay")
   }
 
   test("b6/b7: revenue and the promo percentage match exact BigInt " +
