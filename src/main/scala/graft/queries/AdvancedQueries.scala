@@ -2383,12 +2383,20 @@ object AdvancedQueries {
     Q("w19_theil_sen",
       (s, d) => {
         import graft.operators.GlobalRank
-        val daily = events(s, d)
+        // daily level materialized to scratch (the a35/d5 discipline):
+        // the pair join's two sides, the histogram, and the day count
+        // all consume it, and lazy lineage would re-run the fact
+        // aggregate once per consumer (PlanSpec pins the zero-fact-scan
+        // consumer plan)
+        val dir = graft.Scratch.dir(s, "w19_daily")
+        events(s, d)
           .select(expr("ts div 86400000000000").as("day"),
             round(col("value") * 100).cast("long").as("c"))
           .groupBy(col("day"))
           .agg(expr("sum(CAST(c AS DECIMAL(38,0))) * 100 div count(1)")
             .as("y"))
+          .write.mode("overwrite").parquet(dir)
+        val daily = s.read.parquet(dir)
         val slopes = daily.as("a")
           .join(broadcast(daily.as("b")), col("b.day") > col("a.day"))
           .select(expr("(b.y - a.y) * 1000000 div (b.day - a.day)")
@@ -2399,10 +2407,14 @@ object AdvancedQueries {
           Seq(col("slope").asc), Seq("m"), "vr", Seq("cum"))
         val tot = hist.agg(sum(col("m")).as("n_pairs"))
         val nd = daily.agg(count(lit(1)).as("n_days"))
-        cum.crossJoin(broadcast(tot)).crossJoin(broadcast(nd))
-          .groupBy(col("n_days"), col("n_pairs"))
+        // the median comes off its own aggregate (one row even when the
+        // series has < 2 days and cum is EMPTY — a groupBy here would
+        // emit zero rows while the oracle's scalar subquery still emits
+        // the (n_days, NULL, NULL) row)
+        val med = cum.crossJoin(broadcast(tot))
           .agg(min(when(col("cum") * 2 >= col("n_pairs"), col("slope")))
             .as("ts_slope_x1e6"))
+        nd.crossJoin(broadcast(tot)).crossJoin(broadcast(med))
           .select(col("n_days"), col("n_pairs"), col("ts_slope_x1e6"))
       },
       Some("""WITH ev AS (

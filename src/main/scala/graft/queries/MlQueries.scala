@@ -711,8 +711,8 @@ object MlQueries {
           .groupBy(col("decile"), col("nn"), col("pp"))
           .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
         // the cumulative window runs over <= 10 decile rows — bounded by
-        // the decile count, not the data
-        val w = Window.orderBy(col("decile"))
+        // the decile count, not the data (TinyWindow names the claim)
+        val w = graft.operators.TinyWindow.total(col("decile"))(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         dec.withColumn("cum_n", sum(col("n")).over(w))
           .withColumn("cum_pos", sum(col("pos")).over(w))

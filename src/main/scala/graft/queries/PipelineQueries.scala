@@ -121,6 +121,57 @@ object PipelineQueries {
         posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
       .repartition(col("band_idx"), col("band_key"))
 
+  /** The near-dup CLUSTER frame (doc_id, comp) shared by d7 and c17: LSH
+    * band pairs -> iterative min-label propagation. ONE definition so the
+    * banding parameters and the propagation contract can't drift between
+    * the two consumers (see d7's comment for the two-level checkpoint
+    * rationale). Each call rebuilds to the same scratch root — the
+    * queries run sequentially in Verify/Bench, and a rebuild is exactly
+    * the d7 cost the bench already prices.
+    */
+  private def dupComponents(s: SparkSession, d: String): DataFrame = {
+    val bands = lshBandFrame(s, d)
+    val pairs = bands.as("x")
+      .join(bands.as("y").hint("shuffle_hash"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_key") === col("y.band_key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val scratch = graft.Scratch.dir(s, "dupcomps")
+    pairs.write.mode("overwrite").parquet(s"$scratch/pairs")
+    graft.operators.ConnectedComponents
+      .propagateMinLabel(s.read.parquet(s"$scratch/pairs"), "a_id", "b_id",
+        maxIter = 10, checkpointDir = Some(s"$scratch/labels"))
+      .select(col("node").as("doc_id"), col("comp"))
+  }
+
+  /** DuckDB SQL fragment mirroring [[dupComponents]] (bands -> pairs ->
+    * recursive reachability -> per-doc min label). Requires the caller's
+    * WITH to be RECURSIVE and to have interpolated sqlTok/sqlSig first.
+    */
+  private val sqlDupComps =
+    """bands AS (
+      |  SELECT doc_id, bi.b AS band_idx,
+      |    array_to_string(sig[bi.b*4 + 1 : bi.b*4 + 4], '_') AS band_key
+      |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bi
+      |), pairs AS (
+      |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM bands x JOIN bands y
+      |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+      |    AND x.doc_id < y.doc_id
+      |), sym AS (
+      |  SELECT a_id AS a, b_id AS b FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs
+      |), reach AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS comp
+      |  FROM reach GROUP BY a
+      |)""".stripMargin
+
   /** DuckDB SQL fragment: per-doc 3-gram shingle hashes + 16-slot minhash
     * signature (mirror of minhashSignature(shingleHashes, 16)).
     */
@@ -665,49 +716,17 @@ object PipelineQueries {
     // (graft.operators.ConnectedComponents), all equi-joins/groupBys; the
     // oracle computes the same fixpoint with a recursive CTE.
     Q("d7_dup_components",
-      (s, d) => {
-        val bands = lshBandFrame(s, d)
-        val pairs = bands.as("x")
-          .join(bands.as("y").hint("shuffle_hash"),
-            col("x.band_idx") === col("y.band_idx")
-              && col("x.band_key") === col("y.band_key")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-        // storage checkpoints on both levels — nothing pinned in memory:
-        //  - the edge list, so the LSH pipeline doesn't re-run once per
-        //    propagation round (lazy lineage re-executes inputs);
-        //  - each round's labels (checkpointDir), so round i doesn't replay
-        //    rounds 1..i-1 — O(i^2) -> O(i). Together: ~17 s -> ~4 s at
-        //    sf0.1. This is the production shape for iterating over derived
-        //    edges at any scale.
-        val scratch = graft.Scratch.dir(s, "d7")
-        pairs.write.mode("overwrite").parquet(s"$scratch/pairs")
-        graft.operators.ConnectedComponents
-          .propagateMinLabel(s.read.parquet(s"$scratch/pairs"), "a_id", "b_id",
-            maxIter = 10, checkpointDir = Some(s"$scratch/labels"))
-          .select(col("node").as("doc_id"), col("comp"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH RECURSIVE $sqlTok, $sqlSig, bands AS (
-              |  SELECT doc_id, bi.b AS band_idx,
-              |    array_to_string(sig[bi.b*4 + 1 : bi.b*4 + 4], '_') AS band_key
-              |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bi
-              |), pairs AS (
-              |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-              |  FROM bands x JOIN bands y
-              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-              |    AND x.doc_id < y.doc_id
-              |), sym AS (
-              |  SELECT a_id AS a, b_id AS b FROM pairs
-              |  UNION SELECT b_id, a_id FROM pairs
-              |), reach AS (
-              |  SELECT a, b FROM sym
-              |  UNION
-              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-              |)
-              |SELECT a AS doc_id, least(a, min(b)) AS comp
-              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+      // storage checkpoints on both levels inside dupComponents — nothing
+      // pinned in memory:
+      //  - the edge list, so the LSH pipeline doesn't re-run once per
+      //    propagation round (lazy lineage re-executes inputs);
+      //  - each round's labels (checkpointDir), so round i doesn't replay
+      //    rounds 1..i-1 — O(i^2) -> O(i). Together: ~17 s -> ~4 s at
+      //    sf0.1. This is the production shape for iterating over derived
+      //    edges at any scale.
+      (s, d) => dupComponents(s, d).orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $sqlTok, $sqlSig, $sqlDupComps
+              |SELECT doc_id, comp FROM comp ORDER BY doc_id""".stripMargin)),
 
     // D4: 32-bit SimHash over the token multiset — near-dup sketch whose
     // Hamming distance approximates cosine distance of the token vectors.
@@ -3707,22 +3726,7 @@ object PipelineQueries {
     // onto documents and one groupBy(comp).
     Q("c17_survivor_quality",
       (s, d) => {
-        val bands = lshBandFrame(s, d)
-        val pairs = bands.as("x")
-          .join(bands.as("y").hint("shuffle_hash"),
-            col("x.band_idx") === col("y.band_idx")
-              && col("x.band_key") === col("y.band_key")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-        val scratch = graft.Scratch.dir(s, "c17")
-        pairs.write.mode("overwrite").parquet(s"$scratch/pairs")
-        val comps = graft.operators.ConnectedComponents
-          .propagateMinLabel(s.read.parquet(s"$scratch/pairs"),
-            "a_id", "b_id", maxIter = 10,
-            checkpointDir = Some(s"$scratch/labels"))
-          .select(col("node").as("doc_id"), col("comp"))
-        comps
+        dupComponents(s, d)
           .join(documents(s, d)
             .select(col("doc_id"), col("n_chars").cast("long").as("nc")),
             Seq("doc_id"))
@@ -3736,26 +3740,7 @@ object PipelineQueries {
             (col("total_chars") - col("best.nc")).as("chars_dropped"))
           .orderBy("comp")
       },
-      Some(s"""WITH RECURSIVE $sqlTok, $sqlSig, bands AS (
-              |  SELECT doc_id, bi.b AS band_idx,
-              |    array_to_string(sig[bi.b*4 + 1 : bi.b*4 + 4], '_') AS band_key
-              |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bi
-              |), pairs AS (
-              |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-              |  FROM bands x JOIN bands y
-              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-              |    AND x.doc_id < y.doc_id
-              |), sym AS (
-              |  SELECT a_id AS a, b_id AS b FROM pairs
-              |  UNION SELECT b_id, a_id FROM pairs
-              |), reach AS (
-              |  SELECT a, b FROM sym
-              |  UNION
-              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-              |), comp AS (
-              |  SELECT a AS doc_id, least(a, min(b)) AS comp
-              |  FROM reach GROUP BY a
-              |), m AS (
+      Some(s"""WITH RECURSIVE $sqlTok, $sqlSig, $sqlDupComps, m AS (
               |  SELECT c.comp, dd.doc_id, CAST(dd.n_chars AS BIGINT) AS nc,
               |    row_number() OVER (PARTITION BY c.comp
               |      ORDER BY dd.n_chars DESC, dd.doc_id) AS rn

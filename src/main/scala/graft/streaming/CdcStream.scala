@@ -43,21 +43,33 @@ object CdcStream {
     * reset to 0 with a fresh checkpoint, and nanoTime is not comparable
     * across JVM/host reboots (ADVICE r13); either could make recovery or
     * GC prefer a STALE fold and silently discard committed keys.
-    * Write-complete = the dir carries parquet's `_SUCCESS` marker, so a
-    * first-batch crash mid-write (partial v-dir, no pointer yet) is
-    * recognizably garbage rather than a recovery candidate.
+    * Write-complete = the dir carries this module's own `_COMMIT` marker
+    * (written explicitly after the parquet job returns — relying on
+    * parquet's `_SUCCESS` would break on deployments that disable
+    * mapreduce's success markers, turning EVERY fold into apparent crash
+    * garbage) or, for dirs written by the legacy `v<batch>-<nanos>`
+    * naming, parquet's `_SUCCESS`. A first-batch crash mid-write
+    * (partial v-dir, no marker, no pointer yet) is recognizably garbage
+    * rather than a recovery candidate. Legacy-named dirs parse their
+    * batch id as the sequence so an upgraded state dir stays visible to
+    * recovery and reclaimable by GC.
     */
+  private[streaming] val Commit = "_COMMIT"
+
   private def versionDirs(s: SparkSession, stateDir: String)
       : Seq[(Long, Boolean, org.apache.hadoop.fs.Path)] = {
     val f = fs(s, stateDir)
     val root = new org.apache.hadoop.fs.Path(stateDir)
     if (!f.exists(root)) Seq.empty
     else f.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .filter(st => st.isDirectory
+        && st.getPath.getName.matches("v\\d+(-\\d+)?"))
       .map { st =>
-        val seq = st.getPath.getName.stripPrefix("v").toLong
+        val seq = st.getPath.getName.stripPrefix("v")
+          .takeWhile(_.isDigit).toLong
         val done = f.exists(
-          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+          new org.apache.hadoop.fs.Path(st.getPath, Commit)) ||
+          f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
         (seq, done, st.getPath)
       }
       .sortBy { case (seq, _, _) => -seq }
@@ -130,6 +142,11 @@ object CdcStream {
           .headOption.map(_._1).getOrElse(0L) + 1L
         val vDir = s"v$seq"
         next.write.mode("overwrite").parquet(s"$stateDir/$vDir")
+        // this module's own write-complete marker — parquet's _SUCCESS
+        // is conf-dependent (marksuccessfuljobs can be off), and a fold
+        // without a marker reads as crash garbage
+        f.create(new org.apache.hadoop.fs.Path(s"$stateDir/$vDir/$Commit"),
+          true).close()
         // pointer swap via FileContext.rename(OVERWRITE): single atomic
         // replace, so the pointer file is never absent mid-swap, and a
         // failure THROWS instead of being silently ignored (the old
@@ -148,11 +165,15 @@ object CdcStream {
         // micro-batch. Partial dirs below the published sequence are
         // crash garbage and go too; ordering is the persisted sequence
         // number, so a restart can never retain stale folds over fresh.
+        // The dir the pointer names is never deleted, whatever its rank
+        // (belt over suspenders for a manually restored pointer).
         val (committed, partial) =
           versionDirs(s, stateDir).partition(_._2)
+        val live = livePath(s, stateDir)
         (committed.drop(2) ++ partial.filter(_._1 < seq))
           .foreach { case (_, _, p) =>
-            if (p.getName != vDir) f.delete(p, true)
+            if (p.getName != vDir && !live.contains(p.toString))
+              f.delete(p, true)
           }
         ()
       }

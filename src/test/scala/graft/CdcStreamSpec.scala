@@ -145,6 +145,35 @@ class CdcStreamSpec extends SparkSpec {
       "the publish after a v99 partial must claim sequence 100")
   }
 
+  test("legacy v<batch>-<nanos> state dirs stay visible to recovery and " +
+      "are eventually GC'd") {
+    import spark.implicits._
+    val src = tmp("cdc_src7"); val state = tmp("cdc_state7")
+    // stage an OLD-format committed fold (pre-monotonic-counter naming,
+    // parquet _SUCCESS as its only marker) with a lost pointer
+    Seq((1L, 10L, 1L, "I", 5L)).toDF("key", "ts", "op_id", "op", "payload")
+      .write.parquet(s"$state/v3-171234567890")
+    val legacy = streaming.CdcStream.currentState(spark, state)
+      .collect().map(_.toString).sorted
+    assert(legacy.nonEmpty,
+      "recovery must fall back to a committed legacy-format dir")
+    // the next drains allocate ABOVE the legacy batch id (seq 4, 5) and
+    // the keep-2 GC eventually reclaims the legacy copy
+    Seq((2L, 20L, 2L, "I", 6L)).toDF("key", "ts", "op_id", "op", "payload")
+      .write.mode("append").parquet(src)
+    streaming.CdcStream.applyOnce(spark, src, state, tmp("cdc_ckpt7a"))
+    assert(new java.io.File(s"$state/v4").isDirectory,
+      "the first new-code publish must claim the sequence above the " +
+        "legacy batch id")
+    assert(streaming.CdcStream.currentState(spark, state).count() === 2L,
+      "the legacy fold's keys must survive the upgrade drain")
+    Seq((3L, 30L, 3L, "I", 7L)).toDF("key", "ts", "op_id", "op", "payload")
+      .write.mode("append").parquet(src)
+    streaming.CdcStream.applyOnce(spark, src, state, tmp("cdc_ckpt7b"))
+    assert(!new java.io.File(s"$state/v3-171234567890").exists(),
+      "keep-2 GC must reclaim the superseded legacy dir")
+  }
+
   test("a late OLDER op cannot resurrect a tombstoned key") {
     import spark.implicits._
     val src = tmp("cdc_src3"); val state = tmp("cdc_state3")

@@ -586,16 +586,20 @@ class PlanSpec extends SparkSpec {
     assert(pA.contains("partial_count") || pA.contains("HashAggregate"),
       "a39's distinct lost its partial aggregation")
     assert(!pA.contains("CartesianProduct"))
-    // w19: the pair join is a BROADCAST over the calendar-bounded daily
-    // frame (never a shuffled/cartesian product of fact rows), and the
-    // daily aggregate partial-combines before its shuffle
+    // w19: the daily compression runs at CONSTRUCTION into scratch; the
+    // consumer plan (pair join, histogram, day count) reads the
+    // calendar-bounded parquet only, and the pair join is a BROADCAST
+    // (never a shuffled/cartesian product)
     val pW = plan("w19_theil_sen")
+    assert("events.parquet".r.findAllIn(pW).length == 0,
+      "w19's consumer plan re-scans events — the daily level must come " +
+        "from the materialized scratch parquet:\n" + pW.take(1500))
+    assert(pW.contains("w19_daily"),
+      "materialized daily table missing from w19's plan")
     assert(!pW.contains("CartesianProduct"),
       "w19's pair join degraded to a cartesian product")
     assert(pW.contains("BroadcastNestedLoopJoin"),
       "w19's d1 < d2 pair join must ride the broadcast daily frame")
-    assert(pW.contains("partial_sum"),
-      "w19's daily compression lost map-side combine")
     // m17: exactly two fact passes (1-row cmax + the binned aggregate)
     val pM = plan("m17_calibration")
     assert("events.parquet".r.findAllIn(pM).length == 2,

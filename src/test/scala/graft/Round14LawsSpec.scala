@@ -294,6 +294,45 @@ class Round14LawsSpec extends SparkSpec {
       "b7 promo percentage")
   }
 
+  test("b8: the returned-items top-20 matches an exact BigInt replay of " +
+      "the bracketed three-table join") {
+    import org.apache.spark.sql.functions._
+    val got = q("b8_tpch_q10").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val ords = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("string")).collect()
+      .filter(r => r.getString(2) >= "1996-01-01"
+        && r.getString(2) < "1996-04-01")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val natName = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val custNat = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rev = scala.collection.mutable.Map.empty[Long, (BigInt, Long)]
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"))
+      .collect().foreach { r =>
+        ords.get(r.getLong(0)).foreach { ck =>
+          val (s0, n0) = rev.getOrElse(ck, (BigInt(0), 0L))
+          rev(ck) = (s0 + BigInt(r.getLong(1)) * (100 - r.getLong(2)),
+            n0 + 1)
+        }
+      }
+    val want = rev.toSeq
+      .map { case (ck, (s0, n0)) =>
+        (ck, natName(custNat(ck)), s0.toLong, n0)
+      }
+      .sortBy { case (ck, _, s0, _) => (-s0, ck) }.take(20)
+    assert(got.toSeq === want, "b8 ledger must match the BigInt replay")
+  }
+
   test("c17: the survivor is each cluster's exact (n_chars, -doc_id) " +
       "argmax and the dropped-characters ledger balances") {
     import org.apache.spark.sql.functions._
