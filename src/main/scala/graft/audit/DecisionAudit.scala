@@ -197,6 +197,14 @@ object DecisionAudit {
         "tie-break",
       Seq("round(l_extendedprice * 100)",
         "ORDER BY revenue_x1e4 DESC, c_custkey LIMIT 20")),
+    "b9_tpch_q17" -> GrainMargin(0.5,
+      "b2's discipline on the correlated-subquery face: the per-row " +
+        "qty/cents conversions are the only fp ops (0.5 margin each on " +
+        "integral-quantity, 2-dp-grain data); the 0.2·avg threshold is " +
+        "the exact integer cross-multiplication qty·5·cnt < sum_qty — " +
+        "no float division on the decision path — and avg_yearly emits " +
+        "as the truncating integer quotient div 7 of exact cents",
+      Seq("round(l_quantity)", "qty * 5 * cnt < sum_qty")),
     "b3_tpch_q3" -> GrainMargin(0.5,
       "b2's discipline verbatim: the two per-row cents/percent " +
         "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +

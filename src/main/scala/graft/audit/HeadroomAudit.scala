@@ -63,7 +63,23 @@ object HeadroomAudit {
     * is a constant factor.
     */
   def nonConstProducts(text: String): Seq[String] = {
-    val t = ws.replaceAllIn(margin.replaceAllIn(text, " "), " ")
+    val t0 = ws.replaceAllIn(margin.replaceAllIn(text, " "), " ")
+    // Constant factors are TRANSPARENT, not terminal: in `qty * 5 * cnt`
+    // neither adjacent site is var·var (`qty * 5` and `5 * cnt` are both
+    // const-sided), yet the composite product qty·cnt is exactly as
+    // unbounded as `qty * cnt` — the var·const·var sibling of the
+    // const-led chain ADVICE r13 flagged. Deleting bare integer factors
+    // (`* 123` and `123 *`) to a fixpoint makes the variable factors
+    // adjacent so the var·var scan below sees the composite site.
+    // Lookarounds keep digit-bearing identifiers (theta_x1e6) intact.
+    val dropRight = "\\*\\s*[0-9]+(?![0-9A-Za-z_.(])".r
+    val dropLeft = "(?<![0-9A-Za-z_.)])[0-9]+\\s*\\*".r
+    var t = t0
+    var prev = ""
+    while (t != prev) {
+      prev = t
+      t = dropLeft.replaceAllIn(dropRight.replaceAllIn(t, ""), "")
+    }
     // The right operand is a zero-width LOOKAHEAD so product sites can
     // overlap: in `2 * n1 * n2` the first match (`2 * `, filtered as
     // constant) must not consume `n1`, or the unbounded `n1 * n2` that
@@ -271,6 +287,15 @@ object HeadroomAudit {
         "accumulator ≤ 1e22 at 1e13 rows ≪ 1e38; no further product",
       Seq("round(l_extendedprice * 100)",
         "(100 - CAST(round(l_discount * 100) AS BIGINT))")),
+    "b9_tpch_q17" -> Headroom(
+      "the decision product qty·5·cnt: qty ≤ 1e4 at the data's integral " +
+        "grain and cnt = lineitems per part ≤ 1e9 even on a pathological " +
+        "hot part, so qty·5·cnt ≤ 5e13 rides int64 (dies only past " +
+        "cnt ≈ 1.8e14 rows on ONE part); sum_qty ≤ qty·cnt ≤ 1e13 " +
+        "likewise; the cents accumulator holds 1e13 rows · 1e9 cents = " +
+        "1e22 in decimal38 vs HUGEINT and its div-7 quotient emits at " +
+        "the same magnitude",
+      Seq("qty * 5 * cnt < sum_qty", "// 7")),
     "b4_tpch_q1" -> Headroom(
       "charge per row cents·(100−pct)·(100+tax) ≤ 1e7·100·210 ≈ 2e11; the " +
         "decimal38 accumulator holds 1e13 rows · 2e11 = 2e24 ≪ 1e38; the " +

@@ -64,12 +64,65 @@ object ExactSubstr {
         col("len"))
   }
 
+  /** Maximal WITHIN-document repeated token spans of length >= minLen
+    * (Lee et al.'s other excision source: the same span repeated inside
+    * ONE document — structurally excluded from `maximalSpans` by its
+    * `doc_a < doc_b` pair guard).
+    *
+    * Same anchor+LCE machinery on same-doc anchor pairs with `pa < pb`:
+    * the strict order keeps each occurrence pair counted once and drops
+    * the trivial self-diagonal (off = 0, every anchor matching itself).
+    * Maximality per (doc, off > 0) diagonal is d16's islands argument
+    * verbatim — tokens pa..pa+m−1 == (pa+off)..(pa+off+m−1) maximally
+    * iff the k-gram anchors on that diagonal are consecutive over
+    * [pa, pa+m−k]. Tandem repeats with period < k are one long diagonal
+    * run (the two sides OVERLAP — that is a valid repeat, not an
+    * artifact), and three occurrences of one span yield runs on all
+    * three pairwise diagonals, exactly the pair semantics
+    * ExactSubstrSpec's brute-force differential replays.
+    *
+    * @param occ anchor occurrences as in `maximalSpans`
+    * @return (doc_id, start_a, start_b, len) with start_a < start_b,
+    *         positions 1-based, len in tokens
+    */
+  def selfMaximalSpans(occ: DataFrame, k: Int, minLen: Int): DataFrame = {
+    val anch = occ.repartition(col("span"))
+    val pairs = anch.as("a")
+      .join(anch.as("b").hint("shuffle_hash"),
+        col("a.span") === col("b.span")
+          && col("a.doc_id") === col("b.doc_id")
+          && col("a.p") < col("b.p"))
+      .select(col("a.doc_id").as("doc"), col("a.p").as("pa"),
+        (col("b.p") - col("a.p")).as("off"))
+    val byDiag = Window.partitionBy(col("doc"), col("off"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("grp", col("pa") - row_number().over(byDiag))
+      .groupBy(col("doc"), col("off"), col("grp"))
+      .agg(min(col("pa")).as("start_a"),
+        (max(col("pa")) - min(col("pa")) + lit(k.toLong)).as("len"))
+      .filter(col("len") >= minLen)
+      .select(col("doc").as("doc_id"), col("start_a"),
+        (col("start_a") + col("off")).as("start_b"), col("len"))
+  }
+
   /** Anchor occurrences for a (doc_id, text) frame: one row per k-gram
     * with its 1-based start position.
     */
   def anchors(docs: DataFrame, textCol: Column, k: Int): DataFrame =
     docs.select(col("doc_id"),
       posexplode(graft.functions.TextFunctions.shinglesNative(textCol, k))
+        .as(Seq("p0", "span")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        col("span"))
+
+  /** Anchor occurrences for an already-tokenized (doc_id, tokens) frame —
+    * the entry point for callers that transform the token array before
+    * anchoring (d17's planted-repeat fixture).
+    */
+  def anchorsFromTokens(docs: DataFrame, tokensCol: Column, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.shingles(tokensCol, k))
         .as(Seq("p0", "span")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
         col("span"))

@@ -133,6 +133,18 @@ object SnapshotStore {
       throw new IllegalStateException(s"no published version under $root"))
     require(toVersion >= 1 && toVersion <= cur,
       s"rollback target v$toVersion outside published history 1..$cur")
+    // Retention is a POLICY boundary, not an accident of storage: a
+    // version inside published history whose data directory was
+    // reclaimed by vacuum() must fail with the policy named — not leak
+    // a parquet path-not-found from readVersion — because the caller's
+    // remedy (lengthen retention, or restore from a surviving version)
+    // is different from the remedy for a corrupt store.
+    if (!fs(s, root).exists(new Path(s"$root/v$toVersion")))
+      throw new IllegalStateException(
+        s"rollback target v$toVersion was vacuumed past the retention " +
+          s"window under $root: retention makes rollback outside the " +
+          "window impossible BY POLICY — restore from a retained " +
+          "version or lengthen `keep` before vacuuming")
     publish(readVersion(s, root, toVersion), root)
   }
 

@@ -3500,6 +3500,64 @@ object PipelineQueries {
               |FROM runs WHERE len >= 12
               |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin)),
 
+    // D17: exact maximal WITHIN-document repeats (VERDICT r13 #4) —
+    // d16's pair join is a.doc_id < b.doc_id, so Lee et al.'s OTHER
+    // excision source (the same span repeated INSIDE one document; t12's
+    // repetition ratio approximates it but reports no exact spans) is
+    // structurally excluded there. Same anchor+islands machinery on
+    // same-doc pairs with pa < pb: the strict order drops the trivial
+    // off = 0 self-diagonal and counts each occurrence pair once;
+    // tandem repeats with period < k are one long overlapping-sides run
+    // (a valid repeat, not an artifact — ExactSubstrSpec replays the
+    // period-2 and triple-occurrence cases against brute force).
+    // The synthetic corpus has no natural >= 12-token self-repeat at any
+    // scale (verified by running the oracle unplanted), so the fixture
+    // is PLANTED deterministically on both sides: every 7th doc with
+    // >= 30 tokens gets tokens 5..24 appended — a >= 20-token repeat
+    // whose maximal boundaries the operator must recover exactly.
+    // Scale shape is d16's verbatim: one exploded anchor subtree, both
+    // self-join sides the same exchange (ReusedExchange), islands window
+    // partitioned by (doc, diagonal) — state bounded by one run.
+    Q("d17_self_repeats",
+      (s, d) => {
+        import graft.operators.ExactSubstr
+        val planted = tokenized(s, d).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0 && size(col("w")) >= 30,
+            concat(col("w"), slice(col("w"), 5, 20)))
+            .otherwise(col("w")).as("w"))
+        val occ = ExactSubstr.anchorsFromTokens(planted, col("w"), 8)
+        ExactSubstr.selfMaximalSpans(occ, k = 8, minLen = 12)
+          .orderBy("doc_id", "start_a", "start_b")
+      },
+      Some(s"""WITH $sqlTok, pl AS (
+              |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 AND len(w) >= 30
+              |    THEN w || w[5:24] ELSE w END AS w
+              |  FROM tok
+              |), occ AS (
+              |  SELECT doc_id, CAST(u.i AS BIGINT) AS p,
+              |    array_to_string(w[u.i:u.i+7], ' ') AS span
+              |  FROM pl, unnest(range(1, len(w) - 6)) AS u(i)
+              |), pairs AS (
+              |  SELECT a.doc_id AS doc, a.p AS pa, b.p - a.p AS off
+              |  FROM occ a JOIN occ b
+              |    ON a.span = b.span AND a.doc_id = b.doc_id AND a.p < b.p
+              |), isl AS (
+              |  SELECT doc, off, pa,
+              |    pa - row_number() OVER (PARTITION BY doc, off
+              |      ORDER BY pa) AS grp
+              |  FROM pairs
+              |), runs AS (
+              |  SELECT doc, off, min(pa) AS start_a,
+              |    max(pa) - min(pa) + 8 AS len
+              |  FROM isl GROUP BY doc, off, grp
+              |)
+              |SELECT doc AS doc_id,
+              |  CAST(start_a AS BIGINT) AS start_a,
+              |  CAST(start_a + off AS BIGINT) AS start_b,
+              |  CAST(len AS BIGINT) AS len
+              |FROM runs WHERE len >= 12
+              |ORDER BY doc_id, start_a, start_b""".stripMargin)),
+
     // U9: snapshot RETENTION (vacuum) — the missing lifecycle face of
     // the u1-u8 table-format tier: storage is reclaimed by deleting
     // versions older than the retention window while the live pointer

@@ -510,6 +510,65 @@ object RelationalQueries {
              |GROUP BY c_custkey, n_name
              |ORDER BY revenue_x1e4 DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // B9: TPC-H Q17 (small-quantity-order revenue) — the CORRELATED
+    // SCALAR SUBQUERY face (VERDICT r13 #5): each lineitem row of the
+    // selected brand is compared against 0.2·avg(l_quantity) OF ITS OWN
+    // PART. Every engine must decorrelate this into a per-part aggregate
+    // joined back to the probe side; here the decorrelation is expressed
+    // as a PARTITIONED WINDOW over l_partkey — the per-part sum/count
+    // and the probe rows meet in ONE shuffle of ONE lineitem scan
+    // (the classic two-scan aggregate-join form reads the fact table
+    // twice and shuffles the probe side anyway; the window form is the
+    // plan you'd want at 100 TB, and PlanSpec pins the single scan).
+    // Exactness: l_qty < 0.2·avg(qty) ⟺ qty·5·cnt < sum_qty on exact
+    // longs (quantity is integral at the data's grain) — no float
+    // division on the decision path; avg_yearly emits as the truncating
+    // cents quotient div 7 (Q17's sum/7.0 at the x100 grain).
+    // Scale: the brand dimension filter broadcasts (1/25 of parts);
+    // window state is one part's lineitems — bounded by the hottest
+    // part, never the corpus; no cartesian anywhere.
+    Q("b9_tpch_q17",
+      (s, d) => {
+        val sel = part(s, d).filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey"))
+        val byPart = Window.partitionBy(col("l_partkey"))
+        lineitem(s, d)
+          .select(col("l_partkey"),
+            round(col("l_quantity")).cast("long").as("qty"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .join(broadcast(sel), col("l_partkey") === col("p_partkey"))
+          .withColumn("sum_qty", sum(col("qty")).over(byPart))
+          .withColumn("cnt", count(lit(1)).over(byPart))
+          .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents").cast("decimal(38,0)")).cast("long")
+              .as("sum_price_x100"))
+          .select(col("n_rows"), col("sum_price_x100"),
+            expr("CAST(CAST(sum_price_x100 AS DECIMAL(38,0)) div 7 AS BIGINT)")
+              .as("avg_yearly_x100"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey,
+             |    CAST(round(l_quantity) AS BIGINT) AS qty,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE p_brand = 'Brand#23'
+             |), ag AS (
+             |  -- the correlated scalar subquery, decorrelated: per-part
+             |  -- sum/count instead of 0.2*avg, so the threshold compare
+             |  -- is exact integer cross-multiplication
+             |  SELECT l_partkey AS pk, sum(qty) AS sum_qty,
+             |    count(*) AS cnt
+             |  FROM li GROUP BY l_partkey
+             |)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT)
+             |    AS sum_price_x100,
+             |  CAST(sum(CAST(cents AS HUGEINT)) // 7 AS BIGINT)
+             |    AS avg_yearly_x100
+             |FROM li JOIN ag ON l_partkey = pk
+             |WHERE qty * 5 * cnt < sum_qty""".stripMargin)),
+
     // J4: anti-join (sample_indexer.py:32-33 driver set-difference,
     // rebuilt distributed — SURVEY §7.3 hazard 1).
     Q("j4_anti_join",

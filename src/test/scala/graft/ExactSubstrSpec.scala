@@ -83,6 +83,83 @@ class ExactSubstrSpec extends SparkSpec {
       (2L, 3L, 1L, 1L, 7L)))
   }
 
+  // ----- selfMaximalSpans (d17): within-document repeats ---------------
+
+  private def selfSpans(docs: (Long, String)*): Seq[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val df = docs.toSeq.toDF("doc_id", "text")
+    ExactSubstr.selfMaximalSpans(
+        ExactSubstr.anchors(df, lower(col("text")), K), K, L)
+      .orderBy("doc_id", "start_a", "start_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("a planted within-document repeat is reported with exact boundaries") {
+    // tokens 2..9 repeat at position 11 — one (start_a, start_b, len) row
+    val rep = words(8, "r")
+    val got = selfSpans(1L -> s"a1 $rep a2 $rep a3 a4")
+    assert(got === Seq((1L, 2L, 11L, 8L)), s"got $got")
+  }
+
+  test("tandem repeat with period < k is ONE overlapping-sides run") {
+    // period-2 tandem: "x y" * 8 = 16 tokens. On diagonal off=2 the
+    // maximal match is w[1..14] == w[3..16] (sides OVERLAP — a valid
+    // repeat); diagonals 4, 6, 8, 10 carry the shorter echoes >= L
+    val t = (1 to 8).flatMap(_ => Seq("x", "y")).mkString(" ")
+    val got = selfSpans(1L -> t)
+    val want = (2 to 10 by 2).collect {
+      case off if 16 - off >= L => (1L, 1L, (1 + off).toLong, (16 - off).toLong)
+    }
+    assert(got === want, s"got $got want $want")
+  }
+
+  test("three occurrences of one span report every ordered position pair") {
+    val rep = words(6, "q")
+    val got = selfSpans(1L -> s"$rep z1 $rep z2 z3 $rep")
+    // occurrences at 1, 8, 16 -> pairs (1,8), (1,16), (8,16)
+    assert(got === Seq((1L, 1L, 8L, 6L), (1L, 1L, 16L, 6L),
+      (1L, 8L, 16L, 6L)), s"got $got")
+  }
+
+  test("self-repeats below minLen and the off=0 self-diagonal are suppressed") {
+    // a 5-token repeat (>= k, < L) and a doc with no repeat at all:
+    // nothing surfaces — in particular no row from anchors matching
+    // themselves at off = 0
+    val rep = words(5, "u")
+    val got = selfSpans(
+      1L -> s"$rep c1 c2 c3 $rep",
+      2L -> words(20, "fresh"))
+    assert(got.isEmpty, s"got $got")
+  }
+
+  test("selfMaximalSpans agrees with a brute-force diagonal scan on " +
+      "seeded small-vocab fixtures (dense accidental self-overlap)") {
+    for (seed <- 1 to 6; vsize <- 2 to 4) {
+      val vocab = (0 until vsize).map(v => s"v$v").toArray
+      def tok(i: Int) =
+        vocab(math.abs((i * 17 + seed * 7919) % vsize))
+      val n = 30 + seed * 3
+      val w = (1 to n).map(tok).toArray
+      val got = selfSpans(1L -> w.mkString(" ")).toSet
+      val want = (for {
+        off <- 1 to (n - 1)
+        run <- {
+          val ms = (0 until n - off).filter(i => w(i) == w(i + off))
+          ms.foldLeft(List.empty[List[Int]]) {
+            case (acc, i) if acc.nonEmpty && acc.head.head == i - 1 =>
+              (i :: acc.head) :: acc.tail
+            case (acc, i) => List(i) :: acc
+          }
+        }
+        len = run.length if len >= L
+      } yield (1L, (run.min + 1).toLong, (run.min + 1 + off).toLong,
+        len.toLong)).toSet
+      assert(got === want, s"seed=$seed vsize=$vsize: got=$got want=$want")
+    }
+  }
+
   test("agrees with a brute-force maximal-common-substring scan across " +
       "seeded fixtures (small vocab forces rich overlap structure)") {
     // deterministic pseudo-random fixtures checked against an O(n*m)

@@ -682,6 +682,35 @@ class PlanSpec extends SparkSpec {
       "d16's islands window lost its (pair, diagonal) partitioning")
   }
 
+  test("b9: the correlated scalar subquery decorrelates into ONE lineitem " +
+      "scan — brand dimension broadcast, per-part window, no second fact pass") {
+    val p = plan("b9_tpch_q17")
+    assert("lineitem.parquet".r.findAllIn(p).length == 1,
+      "b9 must scan lineitem exactly once (the window form computes the " +
+        "per-part aggregate and the probe in one shuffle):\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "b9's brand dimension join lost its broadcast:\n" + p.take(1500))
+    assert(p.contains("Window"),
+      "b9's per-part sum/count must ride a partitioned window")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "b9 must not shuffle a second fact side:\n" + p.take(1500))
+  }
+
+  test("d17: same-doc anchor join reuses one exploded exchange and the " +
+      "islands window is (doc, diagonal)-partitioned") {
+    val df = SparkEntry.queries("d17_self_repeats")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      "d17's anchor join degraded to a cartesian product")
+    assert(p.contains("ReusedExchange") ||
+      "documents.parquet".r.findAllIn(p).length <= 1,
+      "the exploded anchor side must be computed once:\n" + p.take(1500))
+    assert(!p.contains("windowspecdefinition()"),
+      "d17's islands window lost its (doc, diagonal) partitioning")
+  }
+
   test("b3's broadcast-less join is genuinely ADAPTIVE: AQE broadcasts a " +
       "measured-small side and keeps a measured-large side shuffled") {
     // 17809dc dropped b3's customer broadcast hint arguing AQE picks BHJ

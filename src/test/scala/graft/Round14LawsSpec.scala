@@ -354,4 +354,66 @@ class Round14LawsSpec extends SparkSpec {
     assert(got.toSeq === want,
       "survivor ledger must match the d7 clusters + documents replay")
   }
+
+  test("b9: Q17's small-quantity revenue matches an exact BigInt replay " +
+      "of the decorrelated per-part threshold") {
+    import org.apache.spark.sql.functions._
+    val rows = q("b9_tpch_q17").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val sel = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(x => (x.getLong(0), BigInt(x.getLong(1)),
+        BigInt(x.getLong(2))))
+      .filter(x => sel(x._1))
+    val byPart = li.groupBy(_._1).map { case (pk, xs) =>
+      pk -> ((xs.map(_._2).sum, BigInt(xs.length)))
+    }
+    val passing = li.filter { case (pk, qty, _) =>
+      val (sumQty, cnt) = byPart(pk)
+      qty * 5 * cnt < sumQty
+    }
+    val sumCents = passing.map(_._3).sum
+    assert(r.getLong(0) === passing.length.toLong, "n_rows")
+    assert(BigInt(r.getLong(1)) === sumCents, "sum_price_x100")
+    assert(BigInt(r.getLong(2)) === sumCents / 7, "avg_yearly_x100")
+  }
+
+  test("d17: every emitted span is a verbatim, MAXIMAL within-document " +
+      "repeat of the planted token stream, and every planted doc surfaces") {
+    import org.apache.spark.sql.functions._
+    val got = q("d17_self_repeats").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val toks = Tables.tokenizedDocs(spark, sfDir)
+      .select(col("doc_id"), col("w")).collect()
+      .map { r =>
+        val w = r.getSeq[String](1).toArray
+        val id = r.getLong(0)
+        id -> (if (id % 7 == 0 && w.length >= 30)
+          w ++ w.slice(4, 24) else w)
+      }.toMap
+    for ((doc, sa, sb, len) <- got) {
+      val w = toks(doc)
+      val a = w.slice(sa.toInt - 1, sa.toInt - 1 + len.toInt)
+      val b = w.slice(sb.toInt - 1, sb.toInt - 1 + len.toInt)
+      assert(len >= 12 && sa < sb, s"doc $doc span shape")
+      assert(a.toSeq === b.toSeq, s"doc $doc: emitted span is not verbatim")
+      // maximality: extending either end breaks the match or the boundary
+      val leftOk = sa == 1 ||
+        w(sa.toInt - 2) != w(sb.toInt - 2)
+      val rightOk = sb.toInt - 1 + len.toInt >= w.length ||
+        w(sa.toInt - 1 + len.toInt) != w(sb.toInt - 1 + len.toInt)
+      assert(leftOk && rightOk, s"doc $doc: span ($sa,$sb,$len) not maximal")
+    }
+    val planted = toks.keySet.filter(id => id % 7 == 0 &&
+      toks(id).length >= 50) // >= 30 original + 20 appended
+    val surfaced = got.map(_._1).toSet
+    assert(planted.subsetOf(surfaced),
+      s"planted docs missing from d17: ${(planted -- surfaced).take(5)}")
+  }
 }

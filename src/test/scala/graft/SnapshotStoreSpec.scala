@@ -134,6 +134,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 1L)
   }
 
+  test("retention makes rollback outside the window impossible BY POLICY (u9↔u7)") {
+    // VERDICT r13 #3: u9's contract says vacuuming a version ends its
+    // rollback eligibility AS POLICY — the failure must name retention,
+    // not surface as a missing-path parquet read, while rollback inside
+    // the window keeps working.
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    (1 to 4).foreach(i =>
+      SnapshotStore.publish(Seq((i.toLong, s"v$i")).toDF("id", "x"), root))
+    assert(SnapshotStore.vacuum(spark, root, keep = 2) == Seq(1, 2))
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.rollback(spark, root, 1)
+    }
+    assert(e.getMessage.contains("retention") && e.getMessage.contains("v1"),
+      s"policy error must name retention and the vacuumed version: ${e.getMessage}")
+    // inside the window the u7 contract is untouched: restore commits
+    // forward and carries v3's content
+    val v5 = SnapshotStore.rollback(spark, root, 3)
+    assert(v5 == 5)
+    assert(SnapshotStore.read(spark, root).as[(Long, String)].head()
+      == ((3L, "v3")))
+  }
+
   test("reading an unpublished root fails loudly") {
     val root = freshRoot()
     intercept[IllegalStateException] {
