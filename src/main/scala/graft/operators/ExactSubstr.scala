@@ -33,17 +33,39 @@ object ExactSubstr {
     *
     * @param occ anchor occurrences: (doc_id LONG, p LONG 1-based token
     *            position, span STRING the k-gram text)
+    * @param hashedAnchors join anchors on xxhash64(span) (8 bytes)
+    *            instead of the verbatim k-gram text. Measured at sf0.1
+    *            (BENCH_NOTES round 14): 2.03x fewer shuffle-write bytes,
+    *            wall-neutral locally — the shuffle cut is the knob that
+    *            matters on a 1000-executor corpus run. The price is
+    *            EXACTNESS: a 64-bit collision between two different
+    *            k-grams can pair unrelated positions or fuse two
+    *            genuinely-separate runs on one diagonal (an endpoint
+    *            re-check cannot restore strictness — a MIDDLE collision
+    *            bridges two real runs whose endpoints verify), so this
+    *            is Lee et al.'s documented corpus-scale concession
+    *            (~2^-64 per anchor pair), NOT the default. The default
+    *            keeps the verbatim-text key: anchors that join equal ARE
+    *            equal, no re-comparison, no probabilistic caveat.
+    *            ExactSubstrSpec holds both modes output-identical on the
+    *            seeded differential fixtures and the registered d16 stays
+    *            exact.
     * @return (doc_a, doc_b, start_a, start_b, len) with doc_a < doc_b,
     *         positions 1-based, len in tokens
     */
-  def maximalSpans(occ: DataFrame, k: Int, minLen: Int): DataFrame = {
+  def maximalSpans(occ: DataFrame, k: Int, minLen: Int,
+      hashedAnchors: Boolean = false): DataFrame = {
     // d3's self-join discipline: repartition both (identical) sides on
     // the join key and hint shuffle_hash — broadcasting one side of a
     // corpus-derived self-join is wrong at scale anyway, and with both
     // sides shuffled identically AQE dedups them into ONE exchange + a
     // ReusedExchange, so the corpus is scanned and exploded exactly once
     // (PlanSpec pins it).
-    val anch = occ.repartition(col("span"))
+    val keyed =
+      if (hashedAnchors)
+        occ.select(col("doc_id"), col("p"), xxhash64(col("span")).as("span"))
+      else occ
+    val anch = keyed.repartition(col("span"))
     val pairs = anch.as("a")
       .join(anch.as("b").hint("shuffle_hash"),
         col("a.span") === col("b.span")

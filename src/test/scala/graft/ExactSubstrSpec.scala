@@ -83,6 +83,26 @@ class ExactSubstrSpec extends SparkSpec {
       (2L, 3L, 1L, 1L, 7L)))
   }
 
+  test("hashedAnchors mode (the corpus-scale shuffle concession) agrees " +
+      "with the exact text-keyed mode on the seeded fixtures") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val vocab = Array("v0", "v1", "v2")
+      def tok(doc: Int, i: Int) =
+        vocab(math.abs((doc * 31 + i * 17 + seed * 7919) % 3))
+      val n = 40
+      val docs = (1 to 3).map(d =>
+        (d.toLong, (1 to n).map(i => tok(d, i)).mkString(" ")))
+      val df = docs.toDF("doc_id", "text")
+      val occ = ExactSubstr.anchors(df, lower(col("text")), K)
+      val exact = ExactSubstr.maximalSpans(occ, K, L)
+        .collect().map(_.toSeq).toSet
+      val hashed = ExactSubstr.maximalSpans(occ, K, L, hashedAnchors = true)
+        .collect().map(_.toSeq).toSet
+      assert(hashed === exact, s"seed=$seed: hashed-anchor output diverged")
+    }
+  }
+
   // ----- selfMaximalSpans (d17): within-document repeats ---------------
 
   private def selfSpans(docs: (Long, String)*): Seq[(Long, Long, Long, Long)] = {

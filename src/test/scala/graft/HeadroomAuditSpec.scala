@@ -52,6 +52,77 @@ class HeadroomAuditSpec extends SparkSpec {
       s"unaudited decimal/HUGEINT products in Scala source:\n${uncovered.mkString("\n")}")
   }
 
+  /** Whole-file comment-stripped source of every OTHER main package —
+    * operators/, similarity/, streaming/, eval/, model/, prep/,
+    * harness/, functions/, expressions/, … (VERDICT r13 #1: shared
+    * operator machinery is exactly where the next wide-integer product
+    * will be written, and the per-query block scan above never sees
+    * it). Keyed `file:<basename>`; a flagged file needs a
+    * `file:<basename>` row in HeadroomAudit.entries. The two audit
+    * registries are excluded BY NAME: their content is quoted bounds
+    * and pins of already-audited queries (HeadroomAudit's own pin
+    * strings would flag themselves), not executable arithmetic.
+    */
+  private lazy val nonQueryFiles: Map[String, String] = {
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val excluded = Set("HeadroomAudit.scala", "DecisionAudit.scala")
+    val files = java.nio.file.Files.walk(root).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.toString.endsWith(".scala")
+        && !p.toString.contains("/queries/")
+        && !excluded(p.getFileName.toString))
+    assert(files.size > 30, s"package walk looks broken: ${files.size} files")
+    files.map { p =>
+      val stripped = java.nio.file.Files.readString(p).linesIterator
+        .filterNot { l =>
+          val t = l.trim
+          t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
+        }.mkString("\n")
+      s"file:${p.getFileName}" -> stripped
+    }.toMap
+  }
+
+  test("every wide-integer product in NON-query main source has an entry " +
+      "(operators/similarity/streaming/eval/model/... — VERDICT r13 #1)") {
+    val uncovered = nonQueryFiles.toSeq.sortBy(_._1).collect {
+      case (key, src) if HeadroomAudit.suspects(src).nonEmpty &&
+          !HeadroomAudit.entries.contains(key) =>
+        s"$key: ${HeadroomAudit.suspects(src).take(3).mkString(" ; ")}"
+    }
+    assert(uncovered.isEmpty,
+      "unaudited decimal/HUGEINT products in non-query main packages " +
+        s"(add a file:<name> Headroom entry):\n${uncovered.mkString("\n")}")
+  }
+
+  test("the non-query scan fires on an operators-style planted product " +
+      "(positive control for the package-wide drill)") {
+    // what a future operators/ helper computing a decimal cross-product
+    // would look like to the file scanner: comment lines stripped, code
+    // and embedded SQL text intact
+    val planted =
+      """package graft.operators
+        |object RangeSketch {
+        |  def merge(df: DataFrame): DataFrame =
+        |    df.select(sum(col("n_lo").cast("decimal(38,0)")
+        |      * col("n_hi").cast("decimal(38,0)")).as("cross"))
+        |}""".stripMargin
+    val hits = HeadroomAudit.suspects(planted)
+    // the column-name quote ends the operand capture, so the recorded
+    // site is the `) * col(` product frame — presence is what matters
+    assert(hits.nonEmpty && hits.exists(_.contains("* col(")),
+      s"the planted operators-style product must be flagged, got: $hits")
+    // and the same text with the product behind a stripped comment line
+    // stays clean — the scan reads CODE, not prose
+    val prose =
+      """package graft.operators
+        |// decimal(38,0) discussion: n_lo * n_hi would overflow HUGEINT
+        |object RangeSketch { val k = 1 }""".stripMargin
+    val strippedProse = prose.linesIterator
+      .filterNot(_.trim.startsWith("//")).mkString("\n")
+    assert(HeadroomAudit.suspects(strippedProse).isEmpty,
+      "a comment-only mention must not flag after stripping")
+  }
+
   test("no stale entries: every audited name is flagged by a scanner") {
     val stale = HeadroomAudit.entries.keySet.filter { name =>
       val sqlHit = SparkEntry.oracleSql.get(name)
