@@ -205,6 +205,36 @@ object DecisionAudit {
         "no float division on the decision path — and avg_yearly emits " +
         "as the truncating integer quotient div 7 of exact cents",
       Seq("round(l_quantity)", "qty * 5 * cnt < sum_qty")),
+    "b10_tpch_q19" -> GrainMargin(0.5,
+      "b2's discipline on the disjunctive face: per-row cents/percent " +
+        "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +
+        "data); the brand/size/quantity band predicates compare raw " +
+        "integral-grain columns against integer literals (0.5 margin — " +
+        "the b6 pushdown rule), and revenue accumulates exact integers",
+      Seq("round(l_extendedprice * 100)", "l_quantity BETWEEN 1 AND 11")),
+    "b11_tpch_q15" -> GrainMargin(0.5,
+      "b2's discipline plus an exact-integer max selection: per-row " +
+        "cents/percent conversions are the only fp ops (0.5 margin " +
+        "each); the winner equality compares exact longs, so a tie is a " +
+        "genuine tie (Q15 returns all of them) and s_suppkey totals the " +
+        "order",
+      Seq("round(l_extendedprice * 100)",
+        "WHERE total_rev_x1e4 = (SELECT max(total_rev_x1e4) FROM rev)")),
+    "b12_tpch_q22" -> GrainMargin(0.5,
+      "balances are 2-dp-quantized, so round(c_acctbal*100) has 0.5 " +
+        "margin; the average-threshold decision is the exact integer " +
+        "cross-multiplication bal_c·n_pos > sum_pos (strict >, no float " +
+        "division), the anti-join is set membership, and the emitted " +
+        "totals are exact integer sums",
+      Seq("round(c_acctbal * 100)", "CAST(bal_c AS HUGEINT) * np > sp")),
+    "w20_ohlc_candles" -> GrainMargin(0.5,
+      "per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain values); open/close are selected under the exact " +
+        "TOTAL order (ts, event_id) — min_by/max_by with a unique " +
+        "integer key on the Spark side, the packed HUGEINT key " +
+        "epoch_ns·1e9 + event_id in DuckDB — so ties on ts cannot flip " +
+        "the selection, and high/low/range are exact integer extremes",
+      Seq("round(value * 100)", "* 1000000000 + event_id")),
     "b3_tpch_q3" -> GrainMargin(0.5,
       "b2's discipline verbatim: the two per-row cents/percent " +
         "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +

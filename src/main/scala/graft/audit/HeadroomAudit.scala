@@ -296,6 +296,32 @@ object HeadroomAudit {
         "1e22 in decimal38 vs HUGEINT and its div-7 quotient emits at " +
         "the same magnitude",
       Seq("qty * 5 * cnt < sum_qty", "// 7")),
+    "b10_tpch_q19" -> Headroom(
+      "b2's bound verbatim under a MORE selective predicate: per-row " +
+        "cents·(100−pct) ≤ 1e9, decimal38 accumulator ≤ 1e22 at 1e13 " +
+        "rows ≪ 1e38; no further product",
+      Seq("round(l_extendedprice * 100)",
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))")),
+    "b11_tpch_q15" -> Headroom(
+      "b2's bound per supplier: per-row cents·(100−pct) ≤ 1e9 and even " +
+        "a single supplier carrying the whole 1e13-row quarter keeps its " +
+        "decimal38 accumulator ≤ 1e22 ≪ 1e38; the max/equality consumers " +
+        "compare the emitted longs, no further product",
+      Seq("round(l_extendedprice * 100)",
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))")),
+    "b12_tpch_q22" -> Headroom(
+      "threshold cross-multiplication bal_c·n_pos: |bal_c| ≤ 1e9 cents " +
+        "(balances are bounded account values, not revenue sums) and " +
+        "n_pos ≤ 1e10 customers, so the product ≤ 1e19 EXCEEDS int64 — " +
+        "both engines ride it in DECIMAL(38,0)/HUGEINT (≪ 1e38); sum_pos " +
+        "≤ 1e19 likewise; the per-segment totals ≤ 1e19 emit after the " +
+        "rich-customer filter cuts them far below (documented envelope: " +
+        "output totals ≤ int64 at any segment skew because rich " +
+        "customers are a strict subset of positive balances ≤ 1e19 " +
+        "cents... the emitted cast stays within int64 for n_rich ≤ 9e9 " +
+        "at the 1e9-cent cap)",
+      Seq("CAST(bal_c AS HUGEINT) * np > sp",
+        "round(c_acctbal * 100)")),
     "b4_tpch_q1" -> Headroom(
       "charge per row cents·(100−pct)·(100+tax) ≤ 1e7·100·210 ≈ 2e11; the " +
         "decimal38 accumulator holds 1e13 rows · 2e11 = 2e24 ≪ 1e38; the " +

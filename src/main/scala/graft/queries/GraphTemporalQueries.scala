@@ -2890,6 +2890,55 @@ object GraphTemporalQueries {
              |SELECT event_type, hod, n_events, cents, mean_x100,
              |  CAST(row_number() OVER (PARTITION BY event_type
              |    ORDER BY mean_x100 DESC, hod) = 1 AS INT) AS is_peak
-             |FROM m ORDER BY event_type, hod""".stripMargin))
+             |FROM m ORDER BY event_type, hod""".stripMargin)),
+
+    // W20: OHLC candles — the ordered-endpoint aggregation face the
+    // w-series lacked: per (event_type, hour), OPEN and CLOSE are the
+    // values of the FIRST and LAST event in the bucket, HIGH/LOW the
+    // extremes. first/last are where nondeterminism classically leaks in
+    // (any-value under a hoped-for order); here they are min_by/max_by
+    // under the TOTAL order (ts, event_id) — event_id is unique, so ties
+    // on ts cannot flip the hash across engines or partitionings. The
+    // DuckDB mirror packs the same order into one HUGEINT key
+    // (epoch_ns·1e9 + event_id; the testdata envelope has event_id <
+    // 1e9 — the Spark side's struct order carries no such bound).
+    // Scale shape: ONE partial-combining groupBy over the fact table —
+    // min_by/max_by combine map-side like any min/max, so the shuffle
+    // carries one candle per (type, hour) per map partition; no window,
+    // no sort of the raw events.
+    Q("w20_ohlc_candles",
+      (s, d) => events(s, d)
+        .select(col("event_type"), expr("ts div 3600000000000").as("bin"),
+          col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n_events"),
+          min_by(col("c"), struct(col("ts"), col("event_id")))
+            .as("open_x100"),
+          max(col("c")).as("high_x100"),
+          min(col("c")).as("low_x100"),
+          max_by(col("c"), struct(col("ts"), col("event_id")))
+            .as("close_x100"))
+        .select(col("event_type"), col("bin"), col("n_events"),
+          col("open_x100"), col("high_x100"), col("low_x100"),
+          col("close_x100"),
+          (col("high_x100") - col("low_x100")).as("range_x100"))
+        .orderBy("event_type", "bin"),
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bin,
+             |    CAST(epoch_ns(ts) AS HUGEINT) * 1000000000 + event_id
+             |      AS ord,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |)
+             |SELECT event_type, bin,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  arg_min(c, ord) AS open_x100,
+             |  max(c) AS high_x100,
+             |  min(c) AS low_x100,
+             |  arg_max(c, ord) AS close_x100,
+             |  max(c) - min(c) AS range_x100
+             |FROM ev GROUP BY event_type, bin
+             |ORDER BY event_type, bin""".stripMargin))
   )
 }

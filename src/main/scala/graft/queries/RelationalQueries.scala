@@ -569,6 +569,171 @@ object RelationalQueries {
              |FROM li JOIN ag ON l_partkey = pk
              |WHERE qty * 5 * cnt < sum_qty""".stripMargin)),
 
+    // B10: TPC-H Q19 (discounted revenue, adapted to this schema's
+    // part columns) — the DISJUNCTIVE-PREDICATE face: an OR of three
+    // (brand, size-band, quantity-band) conjunctions mixing columns of
+    // BOTH join sides. The plan question every engine faces here is
+    // whether the per-side IMPLICATIONS of the disjunction reach the
+    // scans — brand/size bands to the part scan, the quantity envelope
+    // (BETWEEN 1 AND 30, the union of the three bands) to the lineitem
+    // scan — instead of filtering only after the join. Catalyst's
+    // constraint propagation does NOT derive cross-side OR implications
+    // from a join condition, so the single-side unions are stated
+    // explicitly (the CNF-derived residuals a Q19-aware planner emits);
+    // the full disjunction then decides post-join. PlanSpec pins both
+    // pushdowns. Quantity predicates compare the raw integral-grain
+    // double (b6's rule — a round() would kill parquet pushdown);
+    // revenue is b2's exact cents x (100 - pct).
+    Q("b10_tpch_q19",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .filter(col("l_quantity").between(1, 30)) // union envelope
+          .select(col("l_partkey"), col("l_quantity"),
+            (round(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_x1e4"))
+        val p = part(s, d)
+          .filter((col("p_brand") === "Brand#12"
+              && col("p_size").between(1, 5))
+            || (col("p_brand") === "Brand#23"
+              && col("p_size").between(1, 10))
+            || (col("p_brand") === "Brand#4"
+              && col("p_size").between(1, 15)))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val cond = (col("p_brand") === "Brand#12"
+            && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23"
+            && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#4"
+            && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey") && cond)
+          .agg(sum(col("rev_x1e4").cast("decimal(38,0)")).cast("long")
+            .as("revenue_x1e4"), count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             |    AS BIGINT) AS revenue_x1e4,
+             |  count(*) AS n_rows
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             |       AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             |       AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // B11: TPC-H Q15 (top supplier) — the AGGREGATE-EQUALS-MAX face:
+    // a per-supplier revenue view consumed TWICE, once for its maximum
+    // and once to select the row(s) attaining it. Lazy lineage would
+    // re-run the fact aggregate per consumer, so the tiny per-supplier
+    // ledger is materialized to scratch (the w19/a35 discipline —
+    // PlanSpec pins the zero-fact-scan consumer plan); the 1-row max
+    // then broadcasts against the ledger, and only the winners (a
+    // handful of rows) join the supplier dimension. No unpartitioned
+    // window anywhere: at 1e7 suppliers the ledger is a real table, and
+    // max-selection must stay an aggregate + broadcast equality, never
+    // a global rank. Ties: Q15 returns every supplier at the max (the
+    // spec's own semantics); s_suppkey is the total order.
+    Q("b11_tpch_q15",
+      (s, d) => {
+        val dir = graft.Scratch.dir(s, s"b11_rev_${graft.Scratch.key(d)}")
+        lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01")
+            && col("l_shipdate") < lit("1996-04-01"))
+          .select(col("l_suppkey"),
+            (round(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_x1e4"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("rev_x1e4").cast("decimal(38,0)")).cast("long")
+            .as("total_rev_x1e4"))
+          .write.mode("overwrite").parquet(dir)
+        val rev = s.read.parquet(dir)
+        val winners = rev
+          .join(broadcast(rev.agg(max(col("total_rev_x1e4")).as("mx"))),
+            col("total_rev_x1e4") === col("mx"))
+          .select(col("l_suppkey"), col("total_rev_x1e4"))
+        supplier(s, d).select(col("s_suppkey"), col("s_name"))
+          .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev_x1e4"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             |      AS BIGINT) AS total_rev_x1e4
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey
+             |)
+             |SELECT s_suppkey, s_name, total_rev_x1e4
+             |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+             |WHERE total_rev_x1e4 = (SELECT max(total_rev_x1e4) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // B12: TPC-H Q22 (global sales opportunity, adapted: mktsegment for
+    // the missing phone country code, a quarter window for the order
+    // anti-join since every customer here has SOME order) — the
+    // SCALAR-THRESHOLD + ANTI-JOIN face: customers whose balance
+    // exceeds the average positive balance AND who placed no order in
+    // 1996Q1, counted per segment. The average is never computed as a
+    // float: the threshold bal > sum_pos/n_pos is the exact
+    // cross-multiplication bal·n_pos > sum_pos on cents (strict >,
+    // both engines), riding decimal38/HUGEINT. Scale shape: one
+    // customer scan feeds the 1-row positive-balance aggregate
+    // (partial-combined), a second probe scan takes the broadcast
+    // threshold, and the NOT EXISTS is a distributed left-anti join
+    // against the date-bracketed orders scan (bracket pushed) — the
+    // driver-side set-difference this family replaced in round 1.
+    Q("b12_tpch_q22",
+      (s, d) => {
+        val cust = customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+        val thr = cust.filter(col("bal_c") > 0)
+          .agg(sum(col("bal_c").cast("decimal(38,0)")).as("sp"),
+            count(lit(1)).as("np"))
+        cust.join(broadcast(thr))
+          .filter(col("bal_c").cast("decimal(38,0)") * col("np")
+            > col("sp"))
+          .join(orders(s, d)
+              .filter(col("o_orderdate") >= lit("1996-01-01")
+                && col("o_orderdate") < lit("1996-04-01"))
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal_c").cast("decimal(38,0)")).cast("long")
+              .as("totacctbal_x100"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH c AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+             |  FROM customer
+             |), t AS (
+             |  SELECT CAST(sum(CAST(bal_c AS HUGEINT)) AS HUGEINT) AS sp,
+             |    CAST(count(*) AS BIGINT) AS np
+             |  FROM c WHERE bal_c > 0
+             |)
+             |SELECT c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS numcust,
+             |  CAST(sum(CAST(bal_c AS HUGEINT)) AS BIGINT)
+             |    AS totacctbal_x100
+             |FROM c, t
+             |WHERE CAST(bal_c AS HUGEINT) * np > sp
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |      AND o_orderdate < TIMESTAMP '1996-04-01')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // J4: anti-join (sample_indexer.py:32-33 driver set-difference,
     // rebuilt distributed — SURVEY §7.3 hazard 1).
     Q("j4_anti_join",

@@ -18,17 +18,21 @@ class HeadroomAuditSpec extends SparkSpec {
     */
   private lazy val scalaBlocks: Map[String, String] = {
     val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
-    val src = java.nio.file.Files.list(dir).toArray.toSeq
+    // blocks are split PER FILE: a file's last query block must end at
+    // the file boundary, not run into the next file's header scaladoc
+    // (whose `*`-prefixed prose lines survive the `//` strip and once
+    // produced phantom product sites in the preceding block)
+    java.nio.file.Files.list(dir).toArray.toSeq
       .map(p => java.nio.file.Files.readString(
         p.asInstanceOf[java.nio.file.Path]))
       .map(_.linesIterator.filterNot(_.trim.startsWith("//"))
         .mkString("\n"))
-      .mkString("\n")
-    val parts = src.split("Q\\(\"")
-    parts.drop(1).flatMap { part =>
-      val name = part.takeWhile(_ != '"')
-      if (name.matches("[a-z][a-z0-9_]+")) Some(name -> part) else None
-    }.toMap
+      .flatMap { src =>
+        src.split("Q\\(\"").drop(1).flatMap { part =>
+          val name = part.takeWhile(_ != '"')
+          if (name.matches("[a-z][a-z0-9_]+")) Some(name -> part) else None
+        }
+      }.toMap
   }
 
   test("every wide-integer product in an oracle SQL has a headroom entry") {

@@ -66,7 +66,8 @@ class JoinShapeGuardSpec extends SparkSpec {
     "m17_calibration",        // 1-row cmax frame (decile denominator)
     "f9_survival_km",         // 1-row observation-end + user-total frames
     "c18_distribution_drift", // 1-row cutoff + half-total frames
-    "m18_gains_table"         // 1-row (N, positives) totals frame
+    "m18_gains_table",        // 1-row (N, positives) totals frame
+    "b12_tpch_q22"            // 1-row positive-balance threshold frame
   )
   // (c16's scalar crossJoins execute at construction, before the
   // per-round materialization — its RETURNED plan is a parquet read +

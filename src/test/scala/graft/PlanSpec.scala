@@ -711,6 +711,57 @@ class PlanSpec extends SparkSpec {
       "d17's islands window lost its (doc, diagonal) partitioning")
   }
 
+  test("b10/b11/b12/w20 keep their scale shapes (disjunction implications " +
+      "pushed, zero-fact-scan max consumer, anti-join + 1-row threshold, " +
+      "partial min_by/max_by)") {
+    // b10 (Q19): the per-side implications of the three-band disjunction
+    // reach BOTH scans — quantity envelope + band-OR on lineitem, the
+    // (brand, size) OR on part — and the join stays a broadcast equi-join
+    // with the full disjunction as residual
+    val p10 = plan("b10_tpch_q19")
+    assert(p10.contains("LessThanOrEqual(l_quantity,30.0)"),
+      "b10's quantity envelope no longer reaches the lineitem scan:\n" +
+        p10.take(1500))
+    assert(p10.contains("Or(Or(And(EqualTo(p_brand,Brand#12)"),
+      "b10's (brand, size) disjunction no longer reaches the part scan")
+    assert(p10.contains("BroadcastHashJoin") &&
+      !p10.contains("CartesianProduct"),
+      "b10's join must stay a broadcast equi-join")
+    assert("lineitem.parquet".r.findAllIn(p10).length == 1,
+      "b10 must scan lineitem exactly once")
+    // b11 (Q15): the consumer plan reads the materialized per-supplier
+    // ledger — the fact table is never rescanned for max or equality
+    val p11 = plan("b11_tpch_q15")
+    assert("lineitem.parquet".r.findAllIn(p11).length == 0,
+      "b11's consumer plan re-scans lineitem — the revenue ledger must " +
+        "come from the materialized scratch parquet:\n" + p11.take(1500))
+    assert(p11.contains("b11_rev"),
+      "materialized revenue ledger missing from b11's plan")
+    assert(p11.contains("BroadcastHashJoin"),
+      "b11's winner/supplier joins must broadcast the tiny sides")
+    // b12 (Q22): two customer passes (threshold + probe), date-bracketed
+    // anti-join, 1-row threshold broadcast
+    val p12 = plan("b12_tpch_q22")
+    assert("customer.parquet".r.findAllIn(p12).length == 2,
+      "b12 must scan customer exactly twice (threshold + probe):\n" +
+        p12.take(1500))
+    assert(p12.contains("LeftAnti"),
+      "b12's NOT EXISTS must stay a distributed anti-join")
+    assert(p12.contains("GreaterThanOrEqual(o_orderdate"),
+      "b12's quarter bracket no longer reaches the orders scan")
+    assert(p12.contains("BroadcastNestedLoopJoin"),
+      "b12's 1-row threshold must ride a broadcast")
+    // w20: one events scan; min_by/max_by partial-aggregate map-side so
+    // the shuffle carries one candle per group per map partition
+    val pW = plan("w20_ohlc_candles")
+    assert("events.parquet".r.findAllIn(pW).length == 1,
+      "w20 must scan events exactly once:\n" + pW.take(1500))
+    assert(pW.contains("partial_min_by") && pW.contains("partial_max_by"),
+      "w20's open/close selection lost map-side combine")
+    assert(!pW.contains("Window"),
+      "w20 must stay a grouped aggregate, never a window over raw events")
+  }
+
   test("b3's broadcast-less join is genuinely ADAPTIVE: AQE broadcasts a " +
       "measured-small side and keeps a measured-large side shuffled") {
     // 17809dc dropped b3's customer broadcast hint arguing AQE picks BHJ

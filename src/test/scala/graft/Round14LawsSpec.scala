@@ -383,6 +383,104 @@ class Round14LawsSpec extends SparkSpec {
     assert(BigInt(r.getLong(2)) === sumCents / 7, "avg_yearly_x100")
   }
 
+  test("b10: Q19's disjunctive revenue matches an exact BigInt replay of " +
+      "the three-band predicate") {
+    import org.apache.spark.sql.functions._
+    val r = q("b10_tpch_q19").collect().head
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size")).collect()
+      .map(x => (x.getLong(0), (x.getString(1), x.getInt(2)))).toMap
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"))
+      .collect().flatMap { x =>
+        val (q9, c, pc) = (x.getLong(1), BigInt(x.getLong(2)), x.getLong(3))
+        parts.get(x.getLong(0)).collect {
+          case ("Brand#12", sz) if sz >= 1 && sz <= 5 && q9 >= 1 && q9 <= 11 =>
+            c * (100 - pc)
+          case ("Brand#23", sz) if sz >= 1 && sz <= 10 && q9 >= 10 && q9 <= 20 =>
+            c * (100 - pc)
+          case ("Brand#4", sz) if sz >= 1 && sz <= 15 && q9 >= 20 && q9 <= 30 =>
+            c * (100 - pc)
+        }
+      }
+    assert(BigInt(r.getLong(0)) === rows.sum, "revenue_x1e4")
+    assert(r.getLong(1) === rows.length.toLong, "n_rows")
+  }
+
+  test("b11: Q15's winners are exactly the suppliers attaining the exact " +
+      "max quarter revenue (BigInt replay)") {
+    import org.apache.spark.sql.functions._
+    val got = q("b11_tpch_q15").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1996-04-01"))
+      .select(col("l_suppkey"), round(col("l_extendedprice") * 100)
+        .cast("long"), round(col("l_discount") * 100).cast("long"))
+      .collect().map(x => (x.getLong(0),
+        BigInt(x.getLong(1)) * (100 - x.getLong(2))))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val mx = rev.values.max
+    val names = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = rev.filter(_._2 == mx).toSeq
+      .map { case (k, v) => (k, names(k), v.toLong) }.sortBy(_._1)
+    assert(got.toSeq === want, "winner set must match the BigInt replay")
+  }
+
+  test("b12: the rich-inactive segment ledger matches an exact BigInt " +
+      "replay of the cross-multiplied threshold and the quarter anti-join") {
+    import org.apache.spark.sql.functions._
+    val got = q("b12_tpch_q22").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), BigInt(r.getLong(2))))
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (sp, np) = (pos.sum, BigInt(pos.length))
+    val active = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1996-04-01"))
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val want = cust
+      .filter { case (ck, _, bal) => bal * np > sp && !active(ck) }
+      .groupBy(_._2).map { case (seg, xs) =>
+        (seg, xs.length.toLong, xs.map(_._3).sum.toLong)
+      }.toSeq.sortBy(_._1)
+    assert(got.toSeq === want, "segment ledger must match the replay")
+  }
+
+  test("w20: candles cohere (low <= open/close <= high) and open/close " +
+      "match an explicit (ts, event_id) sort replay") {
+    import org.apache.spark.sql.functions._
+    val got = q("w20_ohlc_candles").collect().map(r =>
+      ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))))
+    assert(got.nonEmpty)
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 3600000000000"),
+        col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val byBin = raw.groupBy(_._1)
+    assert(got.length === byBin.size, "one candle per (type, hour)")
+    for (((key, (n, open, high, low, close, range)), _) <- got.zipWithIndex) {
+      val evs = byBin(key).map(_._2).sortBy(e => (e._1, e._2))
+      assert(n === evs.length.toLong, s"$key n_events")
+      assert(open === evs.head._3, s"$key open")
+      assert(close === evs.last._3, s"$key close")
+      assert(high === evs.map(_._3).max && low === evs.map(_._3).min, s"$key hl")
+      assert(range === high - low && low <= open && open <= high
+        && low <= close && close <= high, s"$key coherence")
+    }
+  }
+
   test("d17: every emitted span is a verbatim, MAXIMAL within-document " +
       "repeat of the planted token stream, and every planted doc surfaces") {
     import org.apache.spark.sql.functions._
