@@ -235,6 +235,13 @@ object DecisionAudit {
         "epoch_ns·1e9 + event_id in DuckDB — so ties on ts cannot flip " +
         "the selection, and high/low/range are exact integer extremes",
       Seq("round(value * 100)", "* 1000000000 + event_id")),
+    "b13_tpch_q7" -> GrainMargin(0.5,
+      "b2's discipline on the dual-chain join: per-row cents/percent " +
+        "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +
+        "data); the nation-pair filter compares strings, year() is exact " +
+        "calendar arithmetic, and the (pair, year) grouping totals order " +
+        "the output",
+      Seq("round(l_extendedprice * 100)", "year(l_shipdate)")),
     "b3_tpch_q3" -> GrainMargin(0.5,
       "b2's discipline verbatim: the two per-row cents/percent " +
         "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +

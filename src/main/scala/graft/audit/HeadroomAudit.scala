@@ -309,6 +309,12 @@ object HeadroomAudit {
         "compare the emitted longs, no further product",
       Seq("round(l_extendedprice * 100)",
         "(100 - CAST(round(l_discount * 100) AS BIGINT))")),
+    "b13_tpch_q7" -> Headroom(
+      "b2's bound verbatim on the two-chain join: per-row " +
+        "cents·(100−pct) ≤ 1e9, each (nation-pair, year) decimal38 " +
+        "accumulator ≤ 1e22 at 1e13 rows ≪ 1e38; no further product",
+      Seq("round(l_extendedprice * 100)",
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))")),
     "b12_tpch_q22" -> Headroom(
       "threshold cross-multiplication bal_c·n_pos: |bal_c| ≤ 1e9 cents " +
         "(balances are bounded account values, not revenue sums) and " +

@@ -734,6 +734,71 @@ object RelationalQueries {
              |      AND o_orderdate < TIMESTAMP '1996-04-01')
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // B13: TPC-H Q7 (volume shipping, adapted nation names) — the
+    // DUAL-DIMENSION-CHAIN face: one fact table reaches the nation
+    // dimension through TWO independent chains (lineitem→supplier→
+    // nation for the shipping side, lineitem→orders→customer→nation
+    // for the receiving side), with the (FRANCE,GERMANY)|(GERMANY,
+    // FRANCE) pair filter spanning BOTH chains — it can only decide
+    // after both joins, but each chain's nation/supplier lookup is a
+    // broadcast so the fact rows are filtered down before the
+    // orders/customer fact-fact joins (AQE decides those, b3's rule).
+    // The two-year bracket is a pushed RANGE on l_shipdate; the year
+    // GROUPING extracts after the scan (the j3 lesson: year() in a
+    // FILTER kills pushdown, year() in a projection costs nothing).
+    Q("b13_tpch_q7",
+      (s, d) => {
+        val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        val li = lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01")
+            && col("l_shipdate") < lit("1997-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("yr"),
+            (round(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_x1e4"))
+        li.join(broadcast(supplier(s, d)
+              .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat.as("n1")),
+            col("s_nationkey") === col("n1.n_nationkey"))
+          .withColumnRenamed("n_name", "supp_nation")
+          .filter(col("supp_nation").isin("NATION_3", "NATION_7"))
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat.as("n2")),
+            col("c_nationkey") === col("n2.n_nationkey"))
+          .withColumnRenamed("n_name", "cust_nation")
+          .filter((col("supp_nation") === "NATION_3"
+              && col("cust_nation") === "NATION_7")
+            || (col("supp_nation") === "NATION_7"
+              && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("rev_x1e4").cast("decimal(38,0)")).cast("long")
+              .as("revenue_x1e4"))
+          .orderBy("supp_nation", "cust_nation", "yr")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS BIGINT) AS yr,
+             |  count(*) AS n_rows,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             |    AS BIGINT) AS revenue_x1e4
+             |FROM lineitem
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+             |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // J4: anti-join (sample_indexer.py:32-33 driver set-difference,
     // rebuilt distributed — SURVEY §7.3 hazard 1).
     Q("j4_anti_join",

@@ -751,6 +751,18 @@ class PlanSpec extends SparkSpec {
       "b12's quarter bracket no longer reaches the orders scan")
     assert(p12.contains("BroadcastNestedLoopJoin"),
       "b12's 1-row threshold must ride a broadcast")
+    // b13 (Q7): two-year bracket pushed to the lineitem scan, both
+    // nation lookups broadcast, one lineitem scan, no cartesian
+    val p13 = plan("b13_tpch_q7")
+    assert(p13.contains("GreaterThanOrEqual(l_shipdate"),
+      "b13's two-year bracket no longer reaches the lineitem scan:\n" +
+        p13.take(1500))
+    assert("lineitem.parquet".r.findAllIn(p13).length == 1,
+      "b13 must scan lineitem exactly once")
+    assert("BroadcastHashJoin".r.findAllIn(p13).length >= 3,
+      "b13's supplier/nation lookups lost their broadcasts:\n" +
+        p13.take(1500))
+    assert(!p13.contains("CartesianProduct"))
     // w20: one events scan; min_by/max_by partial-aggregate map-side so
     // the shuffle carries one candle per group per map partition
     val pW = plan("w20_ohlc_candles")

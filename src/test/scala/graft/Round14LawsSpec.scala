@@ -454,6 +454,46 @@ class Round14LawsSpec extends SparkSpec {
     assert(got.toSeq === want, "segment ledger must match the replay")
   }
 
+  test("b13: Q7's nation-pair volume table matches an exact BigInt replay " +
+      "of the dual-chain join") {
+    import org.apache.spark.sql.functions._
+    val got = q("b13_tpch_q7").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val natName = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val suppNat = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => (r.getLong(0), natName(r.getInt(1)))).toMap
+    val custNat = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => (r.getLong(0), natName(r.getInt(1)))).toMap
+    val ordCust = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pair = Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))
+    val want = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"))
+      .collect().flatMap { r =>
+        val sn = suppNat(r.getLong(1))
+        val cn = custNat(ordCust(r.getLong(0)))
+        if (pair((sn, cn)))
+          Some(((sn, cn, r.getLong(2)),
+            BigInt(r.getLong(3)) * (100 - r.getLong(4))))
+        else None
+      }
+      .groupBy(_._1).map { case ((sn, cn, yr), xs) =>
+        (sn, cn, yr, xs.length.toLong, xs.map(_._2).sum.toLong)
+      }.toSeq.sortBy(x => (x._1, x._2, x._3))
+    assert(got.toSeq === want, "b13 volume table must match the replay")
+  }
+
   test("w20: candles cohere (low <= open/close <= high) and open/close " +
       "match an explicit (ts, event_id) sort replay") {
     import org.apache.spark.sql.functions._
