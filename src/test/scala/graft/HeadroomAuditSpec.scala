@@ -56,6 +56,19 @@ class HeadroomAuditSpec extends SparkSpec {
       s"unaudited decimal/HUGEINT products in Scala source:\n${uncovered.mkString("\n")}")
   }
 
+  /** Comment stripping for whole-file scans: remove BLOCK comments
+    * (scaladoc prose mentions of DECIMAL(38/HUGEINT and `a * b` would
+    * otherwise flag) and `//` lines, but KEEP code lines that merely
+    * START with `*` — that is this codebase's multiplication-
+    * continuation style (`sum(col("a").cast(...)` newline
+    * `  * col("b"))`), i.e. exactly the product lines the scan exists
+    * to see. (The first cut stripped leading-`*` lines and was blind
+    * to them — caught by the round-14 self-review.)
+    */
+  private def stripComments(raw: String): String =
+    "(?s)/\\*.*?\\*/".r.replaceAllIn(raw, "")
+      .linesIterator.filterNot(_.trim.startsWith("//")).mkString("\n")
+
   /** Whole-file comment-stripped source of every OTHER main package —
     * operators/, similarity/, streaming/, eval/, model/, prep/,
     * harness/, functions/, expressions/, … (VERDICT r13 #1: shared
@@ -77,12 +90,8 @@ class HeadroomAuditSpec extends SparkSpec {
         && !excluded(p.getFileName.toString))
     assert(files.size > 30, s"package walk looks broken: ${files.size} files")
     files.map { p =>
-      val stripped = java.nio.file.Files.readString(p).linesIterator
-        .filterNot { l =>
-          val t = l.trim
-          t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
-        }.mkString("\n")
-      s"file:${p.getFileName}" -> stripped
+      s"file:${p.getFileName}" ->
+        stripComments(java.nio.file.Files.readString(p))
     }.toMap
   }
 
@@ -99,32 +108,37 @@ class HeadroomAuditSpec extends SparkSpec {
   }
 
   test("the non-query scan fires on an operators-style planted product " +
-      "(positive control for the package-wide drill)") {
+      "(positive control THROUGH the production stripping path)") {
     // what a future operators/ helper computing a decimal cross-product
-    // would look like to the file scanner: comment lines stripped, code
-    // and embedded SQL text intact
+    // looks like to the file scanner — written in the codebase's own
+    // leading-`*` multiplication-continuation style, THROUGH the same
+    // stripComments the real scan applies (a control that bypassed the
+    // stripping could stay green while the production path went blind)
     val planted =
       """package graft.operators
+        |/** A sketch merge.
+        |  * prose product mention: n_a * n_b in DECIMAL(38,0) — ignored.
+        |  */
         |object RangeSketch {
+        |  // line comment: another n_a * n_b HUGEINT mention — ignored
         |  def merge(df: DataFrame): DataFrame =
         |    df.select(sum(col("n_lo").cast("decimal(38,0)")
         |      * col("n_hi").cast("decimal(38,0)")).as("cross"))
         |}""".stripMargin
-    val hits = HeadroomAudit.suspects(planted)
+    val hits = HeadroomAudit.suspects(stripComments(planted))
     // the column-name quote ends the operand capture, so the recorded
     // site is the `) * col(` product frame — presence is what matters
     assert(hits.nonEmpty && hits.exists(_.contains("* col(")),
-      s"the planted operators-style product must be flagged, got: $hits")
-    // and the same text with the product behind a stripped comment line
-    // stays clean — the scan reads CODE, not prose
+      s"the planted continuation-style product must be flagged after " +
+        s"stripping, got: $hits")
+    // and a file where the ONLY mentions are comment prose stays clean
     val prose =
       """package graft.operators
-        |// decimal(38,0) discussion: n_lo * n_hi would overflow HUGEINT
+        |/** decimal(38,0) discussion: n_lo * n_hi would overflow. */
+        |// and HUGEINT too: n_a * n_b
         |object RangeSketch { val k = 1 }""".stripMargin
-    val strippedProse = prose.linesIterator
-      .filterNot(_.trim.startsWith("//")).mkString("\n")
-    assert(HeadroomAudit.suspects(strippedProse).isEmpty,
-      "a comment-only mention must not flag after stripping")
+    assert(HeadroomAudit.suspects(stripComments(prose)).isEmpty,
+      "comment-only mentions must not flag after stripping")
   }
 
   test("no stale entries: every audited name is flagged by a scanner") {
@@ -133,7 +147,11 @@ class HeadroomAuditSpec extends SparkSpec {
         .exists(HeadroomAudit.suspects(_).nonEmpty)
       val srcHit = scalaBlocks.get(name)
         .exists(HeadroomAudit.suspects(_).nonEmpty)
-      !sqlHit && !srcHit
+      // file:<name> entries (the non-query package drill) are live as
+      // long as their file still carries a suspect product
+      val fileHit = nonQueryFiles.get(name)
+        .exists(HeadroomAudit.suspects(_).nonEmpty)
+      !sqlHit && !srcHit && !fileHit
     }
     assert(stale.isEmpty, s"headroom entries nothing flags anymore: $stale")
   }
@@ -143,13 +161,36 @@ class HeadroomAuditSpec extends SparkSpec {
     for ((name, h) <- HeadroomAudit.entries.toSeq.sortBy(_._1)) {
       if (!"[0-9](e|E)[0-9]".r.findFirstIn(h.bound).isDefined)
         broken += s"$name: bound states no power-of-ten magnitude"
+      // a query entry's pins anchor in its oracle SQL or Scala block;
+      // a file: entry's pins anchor in that file's stripped source
       val sql = SparkEntry.oracleSql.getOrElse(name,
-        scalaBlocks.getOrElse(name, ""))
+        scalaBlocks.getOrElse(name, nonQueryFiles.getOrElse(name, "")))
       for (pin <- h.pins if !sql.contains(pin))
         broken += s"$name: missing pin «$pin»"
     }
     assert(broken.result().isEmpty,
       s"headroom discipline drifted:\n${broken.result().mkString("\n")}")
+  }
+
+  test("a file: entry is satisfiable end-to-end (the remediation the " +
+      "non-query drill prescribes actually closes its loop)") {
+    // simulate the full lifecycle on synthetic maps mirroring the three
+    // tests above: a planted operators file with a suspect product, plus
+    // its file:<name> entry — flagged, not stale, pins resolvable
+    val fileText = stripComments(
+      """object RangeSketch {
+        |  val cross = sum(col("n_lo").cast("decimal(38,0)")
+        |    * col("n_hi").cast("decimal(38,0)"))
+        |}""".stripMargin)
+    val entry = HeadroomAudit.Headroom(
+      "n_lo·n_hi ≤ 1e13·1e13 = 1e26 in decimal38",
+      Seq("* col(\"n_hi\").cast(\"decimal(38,0)\")"))
+    assert(HeadroomAudit.suspects(fileText).nonEmpty,
+      "the planted file must be flagged (drill trigger)")
+    assert(entry.pins.forall(fileText.contains),
+      "the entry's pins must anchor in the stripped file text")
+    assert("[0-9](e|E)[0-9]".r.findFirstIn(entry.bound).isDefined,
+      "the entry's bound must state a magnitude")
   }
 
   test("detector fires on the round-11 a28 overflow text, replayed verbatim") {

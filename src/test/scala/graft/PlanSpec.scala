@@ -678,8 +678,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") ||
       "documents.parquet".r.findAllIn(p).length <= 1,
       "the exploded anchor side must be computed once:\n" + p.take(1500))
-    assert(!p.contains("windowspecdefinition()"),
-      "d16's islands window lost its (pair, diagonal) partitioning")
+    // the partition columns print INSIDE windowspecdefinition(...), so
+    // losing them leaves `windowspecdefinition(pa#N ASC ...` — assert
+    // the (pair, diagonal) columns lead the spec (a bare `()` can never
+    // print; the first cut of this pin was vacuous)
+    assert("windowspecdefinition\\(da#\\d+L, db#\\d+L, off#\\d+L, pa#".r
+        .findFirstIn(p).isDefined,
+      "d16's islands window lost its (pair, diagonal) partitioning:\n" +
+        p.take(1500))
   }
 
   test("b9: the correlated scalar subquery decorrelates into ONE lineitem " +
@@ -707,8 +713,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") ||
       "documents.parquet".r.findAllIn(p).length <= 1,
       "the exploded anchor side must be computed once:\n" + p.take(1500))
-    assert(!p.contains("windowspecdefinition()"),
-      "d17's islands window lost its (doc, diagonal) partitioning")
+    // same non-vacuous form as d16's pin: the (doc, diagonal) partition
+    // columns must lead the printed window spec
+    assert("windowspecdefinition\\(doc#\\d+L, off#\\d+L, pa#".r
+        .findFirstIn(p).isDefined,
+      "d17's islands window lost its (doc, diagonal) partitioning:\n" +
+        p.take(1500))
   }
 
   test("b10/b11/b12/w20 keep their scale shapes (disjunction implications " +

@@ -510,6 +510,19 @@ class Round14LawsSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getLong(4))))
     val byBin = raw.groupBy(_._1)
     assert(got.length === byBin.size, "one candle per (type, hour)")
+    // data premise of the DuckDB oracle's packed order key
+    // (epoch_ns·1e9 + event_id): 0 <= event_id < 1e9, or the packed key
+    // stops being order-isomorphic to the Spark side's (ts, event_id)
+    // struct order — re-verified against the CURRENT testdata each run
+    // (the DecisionAudit grain-premise discipline) so a regeneration
+    // that breaks the envelope fails HERE with the premise named, not
+    // in the driver's gate as an unexplained w20 hash flip
+    val ids = Tables.events(spark, sfDir).select(col("event_id"))
+      .agg(min(col("event_id")), max(col("event_id"))).collect().head
+    assert(ids.getLong(0) >= 0L && ids.getLong(1) < 1000000000L,
+      s"w20's packed-key premise violated: event_id range " +
+        s"[${ids.getLong(0)}, ${ids.getLong(1)}] outside [0, 1e9) — " +
+        "widen the oracle's pack multiplier")
     for (((key, (n, open, high, low, close, range)), _) <- got.zipWithIndex) {
       val evs = byBin(key).map(_._2).sortBy(e => (e._1, e._2))
       assert(n === evs.length.toLong, s"$key n_events")
