@@ -235,6 +235,43 @@ object DecisionAudit {
         "epoch_ns·1e9 + event_id in DuckDB — so ties on ts cannot flip " +
         "the selection, and high/low/range are exact integer extremes",
       Seq("round(value * 100)", "* 1000000000 + event_id")),
+    "b17_tpch_q8" -> GrainMargin(0.5,
+      "b2's discipline plus b7's exact ratio emit: per-row cents/percent " +
+        "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +
+        "data); nation and total volume accumulate exact integers in " +
+        "DECIMAL(38,0) vs HUGEINT, year() is exact calendar arithmetic, " +
+        "and the market share is the cross-multiplied truncating " +
+        "quotient nation·1e6 div total — no float division",
+      Seq("round(l_extendedprice * 100)", "* 1000000")),
+    "b19_tpch_q9" -> GrainMargin(0.5,
+      "b2's discipline on the profit face: per-row qty/cents/pct/" +
+        "retail-cents conversions are the only fp ops (0.5 margin each " +
+        "on integral-quantity, 2-dp-grain data); profit is an exact " +
+        "integer difference of exact products accumulated in " +
+        "DECIMAL(38,0) vs HUGEINT, year() is exact calendar arithmetic",
+      Seq("round(l_quantity)", "round(p_retailprice * 100)")),
+    "b21_tpch_q20" -> GrainMargin(0.5,
+      "per-row qty/balance conversions are the only fp ops (0.5 margin " +
+        "on integral-quantity, 2-dp-grain data); the dominance decision " +
+        "is the exact integer cross-multiplication 2·qty > tot — never " +
+        "a 0.5· float multiply — and the semi-joins are set membership",
+      Seq("round(l_quantity)", "2 * qty > tot")),
+    "b22_tpch_q2" -> GrainMargin(0.5,
+      "per-row cents/qty/balance conversions are the only fp ops (0.5 " +
+        "margin each); the argmin decision runs on the exact truncating " +
+        "integer quotient cents·1e6 div qty under the (unit_x1e6, " +
+        "l_suppkey) TOTAL order — both engines pick the identical row, " +
+        "no float ratio anywhere",
+      Seq("round(l_extendedprice * 100)",
+        "ORDER BY unit_x1e6, l_suppkey")),
+    "b23_tpch_q11" -> GrainMargin(0.5,
+      "per-row qty/retail-cents conversions are the only fp ops (0.5 " +
+        "margin on integral-quantity, 2-dp-grain data); ledger values " +
+        "accumulate exact integers in DECIMAL(38,0) vs HUGEINT and the " +
+        "share threshold is the exact integer cross-multiplication " +
+        "val·n_parts > 2·total (twice the mean share — Q11's SF-scaled " +
+        "fraction made scale-free)",
+      Seq("round(p_retailprice * 100)", "val * np > 2 * tv")),
     "b13_tpch_q7" -> GrainMargin(0.5,
       "b2's discipline on the dual-chain join: per-row cents/percent " +
         "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +

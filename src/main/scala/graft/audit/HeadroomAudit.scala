@@ -309,6 +309,32 @@ object HeadroomAudit {
         "compare the emitted longs, no further product",
       Seq("round(l_extendedprice * 100)",
         "(100 - CAST(round(l_discount * 100) AS BIGINT))")),
+    "b17_tpch_q8" -> Headroom(
+      "b2's bound per (year, nation) slice: per-row cents·(100−pct) ≤ " +
+        "1e7·100 = 1e9, decimal38 accumulators ≤ 1e22 at 1e13 rows ≪ " +
+        "1e38; the share ratio lifts nation_vol ≤ 1e22 by 1e6 to ≤ 1e28 " +
+        "(still ≪ decimal38/HUGEINT) and its truncating quotient ≤ 1e6 " +
+        "is int64 by construction (nation_vol ≤ total_vol)",
+      Seq("(100 - CAST(round(l_discount * 100) AS BIGINT))",
+        "* 1000000")),
+    "b19_tpch_q9" -> Headroom(
+      "per-row revenue cents·(100−pct) ≤ 1e7·100 = 1e9 and cost " +
+        "qty·retail_cents·90 ≤ 1e4·1e7·90 = 9e12; |profit| per row ≤ " +
+        "~1e13, so the decimal38 accumulator holds 1e13 rows · 1e13 = " +
+        "1e26 ≪ 1e38 (int64 would die at ~9e5 rows); no further product " +
+        "downstream of the sum",
+      Seq("(100 - CAST(round(l_discount * 100) AS BIGINT))",
+        "* CAST(round(p_retailprice * 100) AS BIGINT) * 90")),
+    "b23_tpch_q11" -> Headroom(
+      "per-row qty·retail_cents ≤ 1e4·1e7 = 1e11; a part's decimal38 " +
+        "ledger value ≤ 1e11·1e9 rows-per-part = 1e20 ≪ 1e38; the " +
+        "threshold cross-products val·np ≤ 1e20·1e10 = 1e30 and 2·tv ≤ " +
+        "2e24 (tv ≤ 1e13 rows · 1e11) both ride decimal38/HUGEINT; the " +
+        "emitted CAST(val AS BIGINT) is int64-bounded for parts " +
+        "carrying ≤ 9e7 lineitems at the 1e11/row cap (the b12 " +
+        "documented-envelope class)",
+      Seq("* CAST(round(p_retailprice * 100) AS BIGINT)",
+        "val * np > 2 * tv")),
     "b13_tpch_q7" -> Headroom(
       "b2's bound verbatim on the two-chain join: per-row " +
         "cents·(100−pct) ≤ 1e9, each (nation-pair, year) decimal38 " +

@@ -799,6 +799,557 @@ object RelationalQueries {
              |  AND l_shipdate < TIMESTAMP '1997-01-01'
              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // B14: TPC-H Q4 (order-priority checking, adapted) — the CORRELATED
+    // EXISTS face: count orders per priority where at least one lineitem
+    // satisfies a cross-table predicate. The testdata has no
+    // l_commitdate/l_receiptdate, so "late commit" adapts to "shipped
+    // more than 60 days after the order date" — which keeps the part
+    // that matters: the EXISTS correlates on the order key AND compares
+    // a column from EACH side, so it cannot collapse to a semi-join on
+    // a precomputed lineitem set. Spark-first: a LEFT SEMI join with the
+    // non-equi residual riding the equi key — one pass over each fact
+    // table, no decorrelation subquery, no count(*) > 0 materialization.
+    // Scale: the quarter bracket pushes to the orders scan (1/26 of the
+    // date range); lineitem reads two columns; the semi-join shuffles
+    // both sides on the order key once and emits at most one row per
+    // order — output is 5 rows regardless of scale.
+    Q("b14_tpch_q4",
+      (s, d) => orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1996-04-01"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate")
+              + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey
+             |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // B15: TPC-H Q12 (shipping-mode priority split, adapted) — the
+    // CONDITIONAL DUAL-COUNT face: one fact-fact join, then two
+    // mutually-exclusive CASE counts per group in a single aggregate
+    // pass (never two filtered scans unioned). Adaptation: the testdata
+    // has no l_shipmode/l_receiptdate, so the group key is l_linestatus
+    // and Q12's "received late" chain becomes the same 60-day lateness
+    // predicate b14 uses. Scale: the year bracket pushes to the
+    // lineitem scan; the lateness predicate rides the join as a
+    // residual (it references both sides, so it CANNOT push — putting
+    // it post-join in a filter would be equivalent, but on the join it
+    // drops rows before the aggregate's map side); counts are exact
+    // integers partial-aggregated map-side; 2 output rows at any scale.
+    Q("b15_tpch_q12",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") > col("o_orderdate")
+              + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(count(when(col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH"), 1)).as("high_line_count"),
+          count(when(!col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH"), 1)).as("low_line_count"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |    THEN 1 END) AS high_line_count,
+             |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             |    THEN 1 END) AS low_line_count
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // B16: TPC-H Q13 (customer order-count distribution, adapted) — the
+    // OUTER-JOIN + DOUBLE-AGGREGATION face: customers who placed ZERO
+    // qualifying orders must appear (c_count = 0), so the join is LEFT
+    // OUTER with the order-side filter ON THE JOIN (a WHERE would turn
+    // it back into an inner join — the classic outer-join-filter trap),
+    // and count(o_orderkey) counts non-null matches only. The
+    // o_comment NOT LIKE filter adapts to an o_orderpriority selection
+    // (same shape: a cheap dimension predicate that disqualifies a
+    // fixed fraction of orders — '1-URGENT' keeps 1/5, so the zero
+    // bucket is populated at every test scale and the outer join is
+    // genuinely exercised, which TpchCompletionSpec guards against
+    // vacuity). Scale: the first groupBy shuffles on
+    // c_custkey — the SAME key the join shuffled on, so Catalyst reuses
+    // the partitioning and the aggregate is shuffle-free; the second
+    // aggregate's key space (distinct order counts per customer) is
+    // tiny at any scale.
+    Q("b16_tpch_q13",
+      (s, d) => customer(s, d).select(col("c_custkey"))
+        .join(orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey
+             |    AND o_orderpriority = '1-URGENT'
+             |  GROUP BY c_custkey) t
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // B17: TPC-H Q8 (national market share) — the widest join face in
+    // the family: the fact table reaches FIVE dimensions through two
+    // independent chains (customer→nation→region restricts the demand
+    // side to one region; supplier→nation labels the supply side), plus
+    // the part-type filter, and the answer is a per-year RATIO of one
+    // nation's volume to the total. Every dimension lookup broadcasts;
+    // the region restriction is a LEFT SEMI against the ~5-row Asian
+    // nation-key set (never a join that would duplicate or widen rows);
+    // the two fact-fact joins (orders, customer) are unhinted — AQE
+    // decides from measured sizes (b3's rule). The share emits as the
+    // exact cross-multiplied truncating quotient nation·1e6 div total
+    // (b7's discipline) — no float division. Scale: part filter (1/6)
+    // and the two-year bracket (~1/3.3) cut the fact stream before the
+    // wide joins; output is one row per year.
+    Q("b17_tpch_q8",
+      (s, d) => {
+        val asiaKeys = nation(s, d)
+          .join(broadcast(region(s, d)
+              .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (round(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("vol_x1e4"))
+          .join(broadcast(part(s, d).filter(col("p_type") === "ECONOMY")
+              .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(orders(s, d)
+              .filter(col("o_orderdate") >= lit("1996-01-01")
+                && col("o_orderdate") < lit("1998-01-01"))
+              .select(col("o_orderkey"), col("o_custkey"),
+                year(col("o_orderdate")).cast("long").as("yr")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asiaKeys),
+            col("c_nationkey") === col("n_nationkey"), "left_semi")
+          .join(broadcast(supplier(s, d)
+              .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d)
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("yr"))
+          .agg(sum(when(col("n_name") === "NATION_13", col("vol_x1e4"))
+              .otherwise(lit(0L)).cast("decimal(38,0)")).cast("long")
+              .as("nation_vol_x1e4"),
+            sum(col("vol_x1e4").cast("decimal(38,0)")).cast("long")
+              .as("total_vol_x1e4"),
+            count(lit(1)).as("n_rows"))
+          .select(col("yr"), col("nation_vol_x1e4"), col("total_vol_x1e4"),
+            expr("""CAST(CAST(nation_vol_x1e4 AS DECIMAL(38,0)) * 1000000
+                   | div nullif(total_vol_x1e4, 0) AS BIGINT)""".stripMargin)
+              .as("share_x1e6"),
+            col("n_rows"))
+          .orderBy("yr")
+      },
+      Some("""SELECT yr,
+             |  CAST(sum(CASE WHEN supp_nation = 'NATION_13' THEN vol
+             |    ELSE 0 END) AS BIGINT) AS nation_vol_x1e4,
+             |  CAST(sum(vol) AS BIGINT) AS total_vol_x1e4,
+             |  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_13' THEN vol
+             |      ELSE 0 END) AS HUGEINT) * 1000000
+             |    // nullif(sum(vol), 0) AS BIGINT) AS share_x1e6,
+             |  count(*) AS n_rows
+             |FROM (
+             |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |    n2.n_name AS supp_nation,
+             |    CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol
+             |  FROM lineitem
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+             |  JOIN region ON r_regionkey = n1.n_regionkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+             |  JOIN part ON p_partkey = l_partkey
+             |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01') v
+             |GROUP BY yr ORDER BY yr""".stripMargin)),
+
+    // B18: TPC-H Q21 (suppliers who kept orders waiting, adapted) —
+    // the DUAL-CORRELATED EXISTS/NOT-EXISTS face: a supplier qualifies
+    // in an order iff it shipped late, ANOTHER supplier participated
+    // (EXISTS), and NO other supplier shipped late (NOT EXISTS). The
+    // textbook form self-joins lineitem twice; b9's window-
+    // decorrelation discipline collapses BOTH correlations into
+    // per-order window counts over ONE pass: reduce to one row per
+    // (order, supplier) with an any_late flag, then n_supp >= 2 (the
+    // EXISTS) and n_late = 1 (the NOT EXISTS — the late one is the
+    // probe itself) as window aggregates. Lateness adapts to b14's
+    // ship-lag (> 90 days; no commit/receipt dates in the testdata).
+    // Scale: ONE lineitem scan, ONE orders scan (status filter
+    // pushed); the join, the (order, supplier) aggregate, and BOTH
+    // windows all cluster on l_orderkey, so the whole reduction rides
+    // a single shuffle; window state is one order's suppliers (≤ a few
+    // dozen), never the corpus; top-25 lowers to TakeOrdered.
+    Q("b18_tpch_q21",
+      (s, d) => {
+        val byOrder = Window.partitionBy(col("l_orderkey"))
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(orders(s, d).filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(when(col("l_shipdate") > col("o_orderdate")
+              + expr("INTERVAL 90 DAYS"), 1L).otherwise(0L)).as("any_late"))
+          .withColumn("n_supp", count(lit(1)).over(byOrder))
+          .withColumn("n_late", sum(col("any_late")).over(byOrder))
+          .filter(col("any_late") === 1 && col("n_supp") >= 2
+            && col("n_late") === 1)
+          .join(broadcast(supplier(s, d)
+              .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(25)
+      },
+      Some("""WITH ol AS (
+             |  SELECT l_orderkey, l_suppkey,
+             |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |      THEN 1 ELSE 0 END) AS any_late
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |  WHERE o_orderstatus = 'F'
+             |  GROUP BY l_orderkey, l_suppkey
+             |), w AS (
+             |  SELECT l_suppkey, any_late,
+             |    count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             |    CAST(sum(any_late) OVER (PARTITION BY l_orderkey)
+             |      AS BIGINT) AS n_late
+             |  FROM ol)
+             |SELECT s_name, count(*) AS numwait
+             |FROM w JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE any_late = 1 AND n_supp >= 2 AND n_late = 1
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin)),
+
+    // The remaining five TPC-H faces (Q9, Q16, Q20, Q2, Q11) all read
+    // PARTSUPP, which the testdata does not ship. Each face below uses
+    // the same documented surrogate: the (part, supplier) relationships
+    // implied by lineitem history, with p_retailprice standing in for
+    // ps_supplycost where a unit cost is needed. What each query
+    // preserves is the OPERATOR SHAPE the original exercises — that is
+    // what a user of the reference would port.
+
+    // B19: TPC-H Q9 (product-type profit, adapted) — the MULTI-CHAIN
+    // PROFIT face: revenue minus cost per lineitem, aggregated by the
+    // SUPPLIER's nation and the order year — the fact row needs part
+    // (name filter + cost), supplier→nation (group key), and orders
+    // (year) simultaneously. Cost surrogate: 90% of p_retailprice per
+    // unit (ps_supplycost is missing). All three lookups broadcast;
+    // orders is the one fact-fact join (AQE decides). profit stays an
+    // exact integer at the x1e4 grain: cents·(100−pct) −
+    // qty·retail_cents·90. The p_name LIKE pushes to the part scan as
+    // a StringContains.
+    Q("b19_tpch_q9",
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_x1e4"))
+        .join(broadcast(part(s, d).filter(col("p_name").contains("gear"))
+            .select(col("p_partkey"),
+              round(col("p_retailprice") * 100).cast("long")
+                .as("retail_cents"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, d).select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("yr"))
+        .agg(sum((col("rev_x1e4") - col("qty") * col("retail_cents") * 90)
+            .cast("decimal(38,0)")).cast("long").as("profit_x1e4"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("n_name"), col("yr").desc),
+      Some("""SELECT n_name, yr,
+             |  CAST(sum(profit) AS BIGINT) AS profit_x1e4,
+             |  count(*) AS n_rows
+             |FROM (
+             |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |    CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             |    - CAST(round(l_quantity) AS HUGEINT)
+             |      * CAST(round(p_retailprice * 100) AS BIGINT) * 90
+             |      AS profit
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON n_nationkey = s_nationkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  WHERE p_name LIKE '%gear%') p
+             |GROUP BY n_name, yr
+             |ORDER BY n_name, yr DESC""".stripMargin)),
+
+    // B20: TPC-H Q16 (supplier relationships, adapted) — the
+    // DISTINCT-COUNT + BLACKLIST-ANTI-JOIN face: how many distinct
+    // suppliers serve each (brand, type, size) class, excluding a
+    // supplier blacklist (negative account balance stands in for the
+    // missing 'customer complaints' comment filter). The partsupp
+    // surrogate is the implied (part, supplier) pairs of lineitem;
+    // count(DISTINCT l_suppkey) dedups them inside the aggregate, so
+    // no separate distinct pass is paid. Scale: part predicates
+    // (brand/type/size-IN) all push to the broadcast part side; the
+    // blacklist anti-join broadcasts (it is a supplier subset); the
+    // distinct aggregate partial-aggregates per (group, suppkey)
+    // map-side before the final shuffle.
+    Q("b20_tpch_q16",
+      (s, d) => lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(part(s, d)
+            .filter(col("p_brand") =!= "Brand#1"
+              && col("p_type") =!= "PROMO"
+              && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"),
+              col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d).filter(col("s_acctbal") < 0)
+            .select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size")),
+      Some("""SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+             |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+             |  AND l_suppkey NOT IN
+             |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin)),
+
+    // B21: TPC-H Q20 (potential part promotion, adapted) — the
+    // NESTED-THRESHOLD SEMI-JOIN CHAIN face: suppliers (in one nation)
+    // who DOMINATE some promo part's 1996 shipments — their shipped
+    // quantity exceeds half the part's total (availqty > 0.5·sum is
+    // the missing-partsupp original; "more than half of what shipped"
+    // is its lineitem-derived analog). The half threshold is the exact
+    // integer cross-multiplication 2·qty > tot (b9's rule: never a
+    // 0.5· float multiply). Scale: part-type filter broadcasts; the
+    // (part, supplier) reduction and the per-part window cluster on
+    // l_partkey — one shuffle; the dominant-supplier key set then
+    // SEMI-joins the supplier dimension, so the big fact derivation
+    // never widens the output side.
+    Q("b21_tpch_q20",
+      (s, d) => {
+        val byPart = Window.partitionBy(col("l_partkey"))
+        val dom = lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01")
+            && col("l_shipdate") < lit("1997-01-01"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            round(col("l_quantity")).cast("long").as("q"))
+          .join(broadcast(part(s, d).filter(col("p_type") === "PROMO")
+              .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("q")).as("qty"))
+          .withColumn("tot", sum(col("qty")).over(byPart))
+          .filter(col("qty") * 2 > col("tot"))
+          .select(col("l_suppkey")).distinct()
+        supplier(s, d)
+          .join(broadcast(nation(s, d)
+              .filter(col("n_name") === "NATION_13")
+              .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"),
+            round(col("s_acctbal") * 100).cast("long").as("bal_x100"))
+          .orderBy("s_name")
+      },
+      Some("""WITH pq AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             |      AS qty
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE p_type = 'PROMO'
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  GROUP BY 1, 2
+             |), dom AS (
+             |  SELECT l_suppkey FROM (
+             |    SELECT l_suppkey, qty,
+             |      sum(qty) OVER (PARTITION BY l_partkey) AS tot
+             |    FROM pq) x
+             |  WHERE 2 * qty > tot GROUP BY 1)
+             |SELECT s_name,
+             |  CAST(round(s_acctbal * 100) AS BIGINT) AS bal_x100
+             |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+             |WHERE n_name = 'NATION_13'
+             |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
+             |ORDER BY s_name""".stripMargin)),
+
+    // B22: TPC-H Q2 (minimum-cost supplier, adapted) — the PER-GROUP
+    // ARGMIN face: for each part in a class, the European supplier
+    // offering the lowest unit price. The cost surrogate is lineitem's
+    // own offer history (extendedprice/quantity); the ratio argmin is
+    // made exact by quantizing to the 1e-6-dollar grain FIRST — the
+    // truncating integer quotient cents·1e6 div qty — and totalizing
+    // the order with l_suppkey, so both engines pick the identical row
+    // (a float ratio min would be a cross-engine coin flip on ties).
+    // row_number() = 1 under that total order IS Q2's correlated
+    // min-subquery, decorrelated per b9's window discipline. Scale:
+    // all four dimension lookups broadcast; one lineitem scan; the
+    // final top-100 lowers to TakeOrderedAndProject.
+    Q("b22_tpch_q2",
+      (s, d) => {
+        val euro = supplier(s, d)
+          .join(broadcast(nation(s, d).select(col("n_nationkey"),
+              col("n_name"), col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")
+              .select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            round(col("s_acctbal") * 100).cast("long").as("bal_x100"))
+        val byPartPrice = Window.partitionBy(col("p_partkey"))
+          .orderBy(col("unit_x1e6"), col("l_suppkey"))
+        lineitem(s, d)
+          .filter(col("l_quantity") > 0)
+          .select(col("l_partkey"), col("l_suppkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"),
+            round(col("l_quantity")).cast("long").as("qty"))
+          .join(broadcast(part(s, d)
+              .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+              .select(col("p_partkey"), col("p_name"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(euro), col("l_suppkey") === col("s_suppkey"))
+          .withColumn("unit_x1e6",
+            expr("(cents * CAST(1000000 AS BIGINT)) div qty"))
+          .withColumn("rn", row_number().over(byPartPrice))
+          .filter(col("rn") === 1)
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("n_name"), col("bal_x100"), col("unit_x1e6"))
+          .orderBy(col("bal_x100").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH offers AS (
+             |  SELECT p_partkey, p_name, s_name, n_name,
+             |    CAST(round(s_acctbal * 100) AS BIGINT) AS bal_x100,
+             |    l_suppkey,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT)
+             |      * 1000000::BIGINT
+             |      // CAST(round(l_quantity) AS BIGINT) AS unit_x1e6
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON n_nationkey = s_nationkey
+             |  JOIN region ON r_regionkey = n_regionkey
+             |  WHERE r_name = 'EUROPE' AND p_type = 'LARGE'
+             |    AND p_size <= 10 AND l_quantity > 0
+             |), ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+             |      ORDER BY unit_x1e6, l_suppkey) AS rn
+             |  FROM offers)
+             |SELECT p_partkey, p_name, s_name, n_name, bal_x100,
+             |  unit_x1e6
+             |FROM ranked WHERE rn = 1
+             |ORDER BY bal_x100 DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // B23: TPC-H Q11 (important stock, adapted) — the
+    // FRACTION-OF-GLOBAL-TOTAL face: per-part inventory value (from
+    // the nation-restricted lineitem surrogate, qty·retail_cents)
+    // kept only where its share exceeds TWICE THE MEAN share. Q11's
+    // literal fraction is 0.0001/SF — scaled by data size precisely
+    // because a fixed fraction stops discriminating as the part count
+    // grows; tying the threshold to the ledger's own count keeps the
+    // face (a global scalar computed from the aggregate, broadcast
+    // back over it) scale-free: val·n_parts > 2·total, exact on the
+    // DECIMAL(38,0)/HUGEINT ledger values — never sum·0.0002·….
+    // b11's materialization discipline: the per-part
+    // ledger is computed ONCE into scratch parquet, then BOTH the
+    // 1-row total (broadcast back, b12's rule) and the probe read the
+    // ledger — the consumer plan never rescans lineitem. Emitted
+    // values ride int64 within the documented envelope (see
+    // HeadroomAudit b23 entry).
+    Q("b23_tpch_q11",
+      (s, d) => {
+        val dir = graft.Scratch.dir(s, s"b23_pv_${graft.Scratch.key(d)}")
+        val natSupp = supplier(s, d)
+          .join(broadcast(nation(s, d)
+              .filter(col("n_name")
+                .isin("NATION_13", "NATION_3", "NATION_8"))
+              .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .select(col("s_suppkey"))
+        lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+            round(col("l_quantity")).cast("long").as("qty"))
+          .join(broadcast(natSupp),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .join(broadcast(part(s, d).select(col("p_partkey"),
+              round(col("p_retailprice") * 100).cast("long")
+                .as("retail_cents"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum((col("qty") * col("retail_cents"))
+            .cast("decimal(38,0)")).as("val"))
+          .write.mode("overwrite").parquet(dir)
+        val pv = s.read.parquet(dir)
+        pv.join(broadcast(pv.agg(sum(col("val")).as("tv"),
+            count(lit(1)).as("np"))))
+          .filter(col("val") * col("np") > col("tv") * 2)
+          .select(col("l_partkey").as("p_partkey"),
+            col("val").cast("long").as("value_x100"))
+          .orderBy(col("value_x100").desc, col("p_partkey"))
+      },
+      Some("""WITH pv AS (
+             |  SELECT l_partkey, sum(CAST(round(l_quantity) AS HUGEINT)
+             |    * CAST(round(p_retailprice * 100) AS BIGINT)) AS val
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON n_nationkey = s_nationkey
+             |  WHERE n_name IN ('NATION_13', 'NATION_3', 'NATION_8')
+             |  GROUP BY 1
+             |), tot AS (SELECT sum(val) AS tv, count(*) AS np FROM pv)
+             |SELECT l_partkey AS p_partkey, CAST(val AS BIGINT)
+             |  AS value_x100
+             |FROM pv, tot WHERE val * np > 2 * tv
+             |ORDER BY value_x100 DESC, p_partkey""".stripMargin)),
+
     // J4: anti-join (sample_indexer.py:32-33 driver set-difference,
     // rebuilt distributed — SURVEY §7.3 hazard 1).
     Q("j4_anti_join",

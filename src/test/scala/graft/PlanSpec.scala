@@ -834,4 +834,157 @@ class PlanSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("b14/b15/b16 keep their scale shapes (semi-join with cross-side " +
+      "residual, pushed brackets, outer join with on-clause filter)") {
+    // b14 (Q4): the quarter bracket reaches the orders scan; the EXISTS
+    // stays ONE left-semi join (never a count(*) > 0 aggregate) with
+    // the 60-day lateness predicate riding it as a residual; each fact
+    // table is scanned exactly once
+    val p14 = plan("b14_tpch_q4")
+    assert(p14.contains("GreaterThanOrEqual(o_orderdate"),
+      "b14's quarter bracket no longer reaches the orders scan:\n" +
+        p14.take(1500))
+    assert(p14.contains("LeftSemi"),
+      "b14's EXISTS must stay a left-semi join:\n" + p14.take(1500))
+    assert("lineitem.parquet".r.findAllIn(p14).length == 1
+      && "orders.parquet".r.findAllIn(p14).length == 1,
+      "b14 must scan each fact table exactly once")
+    assert(!p14.contains("CartesianProduct"))
+    // b15 (Q12): the year bracket reaches the lineitem scan; one
+    // equi-join with the lateness residual; the dual CASE counts
+    // partial-aggregate map-side
+    val p15 = plan("b15_tpch_q12")
+    assert(p15.contains("GreaterThanOrEqual(l_shipdate"),
+      "b15's year bracket no longer reaches the lineitem scan:\n" +
+        p15.take(1500))
+    assert("lineitem.parquet".r.findAllIn(p15).length == 1
+      && "orders.parquet".r.findAllIn(p15).length == 1,
+      "b15 must scan each fact table exactly once")
+    assert(p15.contains("partial_count"),
+      "b15's dual counts lost map-side combine")
+    assert(!p15.contains("CartesianProduct"))
+    // b16 (Q13): the priority selection pushes to the orders scan even
+    // under the outer join (it filters the JOIN's right side, not
+    // post-join rows); the join must STAY outer (an inner join would
+    // silently drop the zero-order bucket); customer scanned once
+    val p16 = plan("b16_tpch_q13")
+    assert(p16.contains("LeftOuter"),
+      "b16's outer join degraded to inner — zero-order customers lost:\n" +
+        p16.take(1500))
+    assert(p16.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      "b16's priority selection no longer reaches the orders scan")
+    assert("customer.parquet".r.findAllIn(p16).length == 1
+      && "orders.parquet".r.findAllIn(p16).length == 1,
+      "b16 must scan each table exactly once")
+    assert(!p16.contains("CartesianProduct"))
+  }
+
+  test("b17/b18 keep their scale shapes (five broadcast dimensions + " +
+      "exact-ratio aggregate; single-shuffle window decorrelation)") {
+    // b17 (Q8): part/region-nation/supplier/nation lookups broadcast,
+    // both fact brackets pushed, lineitem scanned once, no cartesian
+    val p17 = plan("b17_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p17).length >= 4,
+      "b17's dimension lookups lost their broadcasts:\n" + p17.take(2000))
+    assert(p17.contains("EqualTo(p_type,ECONOMY)"),
+      "b17's part-type filter no longer reaches the part scan")
+    assert(p17.contains("GreaterThanOrEqual(o_orderdate"),
+      "b17's two-year bracket no longer reaches the orders scan")
+    assert("lineitem.parquet".r.findAllIn(p17).length == 1,
+      "b17 must scan lineitem exactly once")
+    assert(!p17.contains("CartesianProduct"))
+    // b18 (Q21): status filter pushed to the orders scan; the dual
+    // correlation rides per-order WINDOW counts (b9's discipline) over
+    // the (order, supplier) reduction — one lineitem scan, one orders
+    // scan, top-25 lowers to TakeOrderedAndProject
+    val p18 = plan("b18_tpch_q21")
+    assert(p18.contains("EqualTo(o_orderstatus,F)"),
+      "b18's status filter no longer reaches the orders scan:\n" +
+        p18.take(1500))
+    assert("lineitem.parquet".r.findAllIn(p18).length == 1
+      && "orders.parquet".r.findAllIn(p18).length == 1,
+      "b18 must scan each fact table exactly once — the window form " +
+        "replaces the textbook double self-join")
+    assert(p18.contains("Window"),
+      "b18's EXISTS/NOT-EXISTS counts must ride per-order windows")
+    assert(p18.contains("TakeOrderedAndProject"),
+      "b18's top-25 materialized a global sort")
+    assert(!p18.contains("CartesianProduct"))
+  }
+
+  test("b19/b20/b21 keep their scale shapes (pushed name filter + " +
+      "broadcast chains; blacklist anti-join; windowed dominance)") {
+    // b19 (Q9): the LIKE pushes to the part scan as StringContains;
+    // part/supplier/nation lookups broadcast; lineitem scanned once
+    val p19 = plan("b19_tpch_q9")
+    assert(p19.contains("StringContains(p_name,gear)"),
+      "b19's name filter no longer reaches the part scan:\n" +
+        p19.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p19).length >= 3,
+      "b19's dimension lookups lost their broadcasts")
+    assert("lineitem.parquet".r.findAllIn(p19).length == 1,
+      "b19 must scan lineitem exactly once")
+    assert(!p19.contains("CartesianProduct"))
+    // b20 (Q16): size-IN reaches the part scan, the blacklist is a
+    // broadcast LEFT ANTI, the distinct count partial-aggregates
+    val p20 = plan("b20_tpch_q16")
+    // (the PushedFilters display truncates with "...", so the size-IN
+    // is pinned via the scan-adjacent Filter's predicate text)
+    assert(p20.contains("IN (1,4,9,14,19,23,36,45)"),
+      "b20's size-IN no longer reaches the part scan:\n" + p20.take(1500))
+    assert(p20.contains("LeftAnti"),
+      "b20's blacklist must stay an anti-join")
+    assert("lineitem.parquet".r.findAllIn(p20).length == 1,
+      "b20 must scan lineitem exactly once")
+    assert(!p20.contains("CartesianProduct"))
+    // b21 (Q20): the 1996 bracket and the PROMO filter reach their
+    // scans; the dominance threshold rides a per-part window over the
+    // (part, supplier) reduction; supplier side stays semi-joined
+    val p21 = plan("b21_tpch_q20")
+    assert(p21.contains("GreaterThanOrEqual(l_shipdate"),
+      "b21's 1996 bracket no longer reaches the lineitem scan:\n" +
+        p21.take(1500))
+    assert(p21.contains("EqualTo(p_type,PROMO)"),
+      "b21's part-type filter no longer reaches the part scan")
+    assert(p21.contains("Window"),
+      "b21's dominance threshold must ride a per-part window")
+    assert("LeftSemi".r.findAllIn(p21).length >= 2,
+      "b21's nation/dominant-set joins must stay semi-joins")
+    assert(!p21.contains("CartesianProduct"))
+  }
+
+  test("b22/b23 keep their scale shapes (argmin window + TakeOrdered; " +
+      "materialized ledger + one-row broadcast threshold)") {
+    // b22 (Q2): part predicates pushed, all dimension lookups
+    // broadcast, the argmin is a per-part window, top-100 lowers to
+    // TakeOrderedAndProject, one lineitem scan
+    val p22 = plan("b22_tpch_q2")
+    assert(p22.contains("EqualTo(p_type,LARGE)")
+      && p22.contains("LessThanOrEqual(p_size,10)"),
+      "b22's part predicates no longer reach the part scan:\n" +
+        p22.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p22).length >= 2,
+      "b22's dimension lookups lost their broadcasts")
+    assert(p22.contains("Window"),
+      "b22's argmin must ride a per-part window")
+    assert(p22.contains("TakeOrderedAndProject"),
+      "b22's top-100 materialized a global sort")
+    assert("lineitem.parquet".r.findAllIn(p22).length == 1,
+      "b22 must scan lineitem exactly once")
+    assert(!p22.contains("CartesianProduct"))
+    // b23 (Q11): the consumer plan reads the materialized ledger — the
+    // fact table is never rescanned for the total or the probe — and
+    // the 1-row total rides a broadcast
+    val p23 = plan("b23_tpch_q11")
+    assert("lineitem.parquet".r.findAllIn(p23).length == 0,
+      "b23's consumer plan re-scans lineitem — the per-part ledger " +
+        "must come from the materialized scratch parquet:\n" +
+        p23.take(1500))
+    assert(p23.contains("b23_pv"),
+      "materialized ledger missing from b23's plan")
+    assert(p23.contains("BroadcastNestedLoopJoin"),
+      "b23's 1-row total must ride a broadcast")
+    assert(!p23.contains("CartesianProduct"))
+  }
 }
