@@ -335,6 +335,13 @@ object HeadroomAudit {
         "documented-envelope class)",
       Seq("* CAST(round(p_retailprice * 100) AS BIGINT)",
         "val * np > 2 * tv")),
+    "m19_roc_auc" -> Headroom(
+      "per-level product pos_s·(2·cumneg−neg) ≤ n1·2·n0 with n1,n0 ≤ " +
+        "1e13 docs, so the decimal38 numerator Σ ≤ 2e26 and its ·1e6 " +
+        "lift ≤ 2e32 ≪ 1e38; the denominator 2·n1·n0 ≤ 2e26 rides the " +
+        "same width and the truncating AUC quotient ≤ 1e6 is int64 by " +
+        "construction (numerator ≤ denominator·1e6)",
+      Seq("* (2 * cum_neg - neg)", "* 1000000")),
     "b13_tpch_q7" -> Headroom(
       "b2's bound verbatim on the two-chain join: per-row " +
         "cents·(100−pct) ≤ 1e9, each (nation-pair, year) decimal38 " +

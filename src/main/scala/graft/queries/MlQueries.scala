@@ -757,7 +757,77 @@ object MlQueries {
              |  CAST(CAST(cum_pos AS HUGEINT) * nn * 1000000
              |    // nullif(CAST(pp AS HUGEINT) * cum_n, 0) AS BIGINT)
              |    AS lift_x1e6
-             |FROM cum ORDER BY decile""".stripMargin))
+             |FROM cum ORDER BY decile""".stripMargin)),
+
+    // M19: ROC AUC, exact (Hanley & McNeil 1982 via the Mann-Whitney
+    // identity AUC = U/(n1·n0) — a29's statistic re-read as a ranking
+    // metric). m14 gives the PR curve at 6 thresholds; AUC is the
+    // threshold-free summary every classifier eval reports next to it.
+    // No per-row ranks are materialized: group rows to SCORE LEVELS
+    // (m14's integer stopword-density score, ≤ 1001 distinct values),
+    // take one running total of negatives across levels, and fold the
+    // tie-aware identity 2·AUC·n1·n0 = Σ_s pos_s·(2·cumneg_<s + neg_s)
+    // = Σ_s pos_s·(2·cumneg_≤s − neg_s) — ties contribute half, as the
+    // trapezoid does — all in exact integers; auc emits as the x1e6
+    // truncating quotient. Scale shape: ONE fact scan partial-combines
+    // to the score-level frame, which is MATERIALIZED to scratch —
+    // GlobalRank's two-phase pass references its input twice (offsets
+    // + main side) and would recompute the fact aggregate without the
+    // cut (the w19/b11 discipline; PlanSpec pins the zero-fact-scan
+    // consumer); the running total then runs over ≤ 1001 parquet rows
+    // (never a single-partition window over the corpus) and the final
+    // fold is a 1-row aggregate riding DECIMAL(38,0)/HUGEINT
+    // (HeadroomAudit carries the bound).
+    Q("m19_roc_auc",
+      (s, d) => {
+        import graft.operators.GlobalRank
+        val dir = graft.Scratch.dir(s, s"m19_lvl_${graft.Scratch.key(d)}")
+        Tables.tokenizedDocs(s, d).select(
+            (col("lang") === "en").cast("long").as("is_en"),
+            expr("size(filter(w, t -> t in ('the','a','of'))) * 1000 div size(w)")
+              .as("sc"))
+          .groupBy(col("sc"))
+          .agg(sum(col("is_en")).as("pos"),
+            sum(lit(1L) - col("is_en")).as("neg"))
+          .write.mode("overwrite").parquet(dir)
+        val byScore = s.read.parquet(dir)
+        GlobalRank.withRankAndRunningTotals(byScore,
+            Seq(col("sc").asc), Seq("neg"), "sr", Seq("cum_neg"))
+          .agg(sum(col("pos")).cast("long").as("n_pos"),
+            sum(col("neg")).cast("long").as("n_neg"),
+            sum(col("pos").cast("decimal(38,0)")
+              * (col("cum_neg") * 2 - col("neg"))).as("num2"))
+          .select(col("n_pos"), col("n_neg"),
+            expr("""CAST(num2 * 1000000 div nullif(
+                   |  2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0)
+                   |  AS BIGINT)""".stripMargin).as("auc_x1e6"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, string_split(lower(text), ' ') AS w
+             |  FROM documents
+             |  WHERE len(string_split(lower(text), ' ')) >= 3
+             |), sc AS (
+             |  SELECT CAST(lang = 'en' AS BIGINT) AS is_en,
+             |    len(list_filter(w, t -> t IN ('the', 'a', 'of'))) * 1000
+             |      // len(w) AS sc
+             |  FROM tok
+             |), bys AS (
+             |  SELECT sc, CAST(sum(is_en) AS BIGINT) AS pos,
+             |    CAST(sum(1 - is_en) AS BIGINT) AS neg
+             |  FROM sc GROUP BY sc
+             |), cum AS (
+             |  SELECT pos, neg,
+             |    CAST(sum(neg) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum_neg
+             |  FROM bys
+             |)
+             |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             |  CAST(sum(neg) AS BIGINT) AS n_neg,
+             |  CAST(sum(CAST(pos AS HUGEINT) * (2 * cum_neg - neg))
+             |    * 1000000
+             |    // nullif(2 * CAST(sum(pos) AS HUGEINT) * sum(neg), 0)
+             |    AS BIGINT) AS auc_x1e6
+             |FROM cum""".stripMargin))
   )
 
   /** NaN-safe integer scaling shared by the sweep queries (m7/m8/m9):

@@ -987,4 +987,16 @@ class PlanSpec extends SparkSpec {
       "b23's 1-row total must ride a broadcast")
     assert(!p23.contains("CartesianProduct"))
   }
+
+  test("m19: the AUC fold reads the materialized score-level parquet — " +
+      "zero fact scans in the consumer plan (GlobalRank references its " +
+      "input twice, so an unmaterialized aggregate would recompute)") {
+    val p = plan("m19_roc_auc")
+    assert("documents.parquet".r.findAllIn(p).length == 0,
+      "m19's consumer plan re-scans documents — the score-level frame " +
+        "must come from the materialized scratch parquet:\n" + p.take(1500))
+    assert(p.contains("m19_lvl"),
+      "materialized score-level table missing from m19's plan")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

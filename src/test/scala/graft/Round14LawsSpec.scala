@@ -567,4 +567,28 @@ class Round14LawsSpec extends SparkSpec {
     assert(planted.subsetOf(surfaced),
       s"planted docs missing from d17: ${(planted -- surfaced).take(5)}")
   }
+
+  test("m19: AUC matches the exact pairwise definition — the fraction " +
+      "of (positive, negative) pairs the score orders correctly, ties " +
+      "at half weight") {
+    import org.apache.spark.sql.functions._
+    val got = q("m19_roc_auc").collect().head
+    val rows = Tables.tokenizedDocs(spark, sfDir).select(
+        (col("lang") === "en").cast("long"),
+        expr("size(filter(w, t -> t in ('the','a','of'))) * 1000 div size(w)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pos = rows.filter(_._1 == 1L).map(_._2)
+    val neg = rows.filter(_._1 == 0L).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty, "degenerate label split")
+    // 2U = 2·#(pos > neg) + #(pos == neg), the tie-aware Mann-Whitney
+    // numerator the query computes via score-level running totals
+    val twoU = pos.iterator.map(p =>
+      BigInt(2) * neg.count(_ < p) + neg.count(_ == p)).sum
+    val auc = (twoU * 1000000 /
+      (BigInt(2) * pos.length * neg.length)).toLong
+    assert(got.getLong(0) === pos.length.toLong, "n_pos mismatch")
+    assert(got.getLong(1) === neg.length.toLong, "n_neg mismatch")
+    assert(got.getLong(2) === auc,
+      s"auc_x1e6 ${got.getLong(2)} != pairwise replay $auc")
+  }
 }
