@@ -528,6 +528,7 @@ object DecisionAudit {
       Seq("list_reduce", "ORDER BY ts, event_id",
         "acc[4], acc[5], acc[6]", "0.25::DOUBLE")),
     "e1_cosine_topk" -> arrayFold,
+    "e15_matryoshka" -> arrayFold,
     "e2_ann_buckets" -> arrayFold,
     "e10_mips" -> arrayFold,
     "e3_embed_neardup" -> BitPinned(

@@ -3677,6 +3677,72 @@ object PipelineQueries {
              |SELECT vec_id, rank, nbr_id, cos FROM rk WHERE rank <= 3
              |ORDER BY vec_id, rank""".stripMargin)),
 
+    // E15: MATRYOSHKA TRUNCATION EVAL (Kusupati et al. 2022) — the
+    // question an embedding-serving pipeline asks before shipping
+    // truncated vectors: how much neighbor fidelity survives at each
+    // prefix length? For each dim prefix p in {8,16,32,64}, the exact
+    // top-10 under the prefix cosine is compared to the full-dim
+    // top-10; per (dim, query) the overlap and recall@10 emit as exact
+    // integers. The dim=64 rows are the built-in positive control
+    // (overlap 10 by construction). Scale shape: ONE corpus pass — the
+    // pair join explodes per-prefix (dim, cos) rows instead of
+    // streaming the corpus once per prefix (ExactCosine.topKPrefixes,
+    // sharing e1/e4's rounding + tie-break conventions); the ranked
+    // result (4·|Q|·10 rows) is MATERIALIZED to scratch because the
+    // overlap join reads it twice (prefix side + full side), and the
+    // consumer plan never rescans embeddings (PlanSpec pin).
+    Q("e15_matryoshka",
+      (s, d) => {
+        val dir = graft.Scratch.dir(s, s"e15_topk_${graft.Scratch.key(d)}")
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        graft.similarity.ExactCosine
+          .topKPrefixes(emb, q, 10, Seq(8, 16, 32, 64))
+          .select(col("dim"), col("q_id"), col("cand_id"))
+          .write.mode("overwrite").parquet(dir)
+        val all = s.read.parquet(dir)
+        val full = all.filter(col("dim") === 64)
+          .select(col("q_id"), col("cand_id"), lit(1L).as("hit"))
+        all.join(full, Seq("q_id", "cand_id"), "left_outer")
+          .groupBy(col("dim"), col("q_id"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap10"))
+          .select(col("dim"), col("q_id"), col("overlap10"),
+            (col("overlap10") * 1000).as("recall_x1e4"))
+          .orderBy("dim", "q_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |), q AS (
+             |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8
+             |), p AS (
+             |  SELECT q_id, e.vec_id AS cand_id, d.dim,
+             |    round(list_sum([qv[i] * v[i]
+             |        for i in range(1, d.dim + 1)])
+             |      / (sqrt(list_sum([v[i] * v[i]
+             |          for i in range(1, d.dim + 1)]))
+             |       * sqrt(list_sum([qv[i] * qv[i]
+             |          for i in range(1, d.dim + 1)]))), 5) AS cos
+             |  FROM e CROSS JOIN q
+             |  CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS dim) d
+             |  WHERE e.vec_id != q_id
+             |), r AS (
+             |  SELECT q_id, cand_id, dim,
+             |    row_number() OVER (PARTITION BY dim, q_id
+             |      ORDER BY cos DESC, cand_id) AS rn
+             |  FROM p
+             |), fullk AS (
+             |  SELECT q_id, cand_id FROM r WHERE dim = 64 AND rn <= 10
+             |), pref AS (
+             |  SELECT dim, q_id, cand_id FROM r WHERE rn <= 10
+             |)
+             |SELECT CAST(dim AS BIGINT) AS dim, q_id,
+             |  CAST(count(f.cand_id) AS BIGINT) AS overlap10,
+             |  CAST(count(f.cand_id) * 1000 AS BIGINT) AS recall_x1e4
+             |FROM pref LEFT JOIN fullk f USING (q_id, cand_id)
+             |GROUP BY dim, q_id ORDER BY dim, q_id""".stripMargin)),
+
     // C16: MIXTURE RAKING — iterative proportional fitting of the
     // lang x source contingency to target marginals (uniform language
     // share x uniform source share), the statistically-grounded form of

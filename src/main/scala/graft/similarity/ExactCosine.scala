@@ -36,4 +36,35 @@ object ExactCosine {
         Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("cand_id"))))
       .filter(col("rn") <= k)
   }
+
+  /** Multi-prefix variant for dimension-truncation (Matryoshka) evals:
+    * top-k under the cosine of each `v[1..p]` prefix for every p in
+    * `dims`, in ONE pass over the corpus — the pair join emits one
+    * (dim, cos) row per prefix via explode instead of streaming the
+    * corpus once per prefix. Same conventions as `topK` (5-dp rounded
+    * cosine, (cos desc, cand_id) total order, per-row norms computed
+    * before the join, query side broadcast), so prefix-vs-full overlap
+    * is measured on the same lattice e1/e4 report on. Output carries
+    * (q_id, cand_id, dim, cos, rn).
+    */
+  def topKPrefixes(emb: DataFrame, queries: DataFrame, k: Int,
+      dims: Seq[Int]): DataFrame = {
+    val e = emb.withColumn("_nrms",
+      array(dims.map(p => l2Norm(slice(col("v"), 1, p))): _*))
+    val q = queries.withColumn("_qnrms",
+      array(dims.map(p => l2Norm(slice(col("qv"), 1, p))): _*))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        explode(array(dims.zipWithIndex.map { case (p, i) =>
+          struct(lit(p.toLong).as("dim"),
+            round(dot(slice(col("v"), 1, p), slice(col("qv"), 1, p))
+              / (col("_nrms")(i) * col("_qnrms")(i)), 5).as("cos"))
+        }: _*)).as("dc"))
+      .select(col("q_id"), col("cand_id"), col("dc.dim").as("dim"),
+        col("dc.cos").as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("dim"), col("q_id"))
+          .orderBy(desc("cos"), col("cand_id"))))
+      .filter(col("rn") <= k)
+  }
 }

@@ -999,4 +999,16 @@ class PlanSpec extends SparkSpec {
       "materialized score-level table missing from m19's plan")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("e15: the overlap join reads the materialized top-k parquet — " +
+      "the consumer plan never rescans embeddings (the pair pass runs " +
+      "ONCE at construction, all four prefixes in one corpus stream)") {
+    val p = plan("e15_matryoshka")
+    assert("embeddings.parquet".r.findAllIn(p).length == 0,
+      "e15's consumer plan re-scans embeddings — the ranked top-k must " +
+        "come from the materialized scratch parquet:\n" + p.take(1500))
+    assert(p.contains("e15_topk"),
+      "materialized top-k table missing from e15's plan")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

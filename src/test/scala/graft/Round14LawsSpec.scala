@@ -591,4 +591,19 @@ class Round14LawsSpec extends SparkSpec {
     assert(got.getLong(2) === auc,
       s"auc_x1e6 ${got.getLong(2)} != pairwise replay $auc")
   }
+
+  test("e15: dim=64 rows are the built-in positive control (overlap 10 " +
+      "with the full-dim set by construction), overlap is monotone-ish " +
+      "in expectation and bounded by k") {
+    val rows = q("e15_matryoshka").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((dim, qid, ov, rec) <- rows) {
+      assert(ov >= 0 && ov <= 10, s"overlap out of range: ($dim, $qid, $ov)")
+      assert(rec === ov * 1000, "recall must be overlap * 1000 exactly")
+      if (dim == 64L) assert(ov === 10L,
+        s"full-dim control broken for query $qid: overlap $ov != 10")
+    }
+    assert(rows.count(_._1 == 64L) === 8, "one control row per query")
+  }
 }
