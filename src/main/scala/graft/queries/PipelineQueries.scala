@@ -44,6 +44,30 @@ object PipelineQueries {
   private def sqlH32(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
+  /** t1's language-ID rule as a Column over the tokenized `w` array —
+    * ONE definition shared by t1 (per-doc emit) and m20 (confusion
+    * metrics), so the stopword lists and the >=-tie convention cannot
+    * drift between the predictor and its evaluation.
+    */
+  private def predLang: org.apache.spark.sql.Column = {
+    val en = size(filter(col("w"), t => t.isin("the", "a", "of")))
+    val es = size(filter(col("w"), t => t.isin("el", "la", "los")))
+    val de = size(filter(col("w"), t => t.isin("der", "die", "und")))
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+  }
+
+  /** DuckDB mirror of `predLang` (t1's CASE, verbatim). */
+  private val sqlPredLang =
+    """CASE
+      |    WHEN len(list_filter(w, t -> t IN ('the', 'a', 'of')))
+      |      >= len(list_filter(w, t -> t IN ('el', 'la', 'los')))
+      |     AND len(list_filter(w, t -> t IN ('the', 'a', 'of')))
+      |      >= len(list_filter(w, t -> t IN ('der', 'die', 'und'))) THEN 'en'
+      |    WHEN len(list_filter(w, t -> t IN ('el', 'la', 'los')))
+      |      >= len(list_filter(w, t -> t IN ('der', 'die', 'und'))) THEN 'es'
+      |    ELSE 'de'
+      |  END""".stripMargin
+
   /** Embeddings with cast vector, sign-hyperplane bucket, and norm,
     * partitioned by bucket — the shared input of the e2/e3 self-joins (same
     * single-computation diamond as lshBandFrame: identical shuffle subtrees
@@ -862,8 +886,7 @@ object PipelineQueries {
         tokenized(s, d)
           .select(col("doc_id"), en.cast("long").as("en_hits"),
             es.cast("long").as("es_hits"), de.cast("long").as("de_hits"),
-            when(en >= es && en >= de, "en")
-              .when(es >= de, "es").otherwise("de").as("pred_lang"),
+            predLang.as("pred_lang"),
             col("lang"))
           .orderBy("doc_id")
       },
@@ -872,17 +895,78 @@ object PipelineQueries {
               |  len(list_filter(w, t -> t IN ('the', 'a', 'of'))) AS en_hits,
               |  len(list_filter(w, t -> t IN ('el', 'la', 'los'))) AS es_hits,
               |  len(list_filter(w, t -> t IN ('der', 'die', 'und'))) AS de_hits,
-              |  CASE
-              |    WHEN len(list_filter(w, t -> t IN ('the', 'a', 'of')))
-              |      >= len(list_filter(w, t -> t IN ('el', 'la', 'los')))
-              |     AND len(list_filter(w, t -> t IN ('the', 'a', 'of')))
-              |      >= len(list_filter(w, t -> t IN ('der', 'die', 'und'))) THEN 'en'
-              |    WHEN len(list_filter(w, t -> t IN ('el', 'la', 'los')))
-              |      >= len(list_filter(w, t -> t IN ('der', 'die', 'und'))) THEN 'es'
-              |    ELSE 'de'
-              |  END AS pred_lang,
+              |  $sqlPredLang AS pred_lang,
               |  lang
               |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // M20: MULTICLASS EVAL — the confusion-matrix readout of t1's
+    // language-ID rule (the m-family's other evals are all binary:
+    // m14 PR, m17 calibration, m18 gains, m19 AUC). Per TRUE class:
+    // support, predicted count, true positives, and one-vs-rest
+    // precision/recall/F1 as exact x1e4 truncating quotients. The
+    // predictor only emits {en, es, de} while the corpus carries five
+    // languages — fr/zh rows have n_pred = 0 and a NULL precision
+    // (never-predicted classes are exactly what this table exists to
+    // surface), which is why the class axis is a FULL OUTER join of
+    // the true-side and predicted-side aggregates, never an inner.
+    // Scale shape: ONE fact pass reduces the corpus to the <= 25-cell
+    // (lang, pred) matrix, MATERIALIZED to scratch (both metric
+    // aggregates read it; the consumer plan never rescans documents —
+    // PlanSpec pin); everything downstream is algebra on that matrix.
+    Q("m20_multiclass_eval",
+      (s, d) => {
+        val dir = graft.Scratch.dir(s, s"m20_cm_${graft.Scratch.key(d)}")
+        tokenized(s, d)
+          .select(col("lang"), predLang.as("pred"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(dir)
+        val cm = s.read.parquet(dir)
+        val byTrue = cm.groupBy(col("lang"))
+          .agg(sum(col("n")).as("n_true"),
+            sum(when(col("pred") === col("lang"), col("n"))
+              .otherwise(0L)).as("tp"))
+        val byPred = cm.groupBy(col("pred"))
+          .agg(sum(col("n")).as("n_pred"))
+        byTrue.join(byPred, col("lang") === col("pred"), "full_outer")
+          .select(coalesce(col("lang"), col("pred")).as("cls"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+          .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+            expr("tp * 10000 div nullif(n_pred, 0)").as("precision_x1e4"),
+            expr("tp * 10000 div nullif(n_true, 0)").as("recall_x1e4"),
+            expr("2 * tp * 10000 div nullif(n_true + n_pred, 0)")
+              .as("f1_x1e4"))
+          .orderBy("cls")
+      },
+      Some(s"""WITH $sqlTok, pd AS (
+              |  SELECT lang, $sqlPredLang AS pred FROM tok
+              |), cm AS (
+              |  SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+              |  FROM pd GROUP BY 1, 2
+              |), t AS (
+              |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_true,
+              |    CAST(sum(CASE WHEN pred = lang THEN n ELSE 0 END)
+              |      AS BIGINT) AS tp
+              |  FROM cm GROUP BY lang
+              |), p AS (
+              |  SELECT pred, CAST(sum(n) AS BIGINT) AS n_pred
+              |  FROM cm GROUP BY pred
+              |)
+              |SELECT coalesce(lang, pred) AS cls,
+              |  coalesce(n_true, 0) AS n_true,
+              |  coalesce(n_pred, 0) AS n_pred,
+              |  coalesce(tp, 0) AS tp,
+              |  coalesce(tp, 0) * 10000 // nullif(coalesce(n_pred, 0), 0)
+              |    AS precision_x1e4,
+              |  coalesce(tp, 0) * 10000 // nullif(coalesce(n_true, 0), 0)
+              |    AS recall_x1e4,
+              |  2 * coalesce(tp, 0) * 10000
+              |    // nullif(coalesce(n_true, 0) + coalesce(n_pred, 0), 0)
+              |    AS f1_x1e4
+              |FROM t FULL OUTER JOIN p ON lang = pred
+              |ORDER BY cls""".stripMargin)),
 
     // T2: quality scoring — length, mean token length, stopword ratio,
     // punctuation count; ratios scaled to integers so both engines format

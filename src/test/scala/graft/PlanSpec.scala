@@ -1011,4 +1011,18 @@ class PlanSpec extends SparkSpec {
       "materialized top-k table missing from e15's plan")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("m20: metric algebra reads the materialized confusion matrix — " +
+      "zero fact scans in the consumer plan, and the class axis stays a " +
+      "full outer join (an inner would drop never-predicted classes)") {
+    val p = plan("m20_multiclass_eval")
+    assert("documents.parquet".r.findAllIn(p).length == 0,
+      "m20's consumer plan re-scans documents — the (lang, pred) matrix " +
+        "must come from the materialized scratch parquet:\n" + p.take(1500))
+    assert(p.contains("m20_cm"),
+      "materialized confusion matrix missing from m20's plan")
+    assert(p.contains("FullOuter"),
+      "m20's class axis degraded from a full outer join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -606,4 +606,28 @@ class Round14LawsSpec extends SparkSpec {
     }
     assert(rows.count(_._1 == 64L) === 8, "one control row per query")
   }
+
+  test("m20: the multiclass table is exactly the metrics derivable from " +
+      "t1_langid's own per-doc output (predictor and eval cannot drift)") {
+    val perDoc = q("t1_langid").collect()
+      .map(r => (r.getString(5), r.getString(4))) // (true lang, pred)
+    val classes = (perDoc.map(_._1) ++ perDoc.map(_._2)).distinct.sorted
+    val want = classes.map { c =>
+      val nTrue = perDoc.count(_._1 == c).toLong
+      val nPred = perDoc.count(_._2 == c).toLong
+      val tp = perDoc.count(x => x._1 == c && x._2 == c).toLong
+      val prec = if (nPred == 0) null
+        else java.lang.Long.valueOf(tp * 10000 / nPred)
+      (c, nTrue, nPred, tp, prec,
+        tp * 10000 / nTrue, 2 * tp * 10000 / (nTrue + nPred))
+    }
+    val got = q("m20_multiclass_eval").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got === want.toSeq, "m20 must equal metrics derived from t1")
+    // the never-predicted-class path must actually be exercised
+    assert(got.exists(r => r._3 == 0L && r._5 == null),
+      "no never-predicted class at this scale — the full-outer face is vacuous")
+  }
 }
