@@ -2594,6 +2594,59 @@ object GraphTemporalQueries {
              |  u[5] AS surv_x1e12
              |FROM km WHERE u[1] >= 0 ORDER BY t""".stripMargin)),
 
+    // F10: STICKINESS (DAU / trailing-7-day actives) — the SLIDING
+    // COUNT-DISTINCT face product analytics runs daily, and the one
+    // windowed aggregate Spark cannot express natively (count(distinct)
+    // over a moving frame is unsupported, and a window over raw events
+    // would hold per-user state). The scalable form is the BOUNDED
+    // UNFOLD: reduce to distinct (user, day) pairs once, then explode
+    // each pair into the <= 7 trailing windows it serves (day..day+6 —
+    // a day's 7-day actives are exactly the users with a pair in
+    // [day-6, day]) and count distinct per window day. Blowup is the
+    // window length, a constant — never a day-grid cross join against
+    // the corpus. Emitted per ACTIVE day (inner join to DAU): dau,
+    // wau7, and stickiness = dau·1e4 div wau7 exact. The pair table is
+    // MATERIALIZED to scratch — both the DAU and the unfolded WAU
+    // aggregates read it, and the consumer plan never rescans events
+    // (PlanSpec pin).
+    Q("f10_stickiness",
+      (s, d) => {
+        val dir = graft.Scratch.dir(s, s"f10_ud_${graft.Scratch.key(d)}")
+        events(s, d)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .distinct()
+          .write.mode("overwrite").parquet(dir)
+        val ud = s.read.parquet(dir)
+        val dau = ud.groupBy(col("day"))
+          .agg(count_distinct(col("user_id")).as("dau"))
+        val wau = ud
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("wday"))
+          .groupBy(col("wday"))
+          .agg(count_distinct(col("user_id")).as("wau7"))
+        dau.join(wau, col("day") === col("wday"))
+          .select(col("day"), col("dau"), col("wau7"),
+            expr("dau * 10000 div wau7").as("stickiness_x1e4"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events
+             |), dau AS (
+             |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+             |  FROM ud GROUP BY day
+             |), unf AS (
+             |  SELECT user_id, day + g.i AS wday FROM ud
+             |  CROSS JOIN (SELECT unnest(range(0, 7)) AS i) g
+             |), wau AS (
+             |  SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+             |  FROM unf GROUP BY wday
+             |)
+             |SELECT day, dau, wau7,
+             |  dau * 10000 // wau7 AS stickiness_x1e4
+             |FROM dau JOIN wau ON wday = day ORDER BY day""".stripMargin)),
+
     // W16: single changepoint localization — a21's CUSUM says "this
     // series shifted"; this answers WHERE: the split of the hourly
     // revenue series maximizing the between-segment mean gap (binary

@@ -1025,4 +1025,20 @@ class PlanSpec extends SparkSpec {
       "m20's class axis degraded from a full outer join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("f10: both aggregates read the materialized pair table (zero " +
+      "event scans in the consumer plan) and the unfold is an explode, " +
+      "never a day-grid cross join") {
+    val p = plan("f10_stickiness")
+    assert("events.parquet".r.findAllIn(p).length == 0,
+      "f10's consumer plan re-scans events — the (user, day) pairs must " +
+        "come from the materialized scratch parquet:\n" + p.take(1500))
+    assert(p.contains("f10_ud"),
+      "materialized pair table missing from f10's plan")
+    assert(p.contains("Generate explode"),
+      "f10's bounded unfold lost its explode")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "f10's window expansion degraded to a cross join")
+  }
 }

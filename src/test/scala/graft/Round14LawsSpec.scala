@@ -630,4 +630,27 @@ class Round14LawsSpec extends SparkSpec {
     assert(got.exists(r => r._3 == 0L && r._5 == null),
       "no never-predicted class at this scale — the full-outer face is vacuous")
   }
+
+  test("f10: DAU/WAU7 match a brute-force trailing-window replay, and " +
+      "the laws DAU <= WAU7 <= sum of the window's DAUs hold") {
+    import org.apache.spark.sql.functions._
+    val got = q("f10_stickiness").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = pairs.groupBy(_._2)
+    val want = byDay.keys.toSeq.sorted.map { day =>
+      val dau = byDay(day).map(_._1).distinct.length.toLong
+      val wau = pairs.filter(p => p._2 >= day - 6 && p._2 <= day)
+        .map(_._1).distinct.length.toLong
+      (day, dau, wau, dau * 10000 / wau)
+    }
+    assert(got.toSeq === want, "f10 must match the trailing replay")
+    for ((_, dau, wau, _) <- got) assert(dau <= wau, "DAU must be <= WAU7")
+    // the window must genuinely widen somewhere, or a DAU==WAU7 bug
+    // (e.g. joining on the wrong day) would pass the equality replay
+    assert(got.exists(r => r._2 < r._3),
+      "WAU7 == DAU everywhere — the trailing window is vacuous here")
+  }
 }
