@@ -464,6 +464,39 @@ object IoQueries {
              |    AS BIGINT) AS n_quarantined,
              |  CAST(sum(CASE WHEN doc_id % 13 <> 4 THEN n_chars END)
              |    AS BIGINT) AS sum_chars
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // S13: raw TEXT source/sink round-trip — the one line-oriented
+    // format the s-family didn't cover (csv s5/s12, json s8/s11, orc
+    // s9, parquet s2/s10): documents serialized one-per-line as
+    // id<TAB>text via spark.write.text, read back with spark.read.text
+    // (schema-less `value` lines — the shape every raw-corpus ingest
+    // starts from), re-parsed by splitting on the delimiter. Line
+    // integrity is the operator's contract, so tabs/newlines are
+    // normalized to spaces BEFORE the write and the oracle applies the
+    // IDENTICAL normalization to the source table — a lost or split
+    // line changes n_docs/sum_id/sum_len and fails the hash. Scale:
+    // text write/read streams partition-parallel like any other
+    // source; the summary aggregate partial-combines.
+    Q("s13_text_roundtrip",
+      (s, d) => {
+        val out = tmp(s, "s13_docs")
+        documents(s, d)
+          .select(concat_ws("\t", col("doc_id"),
+            regexp_replace(col("text"), "[\\t\\n\\r]", " ")).as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(split(col("value"), "\t", 2).as("p"))
+          .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+            element_at(col("p"), 2).as("text"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_id"),
+            sum(length(col("text")).cast("long")).as("sum_len"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+             |  CAST(sum(len(regexp_replace(text, '[\t\n\r]', ' ', 'g')))
+             |    AS BIGINT) AS sum_len
+             |FROM documents""".stripMargin))
   )
 }
