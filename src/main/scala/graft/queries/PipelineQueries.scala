@@ -2078,6 +2078,75 @@ object PipelineQueries {
               |SELECT doc_id, CAST(rev AS BIGINT) AS rev, md5(text) AS text_md5
               |FROM merged ORDER BY doc_id""".stripMargin)),
 
+    // U10: MERGE-ON-READ — the read-path dual of u1's copy-on-write
+    // upsert: the base stays untouched, change logs accumulate, and
+    // the READ merges them — per key, the row from the HIGHEST-version
+    // source wins (delete markers included), which is one row_number
+    // window over the version-stamped union, never an N-way join
+    // chain. Two delta logs on purpose: log 2 overwrites a subset of
+    // log 1's updates (doc_id % 14 — last-writer-wins ACROSS logs, the
+    // case a single-delta test can't catch) and tombstones a subset of
+    // log 1's INSERTS (delta-on-delta: a key that never existed in the
+    // base appears and dies entirely inside the log stack). Each log
+    // carries a key at most once, so (doc_id, ver) is unique and the
+    // window's (ver desc) order is total. Scale shape: the union is
+    // scan-parallel, the merge is ONE shuffle on doc_id; log compaction
+    // (folding this read plan back into a new base) is exactly u1.
+    Q("u10_mor_read",
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val d1 = changeBatch(base).withColumn("ver", lit(1L))
+        val off = base.agg((max(col("doc_id")) + 1L).as("ins_off"))
+        val d2 = base.filter(col("doc_id") % 14 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" [rev3]")).as("text"),
+            lit(3L).as("rev"), lit("U").as("op"))
+          .unionByName(base
+            .filter(col("doc_id") % 13 === 3 && col("doc_id") % 2 === 0)
+            .crossJoin(broadcast(off))
+            .select((col("doc_id") + col("ins_off")).as("doc_id"),
+              lit(null).cast("string").as("text"),
+              lit(0L).as("rev"), lit("D").as("op")))
+          .withColumn("ver", lit(2L))
+        val stacked = base
+          .select(col("doc_id"), col("text"), lit(1L).as("rev"),
+            lit("B").as("op"), lit(0L).as("ver"))
+          .unionByName(d1).unionByName(d2)
+        val byKey = Window.partitionBy(col("doc_id"))
+          .orderBy(col("ver").desc)
+        stacked.withColumn("rn", row_number().over(byKey))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select(col("doc_id"), col("rev"), col("ver"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlChanges,
+              |d2 AS (
+              |  SELECT doc_id, text || ' [rev3]' AS text, 3 AS rev,
+              |    'U' AS op, 2 AS ver
+              |  FROM base WHERE doc_id % 14 = 0
+              |  UNION ALL
+              |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM base),
+              |    NULL, 0, 'D', 2
+              |  FROM base WHERE doc_id % 13 = 3 AND doc_id % 2 = 0
+              |), stacked AS (
+              |  SELECT doc_id, text, 1 AS rev, 'B' AS op, 0 AS ver
+              |  FROM base
+              |  UNION ALL
+              |  SELECT doc_id, text, rev, op, 1 FROM changes
+              |  UNION ALL
+              |  SELECT * FROM d2
+              |), merged AS (
+              |  SELECT doc_id, text, rev, op, ver,
+              |    row_number() OVER (PARTITION BY doc_id
+              |      ORDER BY ver DESC) AS rn
+              |  FROM stacked
+              |)
+              |SELECT doc_id, CAST(rev AS BIGINT) AS rev,
+              |  CAST(ver AS BIGINT) AS ver, md5(text) AS text_md5
+              |FROM merged WHERE rn = 1 AND op <> 'D'
+              |ORDER BY doc_id""".stripMargin)),
+
     // U2: snapshot diff — added/removed/changed rows between two corpus
     // snapshots by content digest, the audit/incremental-processing
     // counterpart of u1 (downstream consumers reprocess ONLY this delta,

@@ -653,4 +653,42 @@ class Round14LawsSpec extends SparkSpec {
     assert(got.exists(r => r._2 < r._3),
       "WAU7 == DAU everywhere — the trailing window is vacuous here")
   }
+
+  test("u10: merge-on-read coheres with u1's copy-on-write — identical " +
+      "rows wherever log 2 didn't touch, log-2 overwrites and " +
+      "delta-on-delta tombstones applied where it did") {
+    import org.apache.spark.sql.functions._
+    val mor = q("u10_mor_read").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val cow = q("u1_upsert").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val maxBase = Tables.documents(spark, sfDir)
+      .agg(max(col("doc_id"))).collect().head.getLong(0)
+    val insOff = maxBase + 1
+    def log2Update(id: Long) = id % 14 == 0 && id <= maxBase
+    def log2Tombstone(id: Long) = // inserted key, even source id
+      id > maxBase && (id - insOff) % 13 == 3 && (id - insOff) % 2 == 0
+    assert(mor.nonEmpty && cow.nonEmpty)
+    assert(mor.keySet.exists(log2Update) &&
+      cow.keySet.exists(log2Tombstone),
+      "log-2 paths not exercised at this scale — law is vacuous")
+    for ((id, (rev, md5v)) <- cow) {
+      if (log2Tombstone(id))
+        assert(!mor.contains(id), s"tombstoned insert $id survived MOR")
+      else if (log2Update(id)) {
+        val (mrev, mver, _) = mor(id)
+        assert(mrev == 3L && mver == 2L,
+          s"log-2 overwrite lost on $id: rev $mrev ver $mver")
+      } else {
+        val m = mor.get(id)
+        assert(m.isDefined, s"key $id present under CoW but lost in MOR")
+        assert(m.get._1 == rev && m.get._3 == md5v,
+          s"MOR diverges from CoW on untouched key $id")
+        assert(m.get._2 <= 1L, s"untouched key $id claims log-2 version")
+      }
+    }
+    assert(mor.keySet == cow.keySet.filterNot(log2Tombstone),
+      "MOR key set must be CoW minus log-2 tombstones")
+  }
 }
