@@ -2662,10 +2662,22 @@ object GraphTemporalQueries {
     Q("w16_changepoint",
       (s, d) => {
         import graft.operators.GlobalRank
-        val byBin = events(s, d)
+        // the hourly-bin frame is MATERIALIZED: GlobalRank references
+        // its input twice and the series totals a third time — the
+        // unmaterialized form scanned events three times (round-14
+        // scan census)
+        val dir = graft.Scratch.dir(s, s"w16_bins_${graft.Scratch.key(d)}")
+        events(s, d)
           .select(expr("ts div 3600000000000").as("bin"),
             round(col("value") * 100).cast("long").as("c"))
           .groupBy(col("bin")).agg(sum(col("c")).as("sb"))
+          // coalesce(1): the frame's domain is BOUNDED (a value grid /
+          // calendar bins), so one output file is scale-safe and cuts
+          // the 32-file commit + read overhead; corpus-proportional
+          // frames (a27/t15/t24) keep partitioned writes instead
+          .coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+        val byBin = s.read.parquet(dir)
         val cum = GlobalRank.withRankAndRunningTotals(byBin,
           Seq(col("bin").asc), Seq("sb"), "idx", Seq("cums"))
         val tot = byBin.agg(count(lit(1)).as("n"),

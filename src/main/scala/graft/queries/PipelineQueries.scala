@@ -3034,10 +3034,19 @@ object PipelineQueries {
           .select(col("doc_id"), explode(col("w")).as("term"))
           .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
           .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
-        val docs = perDoc
+        // the per-doc frame is MATERIALIZED: GlobalRank references it
+        // twice and the checkpoint-stride count a third time — each
+        // recomputation re-tokenized the corpus TWICE (perDoc +
+        // newTerms), so the unmaterialized form scanned documents five
+        // times (round-14 scan census); materialized, the two tokenize
+        // passes run once
+        val dir = graft.Scratch.dir(s, s"t24_docs_${graft.Scratch.key(d)}")
+        perDoc
           .join(newTerms, col("doc_id") === col("first_doc"), "left")
           .select(col("doc_id"), col("n_tokens"),
             coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .write.mode("overwrite").parquet(dir)
+        val docs = s.read.parquet(dir)
         val ranked = GlobalRank.withRankAndRunningTotals(docs,
           Seq(col("doc_id").asc), Seq("n_tokens", "n_new"),
           "doc_rank", Seq("cum_tokens", "cum_vocab"))

@@ -1026,6 +1026,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("round-14 scan-census fixes hold: the GlobalRank/multi-consumer " +
+      "aggregate frames are materialized — zero fact scans in each " +
+      "consumer plan (the unmaterialized forms scanned 2-5x)") {
+    // GlobalRank references its input twice (offsets + main side) and
+    // most of these queries take a separate 1-row total off the same
+    // frame — without the scratch cut the per-value/per-bin aggregate
+    // recomputed per reference, silently multiplying fact scans
+    val cases = Seq(
+      ("a27_rank_correlation", "lineitem", "a27_m"),
+      ("a28_ks_test", "events", "a28_bv"),
+      ("a29_mann_whitney", "events", "a29_bv"),
+      ("a30_tukey_fences", "events", "a30_bv"),
+      ("w16_changepoint", "events", "w16_bins"),
+      ("t15_vocab_coverage", "documents", "t15_voc"),
+      ("t24_heaps_law", "documents", "t24_docs"))
+    for ((q, fact, frame) <- cases) {
+      val p = plan(q)
+      assert(s"$fact.parquet".r.findAllIn(p).length == 0,
+        s"$q's consumer plan re-scans $fact — the aggregate frame must " +
+          s"come from the materialized scratch parquet:\n" + p.take(1500))
+      assert(p.contains(frame),
+        s"materialized frame $frame missing from $q's plan")
+    }
+  }
+
   test("f10: both aggregates read the materialized pair table (zero " +
       "event scans in the consumer plan) and the unfold is an explode, " +
       "never a day-grid cross join") {
