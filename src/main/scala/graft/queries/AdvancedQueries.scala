@@ -1202,12 +1202,20 @@ object AdvancedQueries {
     // are tiny BY CONSTRUCTION — category cardinalities, not row counts).
     Q("a26_chi_square",
       (s, d) => {
-        val docs = documents(s, d).select(col("lang"), col("source"))
-        val obs = docs.groupBy(col("lang"), col("source"))
+        // the contingency frame is MATERIALIZED (coalesce(1): bounded
+        // by |langs|·|sources|) so the fact table really is scanned
+        // exactly once — obs feeds rt/ct/tot/terms and each reference
+        // recomputed the documents scan (TEN scans in the
+        // unmaterialized plan, round-14 scan census)
+        val dir = graft.Scratch.dir(s, s"a26_obs_${graft.Scratch.key(d)}")
+        documents(s, d).select(col("lang"), col("source"))
+          .groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("o"))
-        // row/column/N totals aggregate the TINY contingency frame, so the
-        // fact table is scanned exactly once (sums of cell counts ARE the
-        // marginal counts)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+        val obs = s.read.parquet(dir)
+        // row/column/N totals aggregate the TINY materialized frame
+        // (sums of cell counts ARE the marginal counts)
         val rt = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
         val ct = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
         val tot = obs.agg(sum(col("o")).as("nn"))
@@ -1775,9 +1783,15 @@ object AdvancedQueries {
     // grain, exactly as g13 emits r². One summary row at any scale.
     Q("a31_cramers_v",
       (s, d) => {
-        val docs = documents(s, d).select(col("lang"), col("source"))
-        val obs = docs.groupBy(col("lang"), col("source"))
+        // a26's materialization cut verbatim: the unmaterialized
+        // contingency frame scanned documents six times (scan census)
+        val dir = graft.Scratch.dir(s, s"a31_obs_${graft.Scratch.key(d)}")
+        documents(s, d).select(col("lang"), col("source"))
+          .groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("o"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+        val obs = s.read.parquet(dir)
         val rt = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
         val ct = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
         val tot = obs.agg(sum(col("o")).as("nn"))

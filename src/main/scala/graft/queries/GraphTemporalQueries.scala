@@ -1534,26 +1534,40 @@ object GraphTemporalQueries {
     // NaT doesn't — the u3 lesson).
     Q("f1_funnel",
       (s, d) => {
-        val ev = events(s, d)
-          .select(col("user_id"), col("event_type"), col("ts"))
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
-        val c = ev.filter(col("event_type") === "click")
-          .join(v, "user_id").filter(col("ts") > col("tv"))
-          .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
-        val p = ev.filter(col("event_type") === "purchase")
-          .join(c, "user_id").filter(col("ts") > col("tc"))
-          .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
-        ev.select(col("user_id")).distinct()
-          .join(v, Seq("user_id"), "left")
-          .join(c, Seq("user_id"), "left")
-          .join(p, Seq("user_id"), "left")
+        // ONE-PASS ordered funnel (round-14 scan census: the original
+        // per-stage join chain — first-view frame, click-after-view,
+        // purchase-after-click, users spine — re-derived the event scan
+        // per stage AND per lineage level, planning SEVEN event scans.
+        // The funnel is a sequential per-user recurrence, so it folds
+        // exactly like w11: one groupBy shuffle, the user's events
+        // sorted in the aggregate, and a left fold carrying (tv, tc,
+        // tp) — "first click strictly after the first view" is the
+        // first qualifying element in sorted order, which IS min(ts >
+        // tv). State is one user's events (A1's bounded-cardinality
+        // contract); updates read the PRE-step accumulator, which is
+        // equivalent because a row updates at most its own stage.
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(
+            col("ts"), col("event_type").as("et")))).as("xs"))
+          .select(col("user_id"), expr(
+            """aggregate(xs,
+              |  named_struct('tv', CAST(NULL AS BIGINT),
+              |    'tc', CAST(NULL AS BIGINT), 'tp', CAST(NULL AS BIGINT)),
+              |  (a, x) -> named_struct(
+              |    'tv', if(a.tv IS NULL AND x.et = 'view', x.ts, a.tv),
+              |    'tc', if(a.tc IS NULL AND a.tv IS NOT NULL
+              |      AND x.et = 'click' AND x.ts > a.tv, x.ts, a.tc),
+              |    'tp', if(a.tp IS NULL AND a.tc IS NOT NULL
+              |      AND x.et = 'purchase' AND x.ts > a.tc, x.ts, a.tp)))
+              |""".stripMargin).as("f"))
           .select(col("user_id"),
-            when(col("tp").isNotNull, 3)
-              .when(col("tc").isNotNull, 2)
-              .when(col("tv").isNotNull, 1)
+            when(col("f.tp").isNotNull, 3)
+              .when(col("f.tc").isNotNull, 2)
+              .when(col("f.tv").isNotNull, 1)
               .otherwise(0).as("stage"),
-            col("tv"), col("tc"), col("tp"))
+            col("f.tv").as("tv"), col("f.tc").as("tc"),
+            col("f.tp").as("tp"))
           .orderBy(col("user_id"))
       },
       Some("""WITH ev AS (

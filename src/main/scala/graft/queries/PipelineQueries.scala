@@ -667,19 +667,34 @@ object PipelineQueries {
     Q("d13_containment",
       (s, d) => {
         val k = 6
-        val sh = tokenized(s, d)
+        // the shingle table is MATERIALIZED (t12/c3's gram-table
+        // discipline): it feeds anchors, the candidate self-join (twice
+        // through shAnch), the candidate-doc semi-join, the
+        // intersection self-join (twice), and the size frame — and the
+        // lineage multiplies through cand/cdocs, so the unmaterialized
+        // form planned TWENTY-FOUR documents scans, each recomputing
+        // tokenize + shingle + distinct (round-14 scan census). cand is
+        // cut too: it anchors both the doc set and the final pair
+        // filter, and its lineage contains the self-join
+        val shDir = graft.Scratch.dir(s, s"d13_sh_${graft.Scratch.key(d)}")
+        tokenized(s, d)
           .select(col("doc_id"), explode(shinglesNative(col("text"), k)).as("g"))
           .distinct()
+          .write.mode("overwrite").parquet(shDir)
+        val sh = s.read.parquet(shDir)
         val anchors = sh.groupBy(col("g"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df").between(2, 8))
           .select(col("g"))
         val shAnch = sh.join(anchors, Seq("g"))
-        val cand = shAnch.as("x")
+        val candDir = graft.Scratch.dir(s, s"d13_cand_${graft.Scratch.key(d)}")
+        shAnch.as("x")
           .join(shAnch.as("y").hint("shuffle_hash"),
             col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct()
+          .write.mode("overwrite").parquet(candDir)
+        val cand = s.read.parquet(candDir)
         val cdocs = cand.select(col("a_id").as("d"))
           .union(cand.select(col("b_id"))).distinct()
         val shc = sh.join(cdocs, col("doc_id") === col("d"), "left_semi")

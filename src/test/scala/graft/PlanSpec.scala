@@ -1040,7 +1040,13 @@ class PlanSpec extends SparkSpec {
       ("a30_tukey_fences", "events", "a30_bv"),
       ("w16_changepoint", "events", "w16_bins"),
       ("t15_vocab_coverage", "documents", "t15_voc"),
-      ("t24_heaps_law", "documents", "t24_docs"))
+      ("t24_heaps_law", "documents", "t24_docs"),
+      // d13's shingle table fed a lineage that MULTIPLIED its
+      // references — 24 documents scans unmaterialized; a26/a31's
+      // contingency frames recomputed per marginal — 10/6 scans
+      ("d13_containment", "documents", "d13_sh"),
+      ("a26_chi_square", "documents", "a26_obs"),
+      ("a31_cramers_v", "documents", "a31_obs"))
     for ((q, fact, frame) <- cases) {
       val p = plan(q)
       assert(s"$fact.parquet".r.findAllIn(p).length == 0,
@@ -1049,6 +1055,13 @@ class PlanSpec extends SparkSpec {
       assert(p.contains(frame),
         s"materialized frame $frame missing from $q's plan")
     }
+    // f1's one-pass fold rewrite: the per-stage join chain planned
+    // SEVEN event scans; the fold form is one scan, one shuffle
+    val f1 = plan("f1_funnel")
+    assert("events.parquet".r.findAllIn(f1).length == 1,
+      "f1 must scan events exactly once (the ordered-fold form):\n" +
+        f1.take(1500))
+    assert(!f1.contains("Join"), "f1's fold form must be join-free")
   }
 
   test("f10: both aggregates read the materialized pair table (zero " +
