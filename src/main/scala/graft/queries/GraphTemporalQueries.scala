@@ -2311,17 +2311,33 @@ object GraphTemporalQueries {
             posexplode(graft.functions.TextFunctions.tokens(col("text")))
               .as(Seq("pos", "term")))
         val mg = udaf(new graft.operators.MisraGriesAgg(k))
-        val shardSketch = toks
+        // two MATERIALIZATION cuts (round-14 scan census: t17 planned
+        // EIGHT documents scans): the merged sketch frame feeds
+        // ranked/cut/sketch — each reference re-ran the UDAF shard pass
+        // and its corpus tokenize — and the exact term counts feed the
+        // evidence joins twice; the per-source token totals are DERIVED
+        // from the exact counts (sums of term counts ARE the totals)
+        // instead of a third corpus pass. Two corpus passes remain by
+        // construction: the sketch pass and the exact-evidence pass.
+        val sumDir = graft.Scratch.dir(s, s"t17_sum_${graft.Scratch.key(d)}")
+        toks
           .withColumn("shard", pmod(col("doc_id"), lit(8)))
           .repartition(col("source"), col("shard"))
           .sortWithinPartitions(col("source"), col("shard"), col("doc_id"),
             col("pos"))
           .groupBy(col("source"), col("shard"))
           .agg(mg(col("term")).as("items"))
-        val summed = shardSketch
           .select(col("source"), explode(col("items")).as("it"))
           .groupBy(col("source"), col("it.term").as("term"))
           .agg(sum(col("it.est")).as("s"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(sumDir)
+        val summed = s.read.parquet(sumDir)
+        val exDir = graft.Scratch.dir(s, s"t17_ex_${graft.Scratch.key(d)}")
+        toks.groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("exact"))
+          .write.mode("overwrite").parquet(exDir)
+        val exact = s.read.parquet(exDir)
         val wk = Window.partitionBy(col("source"))
           .orderBy(desc("s"), col("term"))
         val ranked = summed.withColumn("r", row_number().over(wk))
@@ -2332,10 +2348,8 @@ object GraphTemporalQueries {
           .select(col("source"), col("term"),
             (col("s") - coalesce(col("cut"), lit(0L))).as("est"))
           .filter(col("est") > 0)
-        val exact = toks.groupBy(col("source"), col("term"))
-          .agg(count(lit(1)).as("exact"))
-        val n = toks.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_tokens"))
+        val n = exact.groupBy(col("source"))
+          .agg(sum(col("exact")).as("n_tokens"))
           .withColumn("bound", expr(s"n_tokens div ${k + 1}"))
         val missed = exact.join(n, Seq("source"))
           .filter(col("exact") > col("bound"))

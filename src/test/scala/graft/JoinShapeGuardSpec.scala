@@ -27,7 +27,8 @@ class JoinShapeGuardSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "a18_ddsketch_quantiles", // literal quantile frame x cumulative walk
     "e1_cosine_topk",         // <= 3-row query frame x corpus (baseline op)
-    "e11_mmr_diverse",        // same ExactCosine.topK candidate pool
+    // (e11_mmr_diverse left the list at the round-14 census fix: its
+    // candidate frame is materialized, so no BNLJ plans anymore)
     "e10_mips",               // same 3-row query frame x corpus shape
     "e4_ann_ivf",             // query frame / centroid table broadcasts
     "e6_semdedup", "e7_pq_adc", "e8_ivfpq", "e9_ivf_maintain", // same family

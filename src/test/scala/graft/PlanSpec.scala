@@ -1062,6 +1062,32 @@ class PlanSpec extends SparkSpec {
       "f1 must scan events exactly once (the ordered-fold form):\n" +
         f1.take(1500))
     assert(!f1.contains("Join"), "f1's fold form must be join-free")
+    // third census pass: e11's candidate frame (21 embeddings scans
+    // unmaterialized), m13's fact-fact interaction join (8+8), t17's
+    // sketch + exact frames (8 documents scans) — all zero-fact-scan
+    // consumers now; e13 keeps one probe pass per swept setting
+    val e11 = plan("e11_mmr_diverse")
+    assert("embeddings.parquet".r.findAllIn(e11).length == 0,
+      "e11's consumer plan re-scans embeddings:\n" + e11.take(1500))
+    assert(e11.contains("e11_cand"),
+      "materialized candidate frame missing from e11's plan")
+    val m13 = plan("m13_popularity_baseline")
+    assert("lineitem.parquet".r.findAllIn(m13).length == 0
+      && "orders.parquet".r.findAllIn(m13).length == 0,
+      "m13's consumer plan re-runs the fact-fact join:\n" + m13.take(1500))
+    assert(m13.contains("m13_inter"),
+      "materialized interaction frame missing from m13's plan")
+    val t17 = plan("t17_heavy_hitters")
+    assert("documents.parquet".r.findAllIn(t17).length == 0,
+      "t17's consumer plan re-tokenizes the corpus:\n" + t17.take(1500))
+    assert(t17.contains("t17_sum") && t17.contains("t17_ex"),
+      "materialized sketch/exact frames missing from t17's plan")
+    val e13 = plan("e13_probe_sweep")
+    assert("embeddings.parquet".r.findAllIn(e13).length <= 3,
+      "e13 must scan embeddings at most once per swept probe setting:\n" +
+        e13.take(1500))
+    assert(e13.contains("e13_exact"),
+      "materialized ground-truth pool missing from e13's plan")
   }
 
   test("f10: both aggregates read the materialized pair table (zero " +
