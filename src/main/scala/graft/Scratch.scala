@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Scratch-directory resolution for queries that materialize intermediates
   * (IO round-trips, the d5 shingle table, d7 checkpoints, saved ML models).
@@ -50,6 +50,29 @@ object Scratch {
 
   def dir(spark: SparkSession, name: String): String =
     s"${spark.conf.get(ConfKey, Default)}/$name"
+
+  /** Conf toggling [[cut]] between materialize (default) and live lineage. */
+  val CutKey = "spark.graft.cutMaterialize"
+
+  /** Materialization cut for a multi-consumer frame (the round-14 scan
+    * census fix): write the frame ONCE to scratch parquet and hand every
+    * consumer the read, so N consumers plan N scratch scans instead of N
+    * re-derivations of the whole fact lineage (d13's shingle table planned
+    * 24 documents scans live; e11's candidate frame 21). The scratch name
+    * keeps the per-query prefix (`d13_sh`, `a26_obs`, ...) because
+    * PlanSpec pins it in the consumer plan.
+    *
+    * `spark.graft.cutMaterialize=false` keeps the live lineage instead —
+    * the differential path CensusCrossoverExperiment uses to measure the
+    * materialize-vs-recompute crossover at scale (VERDICT r14 #2); results
+    * are identical by construction, asserted by CutDifferentialSpec.
+    */
+  def cut(s: SparkSession, name: String)(df: DataFrame): DataFrame =
+    if (s.conf.get(CutKey, "true").toBoolean) {
+      val p = dir(s, name)
+      df.write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    } else df
 
   /** Collision-resistant per-dataset key for scratch stores that WIPE
     * before publishing (u5/u6/u7/u9): the sanitized last path segment

@@ -649,12 +649,10 @@ object AdvancedQueries {
         // it twice and the coverage total a third time — the
         // unmaterialized form tokenized the corpus three times
         // (round-14 scan census)
-        val dir = graft.Scratch.dir(s, s"t15_voc_${graft.Scratch.key(d)}")
-        documents(s, d)
-          .select(explode(tokens(col("text"))).as("term"))
-          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-          .write.mode("overwrite").parquet(dir)
-        val vocab = s.read.parquet(dir)
+        val vocab = graft.Scratch.cut(s, s"t15_voc_${graft.Scratch.key(d)}")(
+          documents(s, d)
+            .select(explode(tokens(col("text"))).as("term"))
+            .groupBy(col("term")).agg(count(lit(1)).as("cnt")))
         val order = Seq(col("cnt").desc, col("term").asc)
         val withCum = GlobalRank.withRankAndRunningTotal(vocab, order, "cnt",
           "vocab_rank", "cum_cnt")
@@ -1021,13 +1019,11 @@ object AdvancedQueries {
         // GlobalRank passes and each references its input twice
         // (offsets + main side), so the unmaterialized form scanned
         // lineitem four times (caught by the round-14 scan census)
-        val dir = graft.Scratch.dir(s, s"a27_m_${graft.Scratch.key(d)}")
-        lineitem(s, d)
-          .groupBy(col("l_partkey"))
-          .agg(sum(col("l_quantity").cast("long")).as("qty"),
-            sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
-          .write.mode("overwrite").parquet(dir)
-        val m = s.read.parquet(dir)
+        val m = graft.Scratch.cut(s, s"a27_m_${graft.Scratch.key(d)}")(
+          lineitem(s, d)
+            .groupBy(col("l_partkey"))
+            .agg(sum(col("l_quantity").cast("long")).as("qty"),
+              sum(round(col("l_extendedprice") * 100).cast("long")).as("rev")))
         val byQty = GlobalRank.withRowNumber(m,
           Seq(col("qty").desc, col("l_partkey").asc), "rank_qty")
           .select(col("l_partkey"), col("rank_qty"))
@@ -1097,20 +1093,18 @@ object AdvancedQueries {
         // twice and the sample-size aggregate a third time — the
         // unmaterialized form scanned events three times (caught by
         // the round-14 scan census; the comment claimed one)
-        val dir = graft.Scratch.dir(s, s"a28_bv_${graft.Scratch.key(d)}")
-        events(s, d)
-          .filter(col("event_type").isin("click", "purchase"))
-          .select(round(col("value") * 100).cast("long").as("c"),
-            (col("event_type") === "click").cast("long").as("is_a"))
-          .groupBy(col("c"))
-          .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
-          // coalesce(1): the frame's domain is BOUNDED (a value grid /
-          // calendar bins), so one output file is scale-safe and cuts
-          // the 32-file commit + read overhead; corpus-proportional
-          // frames (a27/t15/t24) keep partitioned writes instead
-          .coalesce(1)
-          .write.mode("overwrite").parquet(dir)
-        val byVal = s.read.parquet(dir)
+        val byVal = graft.Scratch.cut(s, s"a28_bv_${graft.Scratch.key(d)}")(
+          events(s, d)
+            .filter(col("event_type").isin("click", "purchase"))
+            .select(round(col("value") * 100).cast("long").as("c"),
+              (col("event_type") === "click").cast("long").as("is_a"))
+            .groupBy(col("c"))
+            .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+            // coalesce(1): the frame's domain is BOUNDED (a value grid /
+            // calendar bins), so one output file is scale-safe and cuts
+            // the 32-file commit + read overhead; corpus-proportional
+            // frames (a27/t15/t24) keep partitioned writes instead
+            .coalesce(1))
         val cum = GlobalRank.withRankAndRunningTotals(byVal,
           Seq(col("c").asc), Seq("ca", "cb"), "vr", Seq("cum_a", "cum_b"))
         // sample sizes from the tiny materialized per-value frame
@@ -1207,13 +1201,11 @@ object AdvancedQueries {
         // exactly once — obs feeds rt/ct/tot/terms and each reference
         // recomputed the documents scan (TEN scans in the
         // unmaterialized plan, round-14 scan census)
-        val dir = graft.Scratch.dir(s, s"a26_obs_${graft.Scratch.key(d)}")
-        documents(s, d).select(col("lang"), col("source"))
-          .groupBy(col("lang"), col("source"))
-          .agg(count(lit(1)).as("o"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(dir)
-        val obs = s.read.parquet(dir)
+        val obs = graft.Scratch.cut(s, s"a26_obs_${graft.Scratch.key(d)}")(
+          documents(s, d).select(col("lang"), col("source"))
+            .groupBy(col("lang"), col("source"))
+            .agg(count(lit(1)).as("o"))
+            .coalesce(1))
         // row/column/N totals aggregate the TINY materialized frame
         // (sums of cell counts ARE the marginal counts)
         val rt = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
@@ -1326,20 +1318,18 @@ object AdvancedQueries {
         // a28's materialization cut: GlobalRank references its input
         // twice, so the unmaterialized per-value frame scanned events
         // twice (round-14 scan census)
-        val dir = graft.Scratch.dir(s, s"a29_bv_${graft.Scratch.key(d)}")
-        events(s, d)
-          .filter(col("event_type").isin("click", "purchase"))
-          .select(round(col("value") * 100).cast("long").as("c"),
-            (col("event_type") === "click").cast("long").as("is_a"))
-          .groupBy(col("c"))
-          .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
-          // coalesce(1): the frame's domain is BOUNDED (a value grid /
-          // calendar bins), so one output file is scale-safe and cuts
-          // the 32-file commit + read overhead; corpus-proportional
-          // frames (a27/t15/t24) keep partitioned writes instead
-          .coalesce(1)
-          .write.mode("overwrite").parquet(dir)
-        val byVal = s.read.parquet(dir)
+        val byVal = graft.Scratch.cut(s, s"a29_bv_${graft.Scratch.key(d)}")(
+          events(s, d)
+            .filter(col("event_type").isin("click", "purchase"))
+            .select(round(col("value") * 100).cast("long").as("c"),
+              (col("event_type") === "click").cast("long").as("is_a"))
+            .groupBy(col("c"))
+            .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+            // coalesce(1): the frame's domain is BOUNDED (a value grid /
+            // calendar bins), so one output file is scale-safe and cuts
+            // the 32-file commit + read overhead; corpus-proportional
+            // frames (a27/t15/t24) keep partitioned writes instead
+            .coalesce(1))
         val cum = GlobalRank.withRankAndRunningTotals(byVal,
           Seq(col("c").asc), Seq("ca", "cb"), "vr", Seq("cum_a", "cum_b"))
         // ca·(2B + m + 1) reaches 2N² — ride DECIMAL(38,0) from the start
@@ -1416,19 +1406,17 @@ object AdvancedQueries {
         // cumulative pass, the per-type totals, and the final clip
         // count all read it — unmaterialized it scanned events three
         // times (round-14 scan census)
-        val dir = graft.Scratch.dir(s, s"a30_bv_${graft.Scratch.key(d)}")
-        events(s, d)
-          .select(col("event_type"),
-            round(col("value") * 100).cast("long").as("c"))
-          .groupBy(col("event_type"), col("c"))
-          .agg(count(lit(1)).as("m"))
-          // coalesce(1): the frame's domain is BOUNDED (a value grid /
-          // calendar bins), so one output file is scale-safe and cuts
-          // the 32-file commit + read overhead; corpus-proportional
-          // frames (a27/t15/t24) keep partitioned writes instead
-          .coalesce(1)
-          .write.mode("overwrite").parquet(dir)
-        val bv = s.read.parquet(dir)
+        val bv = graft.Scratch.cut(s, s"a30_bv_${graft.Scratch.key(d)}")(
+          events(s, d)
+            .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("c"))
+            .groupBy(col("event_type"), col("c"))
+            .agg(count(lit(1)).as("m"))
+            // coalesce(1): the frame's domain is BOUNDED (a value grid /
+            // calendar bins), so one output file is scale-safe and cuts
+            // the 32-file commit + read overhead; corpus-proportional
+            // frames (a27/t15/t24) keep partitioned writes instead
+            .coalesce(1))
         val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = bv.withColumn("cm", sum(col("m")).over(w))
@@ -1785,13 +1773,11 @@ object AdvancedQueries {
       (s, d) => {
         // a26's materialization cut verbatim: the unmaterialized
         // contingency frame scanned documents six times (scan census)
-        val dir = graft.Scratch.dir(s, s"a31_obs_${graft.Scratch.key(d)}")
-        documents(s, d).select(col("lang"), col("source"))
-          .groupBy(col("lang"), col("source"))
-          .agg(count(lit(1)).as("o"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(dir)
-        val obs = s.read.parquet(dir)
+        val obs = graft.Scratch.cut(s, s"a31_obs_${graft.Scratch.key(d)}")(
+          documents(s, d).select(col("lang"), col("source"))
+            .groupBy(col("lang"), col("source"))
+            .agg(count(lit(1)).as("o"))
+            .coalesce(1))
         val rt = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
         val ct = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
         val tot = obs.agg(sum(col("o")).as("nn"))

@@ -2319,25 +2319,21 @@ object GraphTemporalQueries {
         // from the exact counts (sums of term counts ARE the totals)
         // instead of a third corpus pass. Two corpus passes remain by
         // construction: the sketch pass and the exact-evidence pass.
-        val sumDir = graft.Scratch.dir(s, s"t17_sum_${graft.Scratch.key(d)}")
-        toks
-          .withColumn("shard", pmod(col("doc_id"), lit(8)))
-          .repartition(col("source"), col("shard"))
-          .sortWithinPartitions(col("source"), col("shard"), col("doc_id"),
-            col("pos"))
-          .groupBy(col("source"), col("shard"))
-          .agg(mg(col("term")).as("items"))
-          .select(col("source"), explode(col("items")).as("it"))
-          .groupBy(col("source"), col("it.term").as("term"))
-          .agg(sum(col("it.est")).as("s"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(sumDir)
-        val summed = s.read.parquet(sumDir)
-        val exDir = graft.Scratch.dir(s, s"t17_ex_${graft.Scratch.key(d)}")
-        toks.groupBy(col("source"), col("term"))
-          .agg(count(lit(1)).as("exact"))
-          .write.mode("overwrite").parquet(exDir)
-        val exact = s.read.parquet(exDir)
+        val summed = graft.Scratch.cut(s, s"t17_sum_${graft.Scratch.key(d)}")(
+          toks
+            .withColumn("shard", pmod(col("doc_id"), lit(8)))
+            .repartition(col("source"), col("shard"))
+            .sortWithinPartitions(col("source"), col("shard"), col("doc_id"),
+              col("pos"))
+            .groupBy(col("source"), col("shard"))
+            .agg(mg(col("term")).as("items"))
+            .select(col("source"), explode(col("items")).as("it"))
+            .groupBy(col("source"), col("it.term").as("term"))
+            .agg(sum(col("it.est")).as("s"))
+            .coalesce(1))
+        val exact = graft.Scratch.cut(s, s"t17_ex_${graft.Scratch.key(d)}")(
+          toks.groupBy(col("source"), col("term"))
+            .agg(count(lit(1)).as("exact")))
         val wk = Window.partitionBy(col("source"))
           .orderBy(desc("s"), col("term"))
         val ranked = summed.withColumn("r", row_number().over(wk))
@@ -2694,18 +2690,16 @@ object GraphTemporalQueries {
         // its input twice and the series totals a third time — the
         // unmaterialized form scanned events three times (round-14
         // scan census)
-        val dir = graft.Scratch.dir(s, s"w16_bins_${graft.Scratch.key(d)}")
-        events(s, d)
-          .select(expr("ts div 3600000000000").as("bin"),
-            round(col("value") * 100).cast("long").as("c"))
-          .groupBy(col("bin")).agg(sum(col("c")).as("sb"))
-          // coalesce(1): the frame's domain is BOUNDED (a value grid /
-          // calendar bins), so one output file is scale-safe and cuts
-          // the 32-file commit + read overhead; corpus-proportional
-          // frames (a27/t15/t24) keep partitioned writes instead
-          .coalesce(1)
-          .write.mode("overwrite").parquet(dir)
-        val byBin = s.read.parquet(dir)
+        val byBin = graft.Scratch.cut(s, s"w16_bins_${graft.Scratch.key(d)}")(
+          events(s, d)
+            .select(expr("ts div 3600000000000").as("bin"),
+              round(col("value") * 100).cast("long").as("c"))
+            .groupBy(col("bin")).agg(sum(col("c")).as("sb"))
+            // coalesce(1): the frame's domain is BOUNDED (a value grid /
+            // calendar bins), so one output file is scale-safe and cuts
+            // the 32-file commit + read overhead; corpus-proportional
+            // frames (a27/t15/t24) keep partitioned writes instead
+            .coalesce(1))
         val cum = GlobalRank.withRankAndRunningTotals(byBin,
           Seq(col("bin").asc), Seq("sb"), "idx", Seq("cums"))
         val tot = byBin.agg(count(lit(1)).as("n"),

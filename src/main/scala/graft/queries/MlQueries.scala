@@ -501,16 +501,14 @@ object MlQueries {
         // unmaterialized plan re-executed the join per reference,
         // scanning EACH fact table eight times (round-14 scan census);
         // one write of the joined frame replaces seven join re-runs
-        val dir = graft.Scratch.dir(s, s"m13_inter_${graft.Scratch.key(d)}")
-        lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey"))
-          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
-            unix_micros(col("o_orderdate").cast("timestamp")).as("tus")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
-            col("tus"))
-          .write.mode("overwrite").parquet(dir)
-        val inter = s.read.parquet(dir)
+        val inter = graft.Scratch.cut(s, s"m13_inter_${graft.Scratch.key(d)}")(
+          lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey"))
+            .join(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+              unix_micros(col("o_orderdate").cast("timestamp")).as("tus")),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
+              col("tus")))
         val cut = inter.agg(expr("(min(tus) + max(tus)) div 2").as("cut"))
         val withCut = inter.crossJoin(broadcast(cut))
         val pop = withCut.filter(col("tus") < col("cut"))

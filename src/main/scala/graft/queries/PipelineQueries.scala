@@ -220,22 +220,52 @@ object PipelineQueries {
     * never collide with existing base/update keys at any corpus size (a
     * fixed 1e6 offset breaks the exclusivity invariant the moment base ids
     * reach 1e6).
+    *
+    * The batch rides [[graft.Scratch.cut]] (round 15): in production a
+    * change batch IS its own table; deriving it lazily from the base let
+    * every u-family consumer re-plan the derivation, so u1/u2/u10 planned
+    * 8-9 documents scans each (first ScanBudgetSpec census). Cut, each
+    * query's plan reads the batch like the real table it models.
     */
-  private def changeBatch(base: DataFrame): DataFrame = {
-    val off = base.agg((max(col("doc_id")) + 1L).as("ins_off"))
-    val upd = base.filter(col("doc_id") % 7 === 0)
-      .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"),
-        lit(2L).as("rev"), lit("U").as("op"))
-    val ins = base.filter(col("doc_id") % 13 === 3)
-      .crossJoin(broadcast(off))
-      .select((col("doc_id") + col("ins_off")).as("doc_id"),
-        concat(lit("new "), col("text")).as("text"),
-        lit(1L).as("rev"), lit("I").as("op"))
-    val del = base.filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 0)
-      .select(col("doc_id"), lit(null).cast("string").as("text"),
-        lit(0L).as("rev"), lit("D").as("op"))
-    upd.unionByName(ins).unionByName(del)
-  }
+  private def changeBatch(s: SparkSession, d: String,
+      base: DataFrame): DataFrame =
+    graft.Scratch.cut(s, s"uchg_${graft.Scratch.key(d)}") {
+      val off = base.agg((max(col("doc_id")) + 1L).as("ins_off"))
+      val upd = base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"),
+          lit(2L).as("rev"), lit("U").as("op"))
+      val ins = base.filter(col("doc_id") % 13 === 3)
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("ins_off")).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"),
+          lit(1L).as("rev"), lit("I").as("op"))
+      val del = base.filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(0L).as("rev"), lit("D").as("op"))
+      upd.unionByName(ins).unionByName(del)
+    }
+
+  /** u10/u11's second delta log, derived like [[changeBatch]] and cut for
+    * the same reason (both queries replay the SAME log stack — the shared
+    * scratch name means the second query's construction re-writes, never
+    * re-plans, the derivation).
+    */
+  private def deltaLog2(s: SparkSession, d: String,
+      base: DataFrame): DataFrame =
+    graft.Scratch.cut(s, s"ud2_${graft.Scratch.key(d)}") {
+      val off = base.agg((max(col("doc_id")) + 1L).as("ins_off"))
+      base.filter(col("doc_id") % 14 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" [rev3]")).as("text"),
+          lit(3L).as("rev"), lit("U").as("op"))
+        .unionByName(base
+          .filter(col("doc_id") % 13 === 3 && col("doc_id") % 2 === 0)
+          .crossJoin(broadcast(off))
+          .select((col("doc_id") + col("ins_off")).as("doc_id"),
+            lit(null).cast("string").as("text"),
+            lit(0L).as("rev"), lit("D").as("op")))
+        .withColumn("ver", lit(2L))
+    }
 
   /** DuckDB SQL fragment mirroring [[changeBatch]] (shared by u1/u2). */
   private val sqlChanges =
@@ -676,25 +706,22 @@ object PipelineQueries {
         // tokenize + shingle + distinct (round-14 scan census). cand is
         // cut too: it anchors both the doc set and the final pair
         // filter, and its lineage contains the self-join
-        val shDir = graft.Scratch.dir(s, s"d13_sh_${graft.Scratch.key(d)}")
-        tokenized(s, d)
-          .select(col("doc_id"), explode(shinglesNative(col("text"), k)).as("g"))
-          .distinct()
-          .write.mode("overwrite").parquet(shDir)
-        val sh = s.read.parquet(shDir)
+        val sh = graft.Scratch.cut(s, s"d13_sh_${graft.Scratch.key(d)}")(
+          tokenized(s, d)
+            .select(col("doc_id"),
+              explode(shinglesNative(col("text"), k)).as("g"))
+            .distinct())
         val anchors = sh.groupBy(col("g"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df").between(2, 8))
           .select(col("g"))
         val shAnch = sh.join(anchors, Seq("g"))
-        val candDir = graft.Scratch.dir(s, s"d13_cand_${graft.Scratch.key(d)}")
-        shAnch.as("x")
-          .join(shAnch.as("y").hint("shuffle_hash"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-          .write.mode("overwrite").parquet(candDir)
-        val cand = s.read.parquet(candDir)
+        val cand = graft.Scratch.cut(s, s"d13_cand_${graft.Scratch.key(d)}")(
+          shAnch.as("x")
+            .join(shAnch.as("y").hint("shuffle_hash"),
+              col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+            .distinct())
         val cdocs = cand.select(col("a_id").as("d"))
           .union(cand.select(col("b_id"))).distinct()
         val shc = sh.join(cdocs, col("doc_id") === col("d"), "left_semi")
@@ -1589,18 +1616,14 @@ object PipelineQueries {
         // in the round-14 census), and the 8-row query frame was
         // re-derived per setting per side; both are bounded, so
         // coalesce(1) is scale-safe
-        val qDir = graft.Scratch.dir(s, s"e13_q_${graft.Scratch.key(d)}")
-        emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(qDir)
-        val queries = s.read.parquet(qDir)
-        val exactDir = graft.Scratch.dir(s, s"e13_exact_${graft.Scratch.key(d)}")
-        graft.similarity.ExactCosine.topK(emb, queries, 10)
-          .select(col("q_id"), col("cand_id"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(exactDir)
-        val exact = s.read.parquet(exactDir)
+        val queries = graft.Scratch.cut(s, s"e13_q_${graft.Scratch.key(d)}")(
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"))
+            .coalesce(1))
+        val exact = graft.Scratch.cut(s, s"e13_exact_${graft.Scratch.key(d)}")(
+          graft.similarity.ExactCosine.topK(emb, queries, 10)
+            .select(col("q_id"), col("cand_id"))
+            .coalesce(1))
         val perProbe = Seq(1, 2, 4).map { np =>
           val hits = graft.similarity.IvfIndex.topK(model, queries, 10, np)
             .select(col("q_id"), col("cand_id"))
@@ -2089,7 +2112,7 @@ object PipelineQueries {
     Q("u1_upsert",
       (s, d) => {
         val base = documents(s, d).select(col("doc_id"), col("text"))
-        val changes = changeBatch(base)
+        val changes = changeBatch(s, d, base)
         val merged = base
           .join(changes.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("text"), lit(1L).as("rev"))
@@ -2125,19 +2148,8 @@ object PipelineQueries {
     Q("u10_mor_read",
       (s, d) => {
         val base = documents(s, d).select(col("doc_id"), col("text"))
-        val d1 = changeBatch(base).withColumn("ver", lit(1L))
-        val off = base.agg((max(col("doc_id")) + 1L).as("ins_off"))
-        val d2 = base.filter(col("doc_id") % 14 === 0)
-          .select(col("doc_id"),
-            concat(col("text"), lit(" [rev3]")).as("text"),
-            lit(3L).as("rev"), lit("U").as("op"))
-          .unionByName(base
-            .filter(col("doc_id") % 13 === 3 && col("doc_id") % 2 === 0)
-            .crossJoin(broadcast(off))
-            .select((col("doc_id") + col("ins_off")).as("doc_id"),
-              lit(null).cast("string").as("text"),
-              lit(0L).as("rev"), lit("D").as("op")))
-          .withColumn("ver", lit(2L))
+        val d1 = changeBatch(s, d, base).withColumn("ver", lit(1L))
+        val d2 = deltaLog2(s, d, base)
         val stacked = base
           .select(col("doc_id"), col("text"), lit(1L).as("rev"),
             lit("B").as("op"), lit(0L).as("ver"))
@@ -2146,6 +2158,74 @@ object PipelineQueries {
           .orderBy(col("ver").desc)
         stacked.withColumn("rn", row_number().over(byKey))
           .filter(col("rn") === 1 && col("op") =!= "D")
+          .select(col("doc_id"), col("rev"), col("ver"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlChanges,
+              |d2 AS (
+              |  SELECT doc_id, text || ' [rev3]' AS text, 3 AS rev,
+              |    'U' AS op, 2 AS ver
+              |  FROM base WHERE doc_id % 14 = 0
+              |  UNION ALL
+              |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM base),
+              |    NULL, 0, 'D', 2
+              |  FROM base WHERE doc_id % 13 = 3 AND doc_id % 2 = 0
+              |), stacked AS (
+              |  SELECT doc_id, text, 1 AS rev, 'B' AS op, 0 AS ver
+              |  FROM base
+              |  UNION ALL
+              |  SELECT doc_id, text, rev, op, 1 FROM changes
+              |  UNION ALL
+              |  SELECT * FROM d2
+              |), merged AS (
+              |  SELECT doc_id, text, rev, op, ver,
+              |    row_number() OVER (PARTITION BY doc_id
+              |      ORDER BY ver DESC) AS rn
+              |  FROM stacked
+              |)
+              |SELECT doc_id, CAST(rev AS BIGINT) AS rev,
+              |  CAST(ver AS BIGINT) AS ver, md5(text) AS text_md5
+              |FROM merged WHERE rn = 1 AND op <> 'D'
+              |ORDER BY doc_id""".stripMargin)),
+
+    // U11: LOG COMPACTION — the lifecycle step that makes u10's
+    // merge-on-read safe at scale (an unbounded log chain is the
+    // real-world MoR failure mode: every read pays the whole stack).
+    // The fold is exactly u1's copy-on-write plan applied to the per-key
+    // log WINNERS: one window picks the highest-version log row per key
+    // (each log carries a key at most once, so the order is total), then
+    // anti-join(base, winner keys) ∪ surviving non-delete winners — a
+    // winning tombstone removes its key from the new base entirely,
+    // including the delta-on-delta case where the key never existed in
+    // the base. The new base is MATERIALIZED as a real store (scratch
+    // parquet) and read back, so the registered plan is a store read,
+    // not a lineage replay. The oracle is u10's MoR SQL VERBATIM: the
+    // oracled statement IS the law read-after-compaction ≡ merge-on-read.
+    // The follow-on law — the compacted store under ONE new delta reads
+    // identically to the original three-log stack under that delta —
+    // is SnapshotStoreSpec's compaction case. At 100 TB: compaction runs
+    // as u1 (one shuffle on the key, partition-pruned rewrite) and
+    // resets every subsequent read from an N-log merge to a plain scan.
+    Q("u11_log_compact",
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val d1 = changeBatch(s, d, base).withColumn("ver", lit(1L))
+        val d2 = deltaLog2(s, d, base)
+        val byKey = Window.partitionBy(col("doc_id"))
+          .orderBy(col("ver").desc)
+        val winners = d1.unionByName(d2)
+          .withColumn("rn", row_number().over(byKey))
+          .filter(col("rn") === 1)
+        val compacted = base
+          .join(winners.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"),
+            lit(1L).as("rev"), lit(0L).as("ver"))
+          .unionByName(winners.filter(col("op") =!= "D")
+            .select(col("doc_id"), col("text"), col("rev"), col("ver")))
+        val path = graft.Scratch.dir(s, s"u11_base_${graft.Scratch.key(d)}")
+        compacted.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
           .select(col("doc_id"), col("rev"), col("ver"),
             md5(col("text")).as("text_md5"))
           .orderBy("doc_id")
@@ -2187,7 +2267,7 @@ object PipelineQueries {
     Q("u2_snapshot_diff",
       (s, d) => {
         val base = documents(s, d).select(col("doc_id"), col("text"))
-        val changes = changeBatch(base)
+        val changes = changeBatch(s, d, base)
         val merged = base
           .join(changes.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("text"))
@@ -2627,15 +2707,13 @@ object PipelineQueries {
         // the selected-vector joins (s1v/s2v) read IT — the selected
         // ids are candidates by construction — never the corpus.
         // Two embeddings scans remain: the topK pass + the norm join.
-        val dir = graft.Scratch.dir(s, s"e11_cand_${graft.Scratch.key(d)}")
         val en = emb.withColumn("nrm", l2Norm(col("v")))
-        graft.similarity.ExactCosine.topK(emb, q, 20)
-          .select(col("q_id"), col("cand_id"), col("cos"))
-          .join(en.select(col("vec_id").as("cand_id"),
-            col("v").as("cv"), col("nrm").as("cn")), Seq("cand_id"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(dir)
-        val cv = s.read.parquet(dir)
+        val cv = graft.Scratch.cut(s, s"e11_cand_${graft.Scratch.key(d)}")(
+          graft.similarity.ExactCosine.topK(emb, q, 20)
+            .select(col("q_id"), col("cand_id"), col("cos"))
+            .join(en.select(col("vec_id").as("cand_id"),
+              col("v").as("cv"), col("nrm").as("cn")), Seq("cand_id"))
+            .coalesce(1))
         val c = cv.select(col("q_id"), col("cand_id"), col("cos"))
         def pairCos(av: Column, an: Column, bv: Column, bn: Column) =
           round(dot(av, bv) / (an * bn), 5)
@@ -3083,13 +3161,11 @@ object PipelineQueries {
         // newTerms), so the unmaterialized form scanned documents five
         // times (round-14 scan census); materialized, the two tokenize
         // passes run once
-        val dir = graft.Scratch.dir(s, s"t24_docs_${graft.Scratch.key(d)}")
-        perDoc
-          .join(newTerms, col("doc_id") === col("first_doc"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("n_new"), lit(0L)).as("n_new"))
-          .write.mode("overwrite").parquet(dir)
-        val docs = s.read.parquet(dir)
+        val docs = graft.Scratch.cut(s, s"t24_docs_${graft.Scratch.key(d)}")(
+          perDoc
+            .join(newTerms, col("doc_id") === col("first_doc"), "left")
+            .select(col("doc_id"), col("n_tokens"),
+              coalesce(col("n_new"), lit(0L)).as("n_new")))
         val ranked = GlobalRank.withRankAndRunningTotals(docs,
           Seq(col("doc_id").asc), Seq("n_tokens", "n_new"),
           "doc_rank", Seq("cum_tokens", "cum_vocab"))

@@ -39,8 +39,10 @@ class JoinShapeGuardSpec extends SparkSpec {
     "t22_bigram_surprisal",   // 1-row vocabulary-size aggregate
     "c10_temporal_split",     // 1-row time-cutoff aggregate
     "t15_vocab_coverage",     // 1-row total-token aggregate
-    "u1_upsert", "u2_snapshot_diff", // 1-row max(doc_id)+1 insert offset
-    "u10_mor_read",           // same 1-row insert-offset frame as u1/u2
+    // (u1/u2/u10 left the list at the round-15 change-batch cut: their
+    // 1-row insert-offset crossJoins now execute at construction, inside
+    // the batch materialization — the returned plans read the batch like
+    // the real change table it models)
     "b23_tpch_q11",           // 1-row (total, n_parts) threshold frame
     "g8_kcore",               // two 1-row count aggregates (convergence flag)
     "c13_temperature_mix",    // 1-row weight-sum aggregate (quota denominator)

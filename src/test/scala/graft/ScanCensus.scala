@@ -1,0 +1,97 @@
+package graft
+
+/** Shared machinery for the registry-wide fact-scan budget (VERDICT r14
+  * top item). Round 14 fixed the multiplied-scan defect class three times
+  * by HAND — d13 shipped at 24 documents scans and e11 at 21 before a
+  * manual census caught them — so the census is now mechanical:
+  * [[ScanBudgetSpec]] walks every registered query's executed plan, counts
+  * scans of each FACT table, and compares against the committed per-query
+  * budget table. [[ScanCensusMain]] regenerates the table when a query's
+  * plan legitimately changes.
+  */
+object ScanCensus {
+
+  /** The tables whose scan counts are budgeted: the ones that are
+    * corpus-sized at 100 TB. Dimension tables (region/nation/customer/
+    * supplier/part at their TPC-H ratios) are broadcast-sized and excluded
+    * — re-reading a broadcast dim is noise, re-reading a fact is the
+    * defect. Same table set as PlanSpec's census pins.
+    */
+  val Facts: Seq[String] =
+    Seq("lineitem", "orders", "events", "documents", "embeddings")
+
+  /** Scan count per fact table in an executed-plan string. Counting plan
+    * OCCURRENCES of the source path (one per FileSourceScan node) is the
+    * exact metric the round-14 manual census used: ReusedExchange dedups
+    * an exchange subtree but a re-derived lineage plans a fresh scan node
+    * each time, which is what this counts.
+    */
+  def counts(plan: String): Map[String, Int] =
+    Facts.map(f => f -> s"$f\\.parquet".r.findAllIn(plan).length)
+      .filter(_._2 > 0).toMap
+
+  /** Compact committed form: "lineitem=1,orders=2"; "" = zero fact scans
+    * (the query reads only dims, or its consumers read scratch parquet).
+    */
+  def render(c: Map[String, Int]): String =
+    Facts.flatMap(f => c.get(f).map(n => s"$f=$n")).mkString(",")
+
+  def parse(s: String): Map[String, Int] =
+    if (s.isEmpty) Map.empty[String, Int]
+    else s.split(',').map { kv =>
+      val Array(k, v) = kv.split('=') : @unchecked
+      k -> v.toInt
+    }.toMap
+
+  /** The 14 round-14 scan-census queries whose shared frames now ride
+    * [[Scratch.cut]] (f1's fix was a join-free rewrite, not a cut, so it
+    * has no live form to toggle). CutDifferentialSpec asserts the toggle
+    * never changes results; CensusCrossoverExperiment measures the
+    * materialize-vs-recompute crossover on exactly this set.
+    */
+  val censusCuts: Seq[String] = Seq(
+    "a26_chi_square", "a27_rank_correlation", "a28_ks_test",
+    "a29_mann_whitney", "a30_tukey_fences", "a31_cramers_v",
+    "d13_containment", "e11_mmr_diverse", "e13_probe_sweep",
+    "m13_popularity_baseline", "t15_vocab_coverage", "t17_heavy_hitters",
+    "t24_heaps_law", "w16_changepoint")
+
+  /** Model-fitting queries whose construction executes training — the
+    * WindowGuardSpec / JoinShapeGuardSpec skip-set rationale: their plan
+    * shapes are owned by their dedicated specs (AlsSpec, SweepsSpec,
+    * FoldInSpec, ...), and constructing each of them here would re-fit
+    * models per guard suite. m10_cv IS budgeted (3-fold fit+eval is cheap
+    * at sf0.001 and its 6 scans are the protocol, worth pinning).
+    */
+  val skip: Set[String] = Set(
+    "m1_indexer_pipeline", "m3_ranking_metrics", "m4_als_recommend",
+    "m5_als_rmse", "m6_item_similarity", "m7_sweep", "m8_grid", "m9_curve",
+    "m11_rec_coverage", "m12_fold_in")
+}
+
+/** Regenerates ScanBudgetSpec's committed budget table:
+  * {{{
+  *   sbt "Test/runMain graft.ScanCensusMain"
+  * }}}
+  * prints one `"name" -> "counts",` line per non-skipped registered query
+  * (grep CENSUS). Paste the block into ScanBudgetSpec.budget after
+  * REVIEWING every diff line — a count that went UP is exactly the defect
+  * the budget exists to catch; regeneration is for reviewed plan changes,
+  * not for making the spec pass.
+  */
+object ScanCensusMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.session
+    val sfDir = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !ScanCensus.skip(name)) {
+      val c = scala.util.Try {
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        ScanCensus.render(ScanCensus.counts(p))
+      }.getOrElse("ERROR")
+      println(s"""CENSUS    "$name" -> "$c",""")
+    }
+    spark.stop()
+  }
+}

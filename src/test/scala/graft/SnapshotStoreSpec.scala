@@ -158,6 +158,56 @@ class SnapshotStoreSpec extends SparkSpec {
       == ((3L, "v3")))
   }
 
+  test("log compaction law (u11↔u10): the compacted store under ONE new " +
+      "delta reads identically to the original log stack under that delta") {
+    val s = spark
+    import s.implicits._
+    // (id, text, rev, op, ver) — op B=base row, U=upsert, D=tombstone.
+    // The stack covers every interaction the law must survive: an update
+    // overwritten across logs (1), a plain single-log update (2), a base
+    // delete (3), an insert that dies inside the log stack (10, the
+    // delta-on-delta case), an insert that survives (11), untouched (4).
+    def rows(t: (Long, String, Long, String, Long)*) =
+      t.toDF("id", "text", "rev", "op", "ver")
+    val base = rows((1L, "a", 1L, "B", 0L), (2L, "b", 1L, "B", 0L),
+      (3L, "c", 1L, "B", 0L), (4L, "d", 1L, "B", 0L))
+    val d1 = rows((1L, "a2", 2L, "U", 1L), (2L, "b2", 2L, "U", 1L),
+      (3L, null, 0L, "D", 1L), (10L, "x", 1L, "U", 1L),
+      (11L, "y", 1L, "U", 1L))
+    val d2 = rows((1L, "a3", 3L, "U", 2L), (10L, null, 0L, "D", 2L))
+    // merge-on-read: per key the highest-version row wins, tombstones drop
+    def mor(stack: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("ver").desc)
+      stack.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select("id", "text", "rev", "ver")
+        .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    }
+    // u11's fold: per-key log winner, then u1's anti-join ∪ survivors
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("ver").desc)
+    val winners = d1.unionByName(d2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val compacted = base
+      .join(winners.select("id"), Seq("id"), "left_anti")
+      .unionByName(winners.filter(col("op") =!= "D").drop("rn"))
+    // law 0: the compacted store alone reads as the three-log MoR read
+    assert(mor(compacted) == mor(base.unionByName(d1).unionByName(d2)))
+    // the compacted base is a REAL published store, not a lineage
+    val root = freshRoot()
+    SnapshotStore.publish(compacted, root)
+    val stored = SnapshotStore.read(spark, root)
+    // law: one new delta (update a survivor, delete another, insert a
+    // fresh key, resurrect the key the log stack killed) reads the same
+    // over the compacted store as over the full log chain
+    val d3 = rows((1L, "a4", 4L, "U", 3L), (2L, null, 0L, "D", 3L),
+      (12L, "z", 1L, "U", 3L), (10L, "x2", 2L, "U", 3L))
+    assert(mor(stored.unionByName(d3)) ==
+      mor(base.unionByName(d1).unionByName(d2).unionByName(d3)),
+      "post-compaction MoR read diverged from the uncompacted log chain")
+  }
+
   test("reading an unpublished root fails loudly") {
     val root = freshRoot()
     intercept[IllegalStateException] {
