@@ -54,10 +54,18 @@ def main():
     cur = load(cur_path)
     q = {k: v for k, v in cur["queries"].items() if not k.startswith("_")}
     harness = {k: v for k, v in cur["queries"].items() if k.startswith("_")}
+    # driver artifacts carry a stdout line auto-shrunk to the top-40
+    # slowest queries plus one `_other_Nq` aggregate — recover the true
+    # query count from it so the headline never understates coverage
+    other = sum(int(m.group(1)) for k in harness
+                if (m := re.match(r"_other_(\d+)q$", k)))
+    trunc = (f" ({len(q)} listed individually, driver-truncated stdout line;"
+             " use the honest merged artifact for the full per-query table)"
+             if other else "")
     lines = [BEGIN, ""]
     lines.append(
         f"Headline (from `{os.path.basename(cur_path)}`): **total "
-        f"{cur['value']} s across {len(q)} queries, "
+        f"{cur['value']} s across {len(q) + other} queries{trunc}, "
         f"{len(cur.get('errors', []))} errors**, runs={cur.get('runs', '?')}, "
         f"sf=`{cur.get('sf', '?')}`.")
     lines.append("")
