@@ -93,8 +93,19 @@ object PipelineQueries {
   private def ivfModel(s: SparkSession, d: String): graft.similarity.IvfIndex.Model = {
     if (ivfCache.size >= MaxCachedIndexes
         && !ivfCache.contains(s"${s.hashCode}|$d")) ivfCache.clear()
-    ivfCache.getOrElseUpdate(s"${s.hashCode}|$d",
-      graft.similarity.IvfIndex.build(ivfEmb(s, d), nCells = 8))
+    ivfCache.getOrElseUpdate(s"${s.hashCode}|$d", {
+      // save/load through the model registry, not just an in-process
+      // handle (round 15): build's `assigned` is a live k-means-transform
+      // LINEAGE over embeddings, so every consumer that touched
+      // model.assigned re-planned corpus scans (e8 planned 8, e9 7 —
+      // first ScanBudgetSpec census). Loaded, the index is what the
+      // scaladoc always claimed: a cell-partitioned parquet artifact,
+      // and search plans read IT, pruning to probed cells file-level.
+      val built = graft.similarity.IvfIndex.build(ivfEmb(s, d), nCells = 8)
+      val dir = graft.Scratch.dir(s, s"ivf_idx_${graft.Scratch.key(d)}")
+      graft.similarity.IvfIndex.save(built, dir)
+      graft.similarity.IvfIndex.load(s, dir)
+    })
   }
 
   /** Force the e4 index into the cache — Bench calls this before timing and
@@ -117,8 +128,14 @@ object PipelineQueries {
     // m=16 x k=32 on 64-dim: 4-dim subspaces, 32x compression, measured
     // mean top-10 overlap 5.2/10 on the near-random synthetic embeddings
     // (4x16 scored 1.7 — chance; resolution is the recall knob)
-    pqCache.getOrElseUpdate(s"${s.hashCode}|$d",
-      graft.similarity.PqIndex.build(ivfEmb(s, d), m = 16, k = 32))
+    pqCache.getOrElseUpdate(s"${s.hashCode}|$d", {
+      // ivfModel's save/load rationale: build's `codes` is a live encode
+      // lineage over the corpus — loaded, ADC reads the code artifact
+      val built = graft.similarity.PqIndex.build(ivfEmb(s, d), m = 16, k = 32)
+      val dir = graft.Scratch.dir(s, s"pq_idx_${graft.Scratch.key(d)}")
+      graft.similarity.PqIndex.save(built, dir)
+      graft.similarity.PqIndex.load(s, dir)
+    })
   }
 
   def pretrainPq(s: SparkSession, d: String): Unit = { pqModel(s, d); () }
@@ -1573,8 +1590,12 @@ object PipelineQueries {
       (s, d) => {
         val emb = ivfEmb(s, d)
         val model = ivfModel(s, d)
-        val queries = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        // e13's cut: the 5-row query frame feeds the probe join, the
+        // exact baseline, and the recall join — cut, it is derived once
+        val queries = graft.Scratch.cut(s, s"e4_q_${graft.Scratch.key(d)}")(
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"))
+            .coalesce(1))
         val ivf = graft.similarity.IvfIndex.topK(model, queries, k = 5, nprobe = 2)
           .select(col("q_id"), col("cand_id"), round(col("cos"), 5).as("cos"),
             col("rn").cast("long").as("rn"))
@@ -1795,8 +1816,12 @@ object PipelineQueries {
       (s, d) => {
         val emb = ivfEmb(s, d)
         val model = pqModel(s, d)
-        val queries = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        // e13's cut: the 10-row query frame feeds ADC, the exact
+        // baseline broadcast, and the final joins
+        val queries = graft.Scratch.cut(s, s"e7_q_${graft.Scratch.key(d)}")(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"))
+            .coalesce(1))
         val approx = graft.similarity.PqIndex.adcTopK(model, queries, 10)
         val exact = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
@@ -1833,8 +1858,12 @@ object PipelineQueries {
         val emb = ivfEmb(s, d)
         val ivf = ivfModel(s, d)
         val pq = pqModel(s, d)
-        val queries = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        // e13's cut: the 10-row query frame feeds probe, ADC, the exact
+        // baseline broadcast, and the final left joins
+        val queries = graft.Scratch.cut(s, s"e8_q_${graft.Scratch.key(d)}")(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"))
+            .coalesce(1))
         // self-pairs out up front: adcTopKWithin excludes vec_id == q_id
         // anyway, so counting them in n_cand overstated the read
         // amplification by 1 per query (every query sits in its own
@@ -1890,17 +1919,21 @@ object PipelineQueries {
         val ivf = ivfModel(s, d)
         val deletes = ivf.assigned.filter(col("vec_id") % 10 === 3)
           .select(col("vec_id"))
-        val inserts = emb.filter(col("vec_id") < 3)
-          .select((col("vec_id") + 50000L).as("vec_id"),
-            transform(col("v"),
-              (x, i) => when(i === 0, x * 1.02 + 0.01).otherwise(x * 1.02))
-              .as("v"))
+        val inserts = graft.Scratch.cut(s, s"e9_ins_${graft.Scratch.key(d)}")(
+          emb.filter(col("vec_id") < 3)
+            .select((col("vec_id") + 50000L).as("vec_id"),
+              transform(col("v"),
+                (x, i) => when(i === 0, x * 1.02 + 0.01).otherwise(x * 1.02))
+                .as("v"))
+            .coalesce(1))
         val maintained = IvfIndex.Model(ivf.centroids,
           ivf.assigned.join(deletes, Seq("vec_id"), "left_anti")
             .unionByName(IvfIndex.assign(ivf, inserts)
               .select(col("vec_id"), col("v"), col("cell_id"), col("nrm"))))
-        val queries = emb.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val queries = graft.Scratch.cut(s, s"e9_q_${graft.Scratch.key(d)}")(
+          emb.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"))
+            .coalesce(1))
         val hits = IvfIndex.topK(maintained, queries, k = 5, nprobe = 2)
         val counts = ivf.assigned.agg(count(lit(1)).as("n_base"))
           .crossJoin(deletes.agg(count(lit(1)).as("n_del")))

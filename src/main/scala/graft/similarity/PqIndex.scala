@@ -36,6 +36,28 @@ object PqIndex {
   final case class Model(m: Int, subDim: Int,
       codebooks: DataFrame, codes: DataFrame)
 
+  /** Persist a built index — IvfIndex.save's model-registry contract:
+    * `codes` out of [[build]] is a live encode lineage over the corpus,
+    * so an unloaded model re-plans corpus scans in every consumer; the
+    * loaded form makes ADC search read the (tiny) code table artifact.
+    * m/subDim ride a one-row meta table so load needs no side channel.
+    */
+  def save(model: Model, dir: String): Unit = {
+    val spark = model.codebooks.sparkSession
+    import spark.implicits._
+    Seq((model.m, model.subDim)).toDF("m", "sub_dim")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    model.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    model.codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def load(spark: SparkSession, dir: String): Model = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    Model(meta.getInt(0), meta.getInt(1),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"))
+  }
+
   private def subvector(v: Column, subIdx: Int, subDim: Int): Column =
     slice(v, subIdx * subDim + 1, subDim)
 

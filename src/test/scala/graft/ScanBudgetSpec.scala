@@ -131,23 +131,23 @@ class ScanBudgetSpec extends SparkSpec {
     "e10_mips" -> "embeddings=2",
     "e11_mmr_diverse" -> "",
     "e12_random_projection" -> "",
-    "e13_probe_sweep" -> "embeddings=3",
+    "e13_probe_sweep" -> "",
     "e14_knn_graph" -> "embeddings=2",
     "e15_matryoshka" -> "",
     "e1_cosine_topk" -> "embeddings=2",
     "e2_ann_buckets" -> "embeddings=2",
     "e3_embed_neardup" -> "embeddings=2",
-    // IVF construction (k-means rounds) inlined in the returned plan; index itself persisted cell-partitioned
-    "e4_ann_ivf" -> "embeddings=6",
+    // e4/e7/e8/e9/e13: since the round-15 save/load fix the IVF assigned
+    // table and PQ code table are READ as parquet artifacts (build's
+    // frames were live lineages, so e8 planned 8 corpus scans); the
+    // remaining single scan is the exact-recall baseline by construction
+    "e4_ann_ivf" -> "embeddings=1",
     "e5_quantize" -> "embeddings=1",
     // cluster-then-compare: quantizer fit + assignment + pair pass
     "e6_semdedup" -> "embeddings=4",
-    // PQ codebook training + ADC scan
-    "e7_pq_adc" -> "embeddings=4",
-    // IVF + PQ codebook training rounds inlined (coarse + residual passes)
-    "e8_ivfpq" -> "embeddings=8",
-    // build + incremental-maintenance contrast reads both generations
-    "e9_ivf_maintain" -> "embeddings=7",
+    "e7_pq_adc" -> "embeddings=1",
+    "e8_ivfpq" -> "embeddings=1",
+    "e9_ivf_maintain" -> "",
     "f10_stickiness" -> "",
     "f1_funnel" -> "events=1",
     "f2_retention" -> "events=2",
