@@ -235,6 +235,13 @@ object DecisionAudit {
         "epoch_ns·1e9 + event_id in DuckDB — so ties on ts cannot flip " +
         "the selection, and high/low/range are exact integer extremes",
       Seq("round(value * 100)", "* 1000000000 + event_id")),
+    "w21_drawdown" -> GrainMargin(0.5,
+      "per-row cents conversion is the only fp op (0.5 margin on " +
+        "2-dp-grain values); day binning is exact integer division of " +
+        "the nanos timestamp, and equity/peak/drawdown are exact integer " +
+        "running sum / running max / difference over the bounded day " +
+        "frame — no float ever re-enters after the cents cast",
+      Seq("round(value * 100)", "// 86400000000000")),
     "b17_tpch_q8" -> GrainMargin(0.5,
       "b2's discipline plus b7's exact ratio emit: per-row cents/percent " +
         "conversions are the only fp ops (0.5 margin each on 2-dp-grain " +

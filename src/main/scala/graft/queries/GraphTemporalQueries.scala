@@ -3026,6 +3026,55 @@ object GraphTemporalQueries {
              |  arg_max(c, ord) AS close_x100,
              |  max(c) - min(c) AS range_x100
              |FROM ev GROUP BY event_type, bin
-             |ORDER BY event_type, bin""".stripMargin))
+             |ORDER BY event_type, bin""".stripMargin)),
+
+    // W21: maximum-drawdown curve — the running-peak shortfall over the
+    // daily equity series (w20's candles tell you the range; drawdown
+    // tells you the worst peak-to-trough hold, the number risk reports
+    // lead with). Exact integer cents end to end: daily nets are one
+    // partial-combining aggregate over the corpus, the day frame is
+    // BOUNDED (calendar domain — a28's cut + coalesce(1) discipline), so
+    // the running sum and running max ride TinyWindow over the tiny
+    // frame, never a corpus-wide window. Equity is a long: it overflows
+    // int64 only past ~9.2e16 total cents of flow (~$9e14 net), stated
+    // here per the audit conventions; the per-day NET is the bounded
+    // quantity the partial aggregate shuffles.
+    Q("w21_drawdown",
+      (s, d) => {
+        val daily = graft.Scratch.cut(s, s"w21_day_${graft.Scratch.key(d)}")(
+          events(s, d)
+            .select(expr("ts div 86400000000000").as("day"),
+              round(col("value") * 100).cast("long").as("c"))
+            .groupBy(col("day")).agg(sum(col("c")).as("net"))
+            // coalesce(1): bounded calendar domain (a28's rationale)
+            .coalesce(1))
+        // both running aggregates share one ordered frame over the
+        // bounded day table — 2 window passes over ~thousands of rows
+        val run = graft.operators.TinyWindow.total(col("day"))(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.withColumn("equity", sum(col("net")).over(run))
+          .withColumn("peak", max(col("equity")).over(run))
+          .select(col("day"), col("net"), col("equity"), col("peak"),
+            (col("peak") - col("equity")).as("drawdown"))
+          .orderBy("day")
+      },
+      Some("""WITH dayv AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS net
+             |  FROM events GROUP BY 1
+             |), eq AS (
+             |  SELECT day, net,
+             |    CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS equity
+             |  FROM dayv
+             |), pk AS (
+             |  SELECT day, net, equity,
+             |    CAST(max(equity) OVER (ORDER BY day ROWS UNBOUNDED
+             |      PRECEDING) AS BIGINT) AS peak
+             |  FROM eq
+             |)
+             |SELECT day, net, equity, peak, peak - equity AS drawdown
+             |FROM pk ORDER BY day""".stripMargin))
   )
 }

@@ -4276,7 +4276,63 @@ object PipelineQueries {
              |  CAST(sum(share2_x1e6) AS BIGINT),
              |  CAST(sum(gap_x1e6) // 2 AS BIGINT)
              |FROM per
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // C19: dedup report — the cluster-size histogram + corpus dedup rate
+    // a curation run prints before anyone trusts d6's applied output
+    // (what fraction of the corpus is exact-duplicate mass, and is it a
+    // few giant clusters or a long tail of pairs — the two have opposite
+    // remediations: giant clusters are boilerplate/templates to excise,
+    // a pair tail is ordinary recrawl overlap). One map-side md5 groupBy
+    // (d1's shuffle shape: the exchange carries (hash) pairs, never
+    // text), a histogram over cluster sizes (domain bounded by the
+    // LARGEST cluster — thousands at worst, so the frame is tiny), and a
+    // 1-row totals frame broadcast back for the rate. All-integer:
+    // products bounded by n_docs (<= 1e13 at 100 TB) x 1e4 < int64.
+    Q("c19_dedup_report",
+      (s, d) => {
+        // the histogram frame feeds the totals aggregate AND the output
+        // projection — cut (a28's discipline), or the second reference
+        // re-plans the corpus md5 pass (caught by ScanBudgetSpec at
+        // registration: documents=2 uncut)
+        val hist = graft.Scratch.cut(s, s"c19_hist_${graft.Scratch.key(d)}")(
+          documents(s, d)
+            .groupBy(md5(col("text")).as("h"))
+            .agg(count(lit(1)).as("n_copies"))
+            .groupBy(col("n_copies"))
+            .agg(count(lit(1)).as("n_clusters"))
+            // coalesce(1): domain bounded by the largest cluster size
+            .coalesce(1))
+        val tot = hist.agg(
+          sum(col("n_copies") * col("n_clusters")).as("n_docs"),
+          sum(col("n_clusters")).as("n_survivors"))
+        hist.crossJoin(broadcast(tot))
+          .select(col("n_copies"), col("n_clusters"),
+            (col("n_copies") * col("n_clusters")).as("n_docs_in_bin"),
+            ((col("n_copies") - 1) * col("n_clusters"))
+              .as("n_removed_in_bin"),
+            col("n_docs"), col("n_survivors"),
+            expr("(n_docs - n_survivors) * 10000 div n_docs")
+              .as("dedup_rate_x1e4"))
+          .orderBy("n_copies")
+      },
+      Some("""WITH sizes AS (
+             |  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies
+             |  FROM documents GROUP BY 1
+             |), hist AS (
+             |  SELECT n_copies, CAST(count(*) AS BIGINT) AS n_clusters
+             |  FROM sizes GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(sum(n_copies * n_clusters) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_clusters) AS BIGINT) AS n_survivors
+             |  FROM hist
+             |)
+             |SELECT n_copies, n_clusters,
+             |  n_copies * n_clusters AS n_docs_in_bin,
+             |  (n_copies - 1) * n_clusters AS n_removed_in_bin,
+             |  n_docs, n_survivors,
+             |  (n_docs - n_survivors) * 10000 // n_docs AS dedup_rate_x1e4
+             |FROM hist CROSS JOIN tot ORDER BY n_copies""".stripMargin))
   )
 
 }

@@ -71,6 +71,7 @@ class JoinShapeGuardSpec extends SparkSpec {
     "m17_calibration",        // 1-row cmax frame (decile denominator)
     "f9_survival_km",         // 1-row observation-end + user-total frames
     "c18_distribution_drift", // 1-row cutoff + half-total frames
+    "c19_dedup_report",       // 1-row (n_docs, n_survivors) totals frame
     "m18_gains_table",        // 1-row (N, positives) totals frame
     "b12_tpch_q22"            // 1-row positive-balance threshold frame
   )

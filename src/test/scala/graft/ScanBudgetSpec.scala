@@ -103,6 +103,7 @@ class ScanBudgetSpec extends SparkSpec {
     "c16_mixture_raking" -> "",
     "c17_survivor_quality" -> "documents=1",
     "c18_distribution_drift" -> "",
+    "c19_dedup_report" -> "",
     "c1_curation_apply" -> "documents=1",
     "c2_split_assign" -> "documents=1",
     "c3_decontaminate" -> "",
@@ -301,6 +302,7 @@ class ScanBudgetSpec extends SparkSpec {
     "w18_seasonal_profile" -> "events=1",
     "w19_theil_sen" -> "",
     "w20_ohlc_candles" -> "events=1",
+    "w21_drawdown" -> "",
     "w2_topk_per_key" -> "events=1",
     "w3_tumbling_window" -> "events=1",
     "w4_session_window" -> "events=1",
