@@ -73,10 +73,17 @@ object GenrePipeline {
   }
 
   /** The full flow: scores -> maps -> popularity rank -> dominant tag. */
+  /** `cutName`: materialize the per-key tag-map frame through
+    * [[graft.Scratch.cut]] under that scratch name. The map frame feeds
+    * BOTH the popularity rank and the argmax — left live, each consumer
+    * re-plans the per-(key, tag) aggregation from the fact table
+    * (g1 planned three events scans, round-15 scan census).
+    */
   def dominant(df: DataFrame, keyCol: String, tagCol: String,
-      valCol: String): DataFrame = {
+      valCol: String, cutName: Option[String] = None): DataFrame = {
     val scores = tagScores(df, keyCol, tagCol, valCol)
-    val maps = tagMap(scores, keyCol, tagCol)
+    val maps = cutName.foldLeft(tagMap(scores, keyCol, tagCol))(
+      (m, n) => graft.Scratch.cut(df.sparkSession, n)(m))
     val ranks = tagRank(maps)
     dominantTag(maps, ranks, keyCol)
   }

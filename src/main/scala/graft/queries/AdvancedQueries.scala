@@ -309,35 +309,46 @@ object AdvancedQueries {
     // w12's outlier rationale applied corpus-wide). Bounds are EXACT
     // LOWER order statistics selected by rank ((n+1)*k div 100, clamped)
     // on exact cents — no quantile interpolation, no float anywhere, so
-    // clipped counts and the winsorized sum are exactly oracled. Plan:
-    // one partitioned rank, one per-group bounds aggregate, then the
-    // bounds (rows = |groups|) BROADCAST back onto the stream — the
-    // second pass is map-side; both aggregates partial-combine.
+    // clipped counts and the winsorized sum are exactly oracled.
     Q("a24_winsorize",
       (s, d) => {
-        val cents = events(s, d).select(col("event_type"), col("event_id"),
-          round(col("value") * 100).cast("long").as("c"))
-        val ranked = cents.withColumn("rk",
-          row_number().over(Window.partitionBy(col("event_type"))
-            .orderBy(col("c"), col("event_id"))).cast("long"))
-        val stats = ranked.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"))
+        // round-15 rewrite onto a30/a33's histogram discipline: the
+        // rank-based percentile VALUE at index i equals min{c: cum >= i}
+        // under the (c, event_id) total order, so the whole query reads
+        // off the cut per-(type, cents) histogram — one corpus scan, and
+        // the per-type SORT OF THE CORPUS the row_number form planned
+        // (with 3 scans) is gone; window state scales with the value
+        // domain, clip counts and the winsorized sum weight histogram
+        // masses
+        val bv = graft.Scratch.cut(s, s"a24_bv_${graft.Scratch.key(d)}")(
+          events(s, d)
+            .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("c"))
+            .groupBy(col("event_type"), col("c"))
+            .agg(count(lit(1)).as("m"))
+            // coalesce(1): bounded value-grid domain (a28's rationale)
+            .coalesce(1))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bv.withColumn("cm", sum(col("m")).over(w))
+        val stats = bv.groupBy(col("event_type"))
+          .agg(sum(col("m")).as("n"))
           .select(col("event_type"), col("n"),
             greatest(expr("(n + 1) * 5 div 100"), lit(1L)).as("ilo"),
             least(expr("(n + 1) * 95 div 100"), col("n")).as("ihi"))
-        val bounds = ranked.join(broadcast(stats), Seq("event_type"))
+        val bounds = cum.join(broadcast(stats), Seq("event_type"))
           .groupBy(col("event_type"), col("n"))
-          .agg(max(when(col("rk") === col("ilo"), col("c"))).as("lo_cents"),
-            max(when(col("rk") === col("ihi"), col("c"))).as("hi_cents"))
-        cents.join(broadcast(bounds), Seq("event_type"))
+          .agg(min(when(col("cm") >= col("ilo"), col("c"))).as("lo_cents"),
+            min(when(col("cm") >= col("ihi"), col("c"))).as("hi_cents"))
+        bv.join(broadcast(bounds), Seq("event_type"))
           .groupBy(col("event_type"), col("n"),
             col("lo_cents"), col("hi_cents"))
-          .agg(sum((col("c") < col("lo_cents")).cast("long"))
-              .cast("long").as("n_clipped_lo"),
-            sum((col("c") > col("hi_cents")).cast("long"))
-              .cast("long").as("n_clipped_hi"),
-            sum(greatest(col("lo_cents"), least(col("hi_cents"), col("c"))))
-              .as("sum_winsorized_cents"))
+          .agg(coalesce(sum(when(col("c") < col("lo_cents"), col("m"))),
+              lit(0L)).as("n_clipped_lo"),
+            coalesce(sum(when(col("c") > col("hi_cents"), col("m"))),
+              lit(0L)).as("n_clipped_hi"),
+            sum(col("m") * greatest(col("lo_cents"),
+              least(col("hi_cents"), col("c")))).as("sum_winsorized_cents"))
           .select(col("event_type"), col("n"), col("lo_cents"),
             col("hi_cents"), col("n_clipped_lo"), col("n_clipped_hi"),
             col("sum_winsorized_cents"))
@@ -489,10 +500,13 @@ object AdvancedQueries {
     // one-line swap in real use) so the oracle compare is bit-exact.
     Q("t7_tfidf",
       (s, d) => {
-        val toks = documents(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        val tf = toks.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
+        // the tf table feeds dfreq AND the scoring join — cut (the gram
+        // table discipline; uncut, each reference re-tokenized the corpus)
+        val tf = graft.Scratch.cut(s, s"t7_tf_${graft.Scratch.key(d)}")(
+          documents(s, d)
+            .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+            .groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf")))
         val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val ndocs = documents(s, d).agg(count(lit(1)).as("nd"))
         tf.join(dfreq, Seq("term"))
@@ -540,8 +554,11 @@ object AdvancedQueries {
     // vocabulary actually fits (t7's rule — a web-scale vocab does not).
     Q("t14_unigram_surprisal",
       (s, d) => {
-        val toks = documents(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        // the exploded token table feeds the vocabulary aggregate AND the
+        // scoring join — cut (uncut, each reference re-tokenized)
+        val toks = graft.Scratch.cut(s, s"t14_tok_${graft.Scratch.key(d)}")(
+          documents(s, d)
+            .select(col("doc_id"), explode(tokens(col("text"))).as("term")))
         val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
         val total = vocab.agg(sum(col("cnt")).cast("long").as("total"))
         toks.join(vocab, Seq("term"))
@@ -586,11 +603,17 @@ object AdvancedQueries {
     // web-scale bigram table must be allowed to stay a shuffle join).
     Q("t22_bigram_surprisal",
       (s, d) => {
-        val toks = Tables.tokenizedDocs(s, d)
-        val bg = toks.select(col("doc_id"),
-            explode(expr("transform(sequence(1, size(w) - 1), " +
-              "i -> struct(w[i - 1] AS prev, w[i] AS cur))")).as("p"))
-          .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+        // the token-array table feeds the bigram stream AND the unigram
+        // aggregate, and the bigram stream feeds its own count AND the
+        // scoring join — cut both (uncut, 4 corpus tokenizations planned)
+        val toks = graft.Scratch.cut(s, s"t22_tok_${graft.Scratch.key(d)}")(
+          Tables.tokenizedDocs(s, d).select(col("doc_id"), col("w")))
+        val bg = graft.Scratch.cut(s, s"t22_bg_${graft.Scratch.key(d)}")(
+          toks.select(col("doc_id"),
+              explode(expr("transform(sequence(1, size(w) - 1), " +
+                "i -> struct(w[i - 1] AS prev, w[i] AS cur))")).as("p"))
+            .select(col("doc_id"), col("p.prev").as("prev"),
+              col("p.cur").as("cur")))
         val uni = toks.select(explode(col("w")).as("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("cu"))
         val vv = uni.agg(count(lit(1)).cast("long").as("v"))
@@ -849,8 +872,11 @@ object AdvancedQueries {
     // inverted-index build would feed.
     Q("t18_bm25",
       (s, d) => {
-        val toks = documents(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        // the exploded token table feeds tf AND dl — cut (uncut, the plan
+        // tokenized the corpus four times through tf/dl/dfreq/stats)
+        val toks = graft.Scratch.cut(s, s"t18_tok_${graft.Scratch.key(d)}")(
+          documents(s, d)
+            .select(col("doc_id"), explode(tokens(col("text"))).as("term")))
         val tf = toks.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
         val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -1484,10 +1510,17 @@ object AdvancedQueries {
     // (a30's compression discipline) — the fact table is scanned once.
     Q("a33_mad_outliers",
       (s, d) => {
-        val ev = events(s, d)
-          .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
-        val bv = ev.groupBy(col("event_type"), col("c"))
-          .agg(count(lit(1)).as("m"))
+        // the histogram feeds tot/med/dv and the final clip count — cut
+        // (a28's discipline; uncut, each reference re-scanned events and
+        // the "scanned once" claim above held only under runtime reuse)
+        val bv = graft.Scratch.cut(s, s"a33_bv_${graft.Scratch.key(d)}")(
+          events(s, d)
+            .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("c"))
+            .groupBy(col("event_type"), col("c"))
+            .agg(count(lit(1)).as("m"))
+            // coalesce(1): bounded value-grid domain (a28's rationale)
+            .coalesce(1))
         val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = bv.groupBy(col("event_type")).agg(sum(col("m")).as("n"))
@@ -1684,9 +1717,15 @@ object AdvancedQueries {
     // join — the candidate set, not the corpus, pays the join.
     Q("t25_bigram_lift",
       (s, d) => {
-        val toks = documents(s, d).select(tokens(col("text")).as("w"))
-        val uni = toks.select(explode(col("w")).as("t"))
-          .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+        // token arrays feed the unigram aggregate, the bigram-total, and
+        // the bigram stream; the unigram table feeds its total AND two
+        // joins — cut both (uncut, FIVE corpus tokenizations planned;
+        // the x40 crossover proved this class pays for itself)
+        val toks = graft.Scratch.cut(s, s"t25_tok_${graft.Scratch.key(d)}")(
+          documents(s, d).select(tokens(col("text")).as("w")))
+        val uni = graft.Scratch.cut(s, s"t25_uni_${graft.Scratch.key(d)}")(
+          toks.select(explode(col("w")).as("t"))
+            .groupBy(col("t")).agg(count(lit(1)).as("cu")))
         val utot = uni.agg(sum(col("cu")).cast("decimal(38,0)").as("u"))
         val btot = toks
           .agg(sum(greatest(size(col("w")) - 1, lit(0))).cast("decimal(38,0)")

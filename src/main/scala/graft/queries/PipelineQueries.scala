@@ -2042,7 +2042,8 @@ object PipelineQueries {
     // with the reference's tie rule (best global rank wins), keyed join glue.
     Q("g1_dominant_tag",
       (s, d) => graft.meta.GenrePipeline
-        .dominant(events(s, d), "user_id", "event_type", "value")
+        .dominant(events(s, d), "user_id", "event_type", "value",
+          cutName = Some(s"g1_maps_${graft.Scratch.key(d)}"))
         .orderBy("user_id"),
       Some("""WITH sc AS (
              |  SELECT user_id, event_type,

@@ -44,7 +44,9 @@ class ScanBudgetSpec extends SparkSpec {
     "a21_cusum" -> "events=2",
     "a22_gini" -> "orders=1",
     "a23_benford" -> "orders=2",
-    "a24_winsorize" -> "events=3",
+    // a24/a33: histogram-cut since round 15 (a24 additionally rewritten
+    // off its per-type corpus sort onto the a30 cumulative read-off)
+    "a24_winsorize" -> "",
     "a25_ols_trend" -> "lineitem=1",
     "a26_chi_square" -> "",
     "a27_rank_correlation" -> "",
@@ -54,7 +56,7 @@ class ScanBudgetSpec extends SparkSpec {
     "a30_tukey_fences" -> "",
     "a31_cramers_v" -> "",
     "a32_two_proportion" -> "events=2",
-    "a33_mad_outliers" -> "events=4",
+    "a33_mad_outliers" -> "",
     "a34_runs_test" -> "",
     "a35_acf" -> "",
     "a36_odds_ratio" -> "events=2",
@@ -125,6 +127,10 @@ class ScanBudgetSpec extends SparkSpec {
     "d3_lsh_pairs" -> "documents=2",
     "d4_simhash" -> "documents=1",
     "d5_jaccard_pairs" -> "",
+    // d6/c11/d8/e6: self-join DIAMONDS (both plan references are the
+    // same subtree, collapsed to one execution by ReusedExchange —
+    // the d3 pin) plus the anti-join base / partition-pruned slices;
+    // not the re-derived-consumer class the cuts fix
     "d6_dedup_apply" -> "documents=3",
     "d7_dup_components" -> "",
     "d8_incremental_dedup" -> "documents=3",
@@ -166,7 +172,8 @@ class ScanBudgetSpec extends SparkSpec {
     "g14_clustering_coeff" -> "",
     "g15_link_prediction" -> "",
     "g16_harmonic_centrality" -> "",
-    "g1_dominant_tag" -> "events=3",
+    // g1: tag-map frame cut since round 15 (fed rank AND argmax)
+    "g1_dominant_tag" -> "",
     "g2_pagerank" -> "",
     "g3_triangle_count" -> "",
     "g4_label_prop" -> "",
@@ -251,20 +258,23 @@ class ScanBudgetSpec extends SparkSpec {
     "t11_pii_redact" -> "documents=1",
     "t12_repetition" -> "",
     "t13_chunk" -> "documents=1",
-    "t14_unigram_surprisal" -> "documents=3",
+    // t14/t18/t22/t25/t7: token/gram tables cut since round 15 (the
+    // t12/c3 gram-table discipline; uncut they planned 3-5 corpus
+    // tokenizations each; t7 keeps the 1-column ndocs count scan)
+    "t14_unigram_surprisal" -> "",
     "t15_vocab_coverage" -> "",
     "t16_bpe_merges" -> "",
     "t17_heavy_hitters" -> "",
-    "t18_bm25" -> "documents=4",
+    "t18_bm25" -> "",
     "t19_compression_ratio" -> "documents=1",
     "t1_langid" -> "documents=1",
     "t20_skipgram_pairs" -> "",
     "t21_bpe_encode" -> "documents=1",
-    "t22_bigram_surprisal" -> "documents=4",
+    "t22_bigram_surprisal" -> "",
     "t23_lexical_diversity" -> "documents=1",
     "t24_heaps_law" -> "",
     // protocol-inherent: unigram + bigram counts + two scalar total frames off one corpus
-    "t25_bigram_lift" -> "documents=5",
+    "t25_bigram_lift" -> "",
     "t26_hapax_ratio" -> "documents=1",
     "t27_cdc_chunking" -> "documents=1",
     "t2_quality" -> "documents=1",
@@ -272,7 +282,7 @@ class ScanBudgetSpec extends SparkSpec {
     "t4_fingerprint" -> "documents=1",
     "t5_approx_sketches" -> "events=1",
     "t6_top_bigrams" -> "documents=1",
-    "t7_tfidf" -> "documents=3",
+    "t7_tfidf" -> "documents=1",
     "t8_edit_distance" -> "documents=2",
     "t9_pack" -> "documents=2",
     // u-family: the derived change batch + second delta log ride
