@@ -230,6 +230,11 @@ object Bench {
     }
 
     for (_ <- 1 to runs) {
+      // Per-run memo reset keeps timings comparable with pre-r16 rounds:
+      // each run pays every cut's write exactly once. WITHIN a run the
+      // memo's reuse is real — queries sharing a frame (u1/u2's change
+      // batch) no longer re-overwrite it per construction.
+      Scratch.resetCuts()
       val runStat = cpuStat()
       record("_floor", timed(execute((s, _) => s.range(1000).toDF("id"))))
       for ((name, fn) <- names) {
@@ -247,19 +252,26 @@ object Bench {
 
     // Final stdout line: adaptive precision so the driver's 2000-char tail
     // (~75 chars of which is sbt's "[success]" trailer) always fits it.
+    // Harness ('_'-prefixed) entries are split out BEFORE the top-N cut
+    // (ADVICE r15): they always print individually, the top-N and the
+    // `_other_Nq` aggregate cover QUERIES only, so `N(top) + N(_other)`
+    // is exactly the registered query count and a slow harness build can
+    // never displace a query from the listed table.
     def topLine = {
       val results = best.toSeq.sortBy(_._1)
-      val sorted = results.sortBy(-_._2)
-      val (top, rest) = sorted.splitAt(40)
-      val restSum = rest.collect { case (_, v) if v >= 0 => v }.sum
-      val total = results.collect {
-        case (n, v) if v >= 0 && !n.startsWith("_") => v
-      }.sum
+      val (harness, queries) = results.partition(_._1.startsWith("_"))
+      val total = queries.collect { case (_, v) if v >= 0 => v }.sum
       val errJson = errors.toSeq.map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
-      val qs = (top.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
-        :+ ("\"_other_" + rest.size + "q\":" + fmt(restSum, 2)))
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","runs":$runs,$stealJson"queries":$qs,"sf":"$sfDir","errors":$errJson}"""
+      def line(n: Int): String = {
+        val (top, rest) = queries.sortBy(-_._2).splitAt(n)
+        val restSum = rest.collect { case (_, v) if v >= 0 => v }.sum
+        val qs = (harness.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+          ++ top.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+          :+ ("\"_other_" + rest.size + "q\":" + fmt(restSum, 2)))
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","runs":$runs,$stealJson"queries":$qs,"sf":"$sfDir","errors":$errJson}"""
+      }
+      (40 to 10 by -10).map(line).find(_.length <= 1880).getOrElse(line(10))
     }
     val json = (3 to 1 by -1).map(buildLine(_, partial = false))
       .find(_.length <= 1880).getOrElse(topLine)

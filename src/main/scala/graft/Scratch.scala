@@ -66,11 +66,37 @@ object Scratch {
     * the differential path CensusCrossoverExperiment uses to measure the
     * materialize-vs-recompute crossover at scale (VERDICT r14 #2); results
     * are identical by construction, asserted by CutDifferentialSpec.
+    *
+    * Writes are memoized per resolved path for the life of the JVM
+    * (ADVICE r15): queries that SHARE a cut name (u1/u2/u10/u11's change
+    * batch, u10/u11's second delta log) used to re-overwrite the files on
+    * every construction, so a DataFrame handle from an EARLIER
+    * construction held a stale file listing and executing it after the
+    * rewrite threw FileNotFoundException. With the memo, the first
+    * construction writes and every later one reuses the identical files —
+    * sound because a cut name embeds [[key]] of its source dir and the
+    * derivation is deterministic, so same name ⟹ same rows. [[sweep]]
+    * (which deletes the files) and [[resetCuts]] (the crossover
+    * experiment's per-measurement hook, so a timed materialized run
+    * always pays its write) clear it.
     */
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Forget which cut paths were written this session — next [[cut]] per
+    * name pays the write again. For harness code that deletes scratch or
+    * deliberately re-times the write barrier; never needed by queries.
+    */
+  def resetCuts(): Unit = written.clear()
+
   def cut(s: SparkSession, name: String)(df: DataFrame): DataFrame =
     if (s.conf.get(CutKey, "true").toBoolean) {
       val p = dir(s, name)
-      df.write.mode("overwrite").parquet(p)
+      // computeIfAbsent so a concurrent second constructor (harness/Par)
+      // blocks until the write finishes instead of reading a partial dir
+      written.computeIfAbsent(p, _ => {
+        df.write.mode("overwrite").parquet(p); java.lang.Boolean.TRUE
+      })
       s.read.parquet(p)
     } else df
 
@@ -102,6 +128,7 @@ object Scratch {
     val root = spark.conf.get(ConfKey, Default)
     val leaf = new java.io.File(root).getName
     if (leaf.startsWith("graft_qtmp")) {
+      resetCuts() // the files are about to go — the memo must not outlive them
       rm(new java.io.File(root))
       val parent = new java.io.File(root).getParentFile
       Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>

@@ -52,8 +52,10 @@ object PqIndex {
   }
 
   def load(spark: SparkSession, dir: String): Model = {
+    // by NAME, not position — a column-order change in the meta parquet
+    // must not silently swap m and subDim (ADVICE r15)
     val meta = spark.read.parquet(s"$dir/meta").head()
-    Model(meta.getInt(0), meta.getInt(1),
+    Model(meta.getAs[Int]("m"), meta.getAs[Int]("sub_dim"),
       spark.read.parquet(s"$dir/codebooks"),
       spark.read.parquet(s"$dir/codes"))
   }

@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   * key densities: part/user/value domains are NOT offset, so per-key row
   * counts grow R-fold — the direction real corpora grow.
   *
-  * Run: sbt "Test/runMain graft.CensusCrossoverExperiment [R] [runs]"
+  * Run: sbt "Test/runMain graft.CensusCrossoverExperiment [R] [runs] [set]"
   * (defaults R=10, runs=2; per-query MIN over runs, Bench's rule).
+  * `set` picks the cut list: `r14` (default, the census table the r15
+  * BENCH_NOTES crossover records), `r15` (the round-15 cut sites — gram
+  * tables, u-family batches, e-family query frames), `all`, or an explicit
+  * comma-separated query list.
   */
 object CensusCrossoverExperiment {
 
@@ -43,6 +47,10 @@ object CensusCrossoverExperiment {
       spark.conf.set(Scratch.CutKey, mat.toString)
       try {
         (1 to runs).map { _ =>
+          // every timed materialized run must PAY its write — the session
+          // memo (Scratch.cut, ADVICE r15) would otherwise amortize it
+          // away and the crossover table would stop measuring the barrier
+          Scratch.resetCuts()
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
@@ -51,8 +59,14 @@ object CensusCrossoverExperiment {
       } finally spark.conf.set(Scratch.CutKey, "true")
     }
 
+    val cutSet = args.drop(2).headOption.getOrElse("r14") match {
+      case "r14" => ScanCensus.censusCuts
+      case "r15" => ScanCensus.round15Cuts
+      case "all" => ScanCensus.allCuts
+      case names => names.split(',').toSeq
+    }
     println(f"CROSSOVER ${"query"}%-24s ${"scale"}%-8s mat_s   live_s  live/mat")
-    for (dir <- Seq(baseDir, scaledDir); name <- ScanCensus.censusCuts) {
+    for (dir <- Seq(baseDir, scaledDir); name <- cutSet) {
       val scale = if (dir == baseDir) "sf0.1" else s"x$r"
       val res =
         try {

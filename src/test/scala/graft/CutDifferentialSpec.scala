@@ -1,19 +1,30 @@
 package graft
 
-/** The Scratch.cut toggle changes PLANS, never results: every census
-  * query must produce byte-identical rows with the shared frame
-  * materialized (default) and with the live lineage
-  * (`spark.graft.cutMaterialize=false`). This is the differential that
-  * licenses CensusCrossoverExperiment to time the two forms as the same
-  * query — the d16 `hashedAnchors` precedent (ExactSubstrSpec).
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The Scratch.cut toggle changes PLANS, never results: every cut-bearing
+  * query must produce identical rows with the shared frame materialized
+  * (default) and with the live lineage (`spark.graft.cutMaterialize=false`).
+  * This is the differential that licenses CensusCrossoverExperiment to time
+  * the two forms as the same query — the d16 `hashedAnchors` precedent
+  * (ExactSubstrSpec).
+  *
+  * Coverage is MECHANIZED (ADVICE r15): the last test greps the main source
+  * tree for `Scratch.cut` call sites and asserts every scratch-name prefix
+  * found is owned by a query in [[ScanCensus.allCuts]] — a new cut site
+  * that isn't toggled through the differential fails the build, instead of
+  * silently joining an unverified tail like the round-15 sites did.
   */
 class CutDifferentialSpec extends SparkSpec {
 
-  test("census queries: cut-materialized results == live-lineage results") {
+  test("cut queries: materialized results == live-lineage results") {
+    // sorted row-set comparison: the toggle may legitimately change output
+    // partitioning (and so collect order) for queries without a total sort
     def results(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, sfDir)
-        .collect().map(_.toString).toSeq
-    for (name <- ScanCensus.censusCuts) {
+        .collect().map(_.toString).toSeq.sorted
+    for (name <- ScanCensus.allCuts) {
       spark.conf.set(Scratch.CutKey, "true")
       val mat =
         try results(name)
@@ -43,5 +54,61 @@ class CutDifferentialSpec extends SparkSpec {
     val mat = SparkEntry.queries("d13_containment")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(ScanCensus.counts(mat).getOrElse("documents", 0) == 0)
+  }
+
+  /** scratch-name prefix at each grep'd cut site -> the registered query
+    * whose differential run above constructs that site. Shared frames list
+    * their FIRST consumer (every sharer is in allCuts too).
+    */
+  private val siteOwner: Map[String, String] = Map(
+    "a24_bv" -> "a24_winsorize", "a26_obs" -> "a26_chi_square",
+    "a27_m" -> "a27_rank_correlation", "a28_bv" -> "a28_ks_test",
+    "a29_bv" -> "a29_mann_whitney", "a30_bv" -> "a30_tukey_fences",
+    "a31_obs" -> "a31_cramers_v", "a33_bv" -> "a33_mad_outliers",
+    "c19_hist" -> "c19_dedup_report",
+    "d13_sh" -> "d13_containment", "d13_cand" -> "d13_containment",
+    "e4_q" -> "e4_ann_ivf", "e7_q" -> "e7_pq_adc", "e8_q" -> "e8_ivfpq",
+    "e9_ins" -> "e9_ivf_maintain", "e9_q" -> "e9_ivf_maintain",
+    "e11_cand" -> "e11_mmr_diverse",
+    "e13_q" -> "e13_probe_sweep", "e13_exact" -> "e13_probe_sweep",
+    "g1_maps" -> "g1_dominant_tag",
+    "m13_inter" -> "m13_popularity_baseline",
+    "t7_tf" -> "t7_tfidf", "t14_tok" -> "t14_unigram_surprisal",
+    "t15_voc" -> "t15_vocab_coverage", "t17_sum" -> "t17_heavy_hitters",
+    "t17_ex" -> "t17_heavy_hitters", "t18_tok" -> "t18_bm25",
+    "t22_tok" -> "t22_bigram_surprisal", "t22_bg" -> "t22_bigram_surprisal",
+    "t24_docs" -> "t24_heaps_law",
+    "t25_tok" -> "t25_bigram_lift", "t25_uni" -> "t25_bigram_lift",
+    "uchg" -> "u1_upsert", "ud2" -> "u10_mor_read",
+    "w16_bins" -> "w16_changepoint", "w21_day" -> "w21_drawdown")
+
+  test("every Scratch.cut call site in main source is owned by a toggled query") {
+    val root = Paths.get("src/main/scala")
+    val sources = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala")).toSeq
+    // literal sites name the frame as s"<prefix>_${graft.Scratch.key(d)}";
+    // parameterized sites (GenrePipeline.dominant's cutName) are matched
+    // at their QUERY-side literal (g1_maps in PipelineQueries) instead.
+    val site = """Scratch\.cut\([^)]*s"([A-Za-z0-9_]+)_\$\{graft\.Scratch\.key""".r
+    val nameArg = """cutName\s*=\s*Some\(s"([A-Za-z0-9_]+)_\$\{graft\.Scratch\.key""".r
+    val prefixes = sources.flatMap { p =>
+      val text = Files.readString(p)
+      site.findAllMatchIn(text).map(_.group(1)) ++
+        nameArg.findAllMatchIn(text).map(_.group(1))
+    }.toSet
+    assert(prefixes.nonEmpty, "grep found no cut sites — regex rotted?")
+    val unowned = prefixes.filterNot(siteOwner.contains)
+    assert(unowned.isEmpty,
+      s"Scratch.cut sites with no differential owner: ${unowned.toSeq.sorted
+        .mkString(", ")} — add the owning query to ScanCensus.round15Cuts " +
+        "(or a successor list) and map the prefix in siteOwner")
+    val stale = siteOwner.keySet -- prefixes
+    assert(stale.isEmpty,
+      s"siteOwner maps prefixes no longer present in source: ${stale.toSeq
+        .sorted.mkString(", ")}")
+    val unToggled = siteOwner.values.toSet -- ScanCensus.allCuts.toSet
+    assert(unToggled.isEmpty,
+      s"site owners missing from ScanCensus.allCuts: ${unToggled.toSeq.sorted
+        .mkString(", ")}")
   }
 }

@@ -56,6 +56,26 @@ object ScanCensus {
     "m13_popularity_baseline", "t15_vocab_coverage", "t17_heavy_hitters",
     "t24_heaps_law", "w16_changepoint")
 
+  /** Every query that gained a [[Scratch.cut]] site in the round-15 budget
+    * sweep (gram tables t7/t14/t18/t22/t25, histogram read-offs a24/a33,
+    * g1's tag-map frame, the u-family change batches, the e-family query
+    * frames, c19's histogram, w21's daily frame). CutDifferentialSpec
+    * toggles these through `cutMaterialize=false` like the round-14 set
+    * (ADVICE r15 — the 'toggle changes plans, never results' claim must
+    * cover every cut call site, not just the 14 the crossover experiment
+    * times). The grep-derived site list lives in the spec's coverage test.
+    */
+  val round15Cuts: Seq[String] = Seq(
+    "a24_winsorize", "a33_mad_outliers", "c19_dedup_report",
+    "e4_ann_ivf", "e7_pq_adc", "e8_ivfpq", "e9_ivf_maintain",
+    "g1_dominant_tag", "t7_tfidf", "t14_unigram_surprisal", "t18_bm25",
+    "t22_bigram_surprisal", "t25_bigram_lift",
+    "u1_upsert", "u2_snapshot_diff", "u10_mor_read", "u11_log_compact",
+    "w21_drawdown")
+
+  /** Union of every cut-bearing query the differential must toggle. */
+  val allCuts: Seq[String] = censusCuts ++ round15Cuts
+
   /** Model-fitting queries whose construction executes training — the
     * WindowGuardSpec / JoinShapeGuardSpec skip-set rationale: their plan
     * shapes are owned by their dedicated specs (AlsSpec, SweepsSpec,

@@ -87,6 +87,47 @@ class ScratchSpec extends SparkSpec {
     }
   }
 
+  test("cut memoizes its write: a second construction under the same name " +
+      "reuses the files, so an earlier handle never goes stale") {
+    // ADVICE r15: u1/u2/u10/u11 share the uchg_* cut name; before the memo,
+    // constructing u2 REWROTE the part files while u1's DataFrame still
+    // held the old file listing — executing that stale handle threw
+    // FileNotFoundException. Now the first construction writes, later ones
+    // read the identical files.
+    import spark.implicits._
+    val root = "/root/repo/target/test-tmp/cut-memo/graft_qtmp"
+    spark.conf.set(Scratch.ConfKey, root)
+    Scratch.resetCuts()
+    try {
+      def frame = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      val first = Scratch.cut(spark, "memo_probe")(frame)
+      def listing = new java.io.File(s"$root/memo_probe")
+        .listFiles().map(_.getName).sorted.toSeq
+      val before = listing
+      val second = Scratch.cut(spark, "memo_probe")(frame)
+      assert(listing == before,
+        "second construction must NOT rewrite the memoized files")
+      // the earlier handle still executes against the original files
+      assert(first.count() == 2 && second.count() == 2)
+      // resetCuts is the explicit opt-out: the next cut pays its write
+      Scratch.resetCuts()
+      Scratch.cut(spark, "memo_probe")(frame)
+      assert(listing != before,
+        "after resetCuts the write must happen again (fresh part files)")
+      // the live-lineage toggle bypasses the memo entirely
+      spark.conf.set(Scratch.CutKey, "false")
+      try assert(Scratch.cut(spark, "memo_other")(frame).inputFiles.isEmpty
+        || !new java.io.File(s"$root/memo_other").exists(),
+        "cutMaterialize=false must not write scratch")
+      finally spark.conf.set(Scratch.CutKey, "true")
+      Scratch.sweep(spark)
+      assert(!new java.io.File(root).exists())
+    } finally {
+      spark.conf.unset(Scratch.ConfKey)
+      Scratch.resetCuts() // memoized paths under the test root are gone
+    }
+  }
+
   test("an IO round-trip query lands in the configured scratch dir") {
     val alt = "/root/repo/target/test-tmp/scratch-redirect"
     spark.conf.set(Scratch.ConfKey, alt)

@@ -54,11 +54,21 @@ def main():
     cur = load(cur_path)
     q = {k: v for k, v in cur["queries"].items() if not k.startswith("_")}
     harness = {k: v for k, v in cur["queries"].items() if k.startswith("_")}
-    # driver artifacts carry a stdout line auto-shrunk to the top-40
+    # driver artifacts carry a stdout line auto-shrunk to the top-N
     # slowest queries plus one `_other_Nq` aggregate — recover the true
-    # query count from it so the headline never understates coverage
+    # query count from it so the headline never understates coverage.
+    # Round <= 15 artifacts came from the old topLine whose top-40 and
+    # _other bucket MIXED harness entries with queries (ADVICE r15): for
+    # those, every known harness key absent from the line sat inside the
+    # _other count, so subtract them. Round >= 16 lines list all harness
+    # entries individually and count queries only — already exact.
     other = sum(int(m.group(1)) for k in harness
                 if (m := re.match(r"_other_(\d+)q$", k)))
+    if other and 0 <= round_no(cur_path) <= 15:
+        known_harness = {"_floor", "_edges_build", "_als_fit", "_ivf_build",
+                         "_pq_build", "_qc_fit", "_bucket_write",
+                         "_bpe_train64", "_bpe_batch64", "_bpe_batch64_rounds"}
+        other -= len(known_harness - set(harness))
     trunc = (f" ({len(q)} listed individually, driver-truncated stdout line;"
              " use the honest merged artifact for the full per-query table)"
              if other else "")
