@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.IoQueries.all ++
       graft.queries.MlQueries.all ++
       graft.queries.AdvancedQueries.all ++
-      graft.queries.GraphTemporalQueries.all
+      graft.queries.GraphTemporalQueries.all ++
+      graft.queries.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -67,6 +67,7 @@ object Verify {
     graft.queries.PipelineQueries.clearCaches()
     graft.queries.IoQueries.clearCaches()
     graft.queries.GraphTemporalQueries.clearCaches()
+    graft.queries.StreamingQueries.clearCaches()
     Scratch.sweep(spark)
     spark.stop()
     val nDumped = dumped.result().size

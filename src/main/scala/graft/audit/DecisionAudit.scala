@@ -597,6 +597,10 @@ object DecisionAudit {
     "s8_json_roundtrip" -> twoDpSum,
     "sk1_skew_salted_join" -> twoDpSum,
     "w3_tumbling_window" -> twoDpSum,
+    // streaming faces of the same 2-dp-grain sums: st1 is w3's window agg
+    // run through the streaming engine, st2 aggregates the deduped sink
+    "st1_stream_hourly" -> twoDpSum,
+    "st2_stream_dedup" -> twoDpSum,
     "w5_sliding_window" -> twoDpSum,
     "w10_gap_fill" -> twoDpSum,
     "w8_trailing_window" -> twoDpSum,

@@ -1,0 +1,181 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{Q, Scratch, Tables}
+
+/** Registered Structured Streaming queries — §2.11's registry face.
+  *
+  * The reference is batch-only (SURVEY.md §2.11), so until round 16 the
+  * streaming surface (graft.streaming.*) was verified ONLY by its
+  * stream==batch parity specs. These queries put the streaming engine
+  * itself behind the driver's DuckDB gate: each one stages input files to
+  * scratch, runs a real Structured Streaming job over them (file source →
+  * transform → sink, `Trigger.AvailableNow`), and returns a deterministic
+  * frame whose oracle is plain SQL over the ORIGINAL table — so the hash
+  * compare checks the stream's windowing / dedup / exactly-once semantics
+  * against an independent engine, not against our own batch path.
+  *
+  * Determinism contract: every query drains the whole landing directory
+  * (AvailableNow with no maxFilesPerTrigger = one batch over a captured
+  * file list), ends in a total order, and rounds float aggregates at the
+  * 2-dp data grain (DecisionAudit `twoDpSum`, the w3 idiom).
+  *
+  * Scale notes per query are on the Q entries; the common one: the file
+  * source lists and checkpoints FILES, so the pattern is insensitive to
+  * corpus row count — at 100 TB the landing directory is an object-store
+  * prefix and the same drain processes only files the checkpoint hasn't
+  * seen (FileStreamSpec pins that contract on processFilesOnce).
+  */
+object StreamingQueries {
+
+  /** Monotonic suffix for per-construction sinks/checkpoints: a resumed
+    * checkpoint + memory/parquet sink pair must never be shared across
+    * constructions (a reused checkpoint records the files as consumed and
+    * the second run would drain nothing).
+    */
+  private val runSeq = new AtomicLong()
+
+  /** Landing directories staged once per (scratch root, sf dir, copies) —
+    * the "files that landed" fixture both event streams read. `copies=2`
+    * writes the same rows twice as distinct files: an at-least-once
+    * redelivery (replayed Kafka offsets, re-crawled files), which is what
+    * st2's dedup exists to absorb. Memoized like the model pretrains so
+    * guard suites and double-run smoke tests don't re-write the corpus
+    * per construction; Bench stages through [[pretrainStage]] so query
+    * timings measure the STREAM, not the fixture write.
+    */
+  private val staged = TrieMap.empty[String, String]
+
+  def clearCaches(): Unit = staged.clear()
+
+  private def stageEvents(s: SparkSession, d: String, copies: Int): String = {
+    val path = Scratch.dir(s, s"stev${copies}_${Scratch.key(d)}")
+    staged.getOrElseUpdate(path, {
+      val ev = Tables.events(s, d)
+        .withColumn("ts", Tables.eventTime(col("ts")))
+      ev.write.mode("overwrite").parquet(path)
+      for (_ <- 2 to copies) ev.write.mode("append").parquet(path)
+      path
+    })
+  }
+
+  /** Bench hook: pay the landing-fixture writes outside query timing
+    * (the `_edges_build` precedent — the fixture is test plumbing, the
+    * stream run is the operator being measured).
+    */
+  def pretrainStage(s: SparkSession, d: String): Unit = {
+    stageEvents(s, d, 1)
+    stageEvents(s, d, 2)
+    ()
+  }
+
+  private def fileStream(s: SparkSession, landing: String): DataFrame =
+    s.readStream.schema(s.read.parquet(landing).schema).parquet(landing)
+
+  val all: Seq[Q] = Seq(
+
+    // ST1: the watermarked tumbling aggregation run AS A STREAM over
+    // landed files, drained once, collected from a complete-mode memory
+    // sink. Oracle = w3's SQL verbatim: DuckDB aggregates the original
+    // events table, so the hash compare proves the streaming engine's
+    // event-time windowing (file source → watermark → window agg) equals
+    // an independent batch engine. Complete+memory is sound here because
+    // the RESULT is bounded (windows × types, never event count); the
+    // unbounded-output production shape — append mode, parquet sink,
+    // watermark-evicted state — is EventStream.processFilesOnce, pinned
+    // by FileStreamSpec, and st2 below drives it through the gate.
+    Q("st1_stream_hourly",
+      (s, d) => {
+        val landing = stageEvents(s, d, copies = 1)
+        val n = runSeq.incrementAndGet()
+        val sink = s"st1_sink_$n"
+        val q = graft.streaming.EventStream
+          .streamingTypeCounts(fileStream(s, landing), "1 hour", "10 minutes")
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", Scratch.dir(s, s"st1_ck_$n"))
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .withColumn("win_start", col("win_start").cast("long"))
+          .orderBy("win_start", "event_type")
+      },
+      Some("""SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS win_start,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // ST2: streaming exact dedup of an at-least-once source. The landing
+    // fixture contains every event TWICE (distinct files — a full
+    // redelivery); dropDuplicatesWithinWatermark(event_id) emits each id
+    // once into an append-mode PARQUET sink (the unbounded-output path:
+    // rows land in files, never in driver memory), and the query reads
+    // the sink back and aggregates per type. Oracle = the same aggregate
+    // over the ORIGINAL single-copy events: hash equality proves the
+    // stream turned 2N at-least-once rows into exactly N. State is one
+    // row per key within the watermark (bounded by arrival rate × delay
+    // at 100 TB, not by corpus size — the documented contract of
+    // dropDuplicatesWithinWatermark vs plain dropDuplicates).
+    Q("st2_stream_dedup",
+      (s, d) => {
+        val landing = stageEvents(s, d, copies = 2)
+        val n = runSeq.incrementAndGet()
+        val out = Scratch.dir(s, s"st2_out_$n")
+        val q = graft.streaming.EventStream
+          .dedupedStream(fileStream(s, landing), "10 minutes", Seq("event_id"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", Scratch.dir(s, s"st2_ck_$n"))
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ST3: incremental corpus ingest, TWO drains against one checkpoint —
+    // the streaming face of d8's ledger dedup driven end-to-end. Drain 1
+    // ingests the corpus (in-batch content dedup, keep-first by doc_id);
+    // then the SAME files land again (full re-crawl) and drain 2 — same
+    // checkpoint, so the file source serves only the new files — finds
+    // every content hash already in the ledger and appends NOTHING. The
+    // returned per-lang profile of the corpus therefore equals DuckDB's
+    // keep-first-per-md5 over the original documents: the hash compare
+    // proves exactly-once across a restart + redelivery, which no batch
+    // parity test can. (The ledger anti-join ships (hash) only — at
+    // 100 TB it's hash-bucketed, per DocIngest's scale notes.)
+    Q("st3_stream_ingest",
+      (s, d) => {
+        val n = runSeq.incrementAndGet()
+        val landing = Scratch.dir(s, s"st3_land_$n")
+        val corpus = Scratch.dir(s, s"st3_corpus_$n")
+        val ledger = Scratch.dir(s, s"st3_ledger_$n")
+        val ckpt = Scratch.dir(s, s"st3_ck_$n")
+        val docs = Tables.documents(s, d)
+        docs.write.mode("overwrite").parquet(landing)
+        graft.streaming.DocIngest.ingestOnce(s, landing, corpus, ledger, ckpt)
+        docs.write.mode("append").parquet(landing) // the re-crawl lands
+        graft.streaming.DocIngest.ingestOnce(s, landing, corpus, ledger, ckpt)
+        s.read.parquet(corpus)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH k AS (
+             |  SELECT lang, n_chars,
+             |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM k WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin)))
+}

@@ -23,7 +23,7 @@ class CoverageSpec extends AnyFunSuite {
 
   test("every query-shaped name in COVERAGE.md is registered (no stale rows)") {
     // backticked tokens that look like registry names: <block><digits>_<rest>
-    val shaped = "`((?:p|j|a|w|o|s|t|m|c|d|e|u|g|b|f|sk)\\d+_[a-z0-9_]+|set_[a-z0-9_]+)`".r
+    val shaped = "`((?:p|j|a|w|o|st|s|t|m|c|d|e|u|g|b|f|sk)\\d+_[a-z0-9_]+|set_[a-z0-9_]+)`".r
     val named = shaped.findAllMatchIn(doc).map(_.group(1)).toSet
     val stale = named -- SparkEntry.queries.keySet
     assert(stale.isEmpty,

@@ -17,7 +17,10 @@ class JoinShapeGuardSpec extends SparkSpec {
   // shapes are owned by their specs.
   private val skip = Set("m1_indexer_pipeline", "m3_ranking_metrics",
     "m4_als_recommend", "m5_als_rmse", "m6_item_similarity", "m7_sweep",
-    "m8_grid", "m9_curve", "m10_cv", "m11_rec_coverage", "m12_fold_in")
+    "m8_grid", "m9_curve", "m10_cv", "m11_rec_coverage", "m12_fold_in",
+    // streaming queries execute a full stream drain at construction; the
+    // returned sink-read aggregate plans no joins to guard
+    "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest")
 
   /** Queries whose BNLJ is the reviewed scalar-frame (or bounded
     * dimension-frame) broadcast idiom: the broadcast side is a one-row

@@ -60,7 +60,10 @@ class LambdaCseGuardSpec extends SparkSpec {
   // plans are model-shaped (no text HOFs) and AlsSpec/SweepsSpec own them
   private val skip = Set("m1_indexer_pipeline", "m3_ranking_metrics",
     "m4_als_recommend", "m5_als_rmse", "m6_item_similarity", "m7_sweep",
-    "m11_rec_coverage", "m12_fold_in")
+    "m11_rec_coverage", "m12_fold_in",
+    // streaming queries execute a full stream drain at construction and
+    // return a sink-read aggregate (no text HOFs in the consumer plan)
+    "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest")
 
   test("no registered query evaluates an expensive loop-invariant " +
       "expression inside a HOF lambda") {

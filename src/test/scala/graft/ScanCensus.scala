@@ -86,7 +86,12 @@ object ScanCensus {
   val skip: Set[String] = Set(
     "m1_indexer_pipeline", "m3_ranking_metrics", "m4_als_recommend",
     "m5_als_rmse", "m6_item_similarity", "m7_sweep", "m8_grid", "m9_curve",
-    "m11_rec_coverage", "m12_fold_in")
+    "m11_rec_coverage", "m12_fold_in",
+    // st* construction executes a full streaming drain (file source →
+    // sink), and the RETURNED plan reads the sink, never a fact table —
+    // the stream's single pass over the landing files is pinned by the
+    // checkpoint contract (FileStreamSpec), not by a consumer-plan census
+    "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest")
 }
 
 /** Regenerates ScanBudgetSpec's committed budget table:
