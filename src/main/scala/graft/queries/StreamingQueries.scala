@@ -54,6 +54,20 @@ object StreamingQueries {
 
   def clearCaches(): Unit = staged.clear()
 
+  /** st1's previous memory-sink view, dropped when a NEWER construction
+    * replaces it so repeated constructions (guard suites walk the registry
+    * several times per JVM) don't grow the temp-view catalog without
+    * bound. Dropping only unbinds the NAME — a DataFrame handle from the
+    * earlier construction resolved the sink plan eagerly and keeps
+    * working, so this has no stale-handle hazard.
+    */
+  private val lastSink = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def rotateSink(s: SparkSession, name: String): Unit = {
+    val prev = lastSink.getAndSet(name)
+    if (prev != null) { s.catalog.dropTempView(prev); () }
+  }
+
   private def stageEvents(s: SparkSession, d: String, copies: Int): String = {
     val path = Scratch.dir(s, s"stev${copies}_${Scratch.key(d)}")
     staged.getOrElseUpdate(path, {
@@ -103,9 +117,11 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
-        s.table(sink)
+        val result = s.table(sink)
           .withColumn("win_start", col("win_start").cast("long"))
           .orderBy("win_start", "event_type")
+        rotateSink(s, sink)
+        result
       },
       Some("""SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS win_start,
              |  event_type, count(*) AS n, round(sum(value), 2) AS sv

@@ -91,12 +91,26 @@ class CutDifferentialSpec extends SparkSpec {
     // at their QUERY-side literal (g1_maps in PipelineQueries) instead.
     val site = """Scratch\.cut\([^)]*s"([A-Za-z0-9_]+)_\$\{graft\.Scratch\.key""".r
     val nameArg = """cutName\s*=\s*Some\(s"([A-Za-z0-9_]+)_\$\{graft\.Scratch\.key""".r
-    val prefixes = sources.flatMap { p =>
-      val text = Files.readString(p)
+    val texts = sources.map(Files.readString)
+    val prefixes = texts.flatMap { text =>
       site.findAllMatchIn(text).map(_.group(1)) ++
         nameArg.findAllMatchIn(text).map(_.group(1))
     }.toSet
     assert(prefixes.nonEmpty, "grep found no cut sites — regex rotted?")
+    // completeness of the grep itself: every raw `Scratch.cut(` occurrence
+    // must be either a literal-name site the regex extracted or one of the
+    // KNOWN parameterized wrappers (GenrePipeline.dominant's cutName
+    // plumbing: the foldLeft apply plus the Some(...) at the g1 call site,
+    // which nameArg matches). A new wrapper that routes a name in some
+    // third way changes this count and must be registered here.
+    val rawSites = texts.map("Scratch\\.cut\\(".r.findAllIn(_).length).sum
+    val literalSites = texts.map(t => site.findAllMatchIn(t).length).sum
+    val knownParameterized = 1 // GenrePipeline.scala: Scratch.cut(df.sparkSession, n)
+    assert(rawSites == literalSites + knownParameterized,
+      s"raw Scratch.cut( occurrences ($rawSites) != literal sites " +
+        s"($literalSites) + known parameterized ($knownParameterized) — " +
+        "a cut call site routes its name in a way this grep can't see; " +
+        "extend the regexes or the known-wrapper count")
     val unowned = prefixes.filterNot(siteOwner.contains)
     assert(unowned.isEmpty,
       s"Scratch.cut sites with no differential owner: ${unowned.toSeq.sorted
