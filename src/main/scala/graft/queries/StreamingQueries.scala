@@ -193,5 +193,60 @@ object StreamingQueries {
              |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
              |  FROM documents)
              |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
-             |FROM k WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM k WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ST4: streaming CDC apply, THREE drains against one checkpoint. The
+    // op log (u8's I/U/D derivation from events, LWW-ordered by
+    // (ts, op_id)) lands in two halves — drain 1 folds half the log into
+    // the versioned state table, drain 2 folds the rest on top — and then
+    // the FIRST half lands AGAIN (an at-least-once redelivery) and drain
+    // 3 must leave the state unchanged, because the fold is
+    // max-of-(ts,op_id) per key: associative, commutative, idempotent.
+    // The oracle is DuckDB's last-writer-wins over the WHOLE log, so the
+    // hash compare proves incremental fold ∘ fold ∘ replay == one-shot
+    // batch — tombstone retention included (a 'D' survivor is filtered,
+    // and a redelivered older op cannot resurrect it). State costs one
+    // partial-combining aggregate per drain and one row per key — the
+    // 100 TB shape per CdcStream's scaladoc.
+    Q("st4_stream_cdc",
+      (s, d) => {
+        val n = runSeq.incrementAndGet()
+        val landing = Scratch.dir(s, s"st4_land_$n")
+        val state = Scratch.dir(s, s"st4_state_$n")
+        val ckpt = Scratch.dir(s, s"st4_ck_$n")
+        val ops = Tables.events(s, d).select(
+          col("user_id").as("key"), col("ts"),
+          col("event_id").as("op_id"),
+          when(col("event_type") === "view", "I")
+            .when(col("event_type") === "purchase", "D")
+            .otherwise("U").as("op"),
+          round(col("value") * 100).cast("long").as("payload"))
+        val firstHalf = ops.filter(pmod(col("op_id"), lit(2)) === 0)
+        firstHalf.write.mode("overwrite").parquet(landing)
+        graft.streaming.CdcStream.applyOnce(s, landing, state, ckpt)
+        ops.filter(pmod(col("op_id"), lit(2)) === 1)
+          .write.mode("append").parquet(landing)
+        graft.streaming.CdcStream.applyOnce(s, landing, state, ckpt)
+        firstHalf.write.mode("append").parquet(landing) // redelivered
+        graft.streaming.CdcStream.applyOnce(s, landing, state, ckpt)
+        graft.streaming.CdcStream.currentState(s, state)
+          .select(col("key").as("user_id"), col("op").as("last_op"),
+            col("payload").as("value_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ops AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN event_type = 'view' THEN 'I'
+             |      WHEN event_type = 'purchase' THEN 'D'
+             |      ELSE 'U' END AS op,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events
+             |), ranked AS (
+             |  SELECT user_id, op, c,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM ops)
+             |SELECT user_id, op AS last_op, c AS value_cents
+             |FROM ranked WHERE rn = 1 AND op <> 'D'
+             |ORDER BY user_id""".stripMargin)))
 }

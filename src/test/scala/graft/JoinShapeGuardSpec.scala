@@ -20,7 +20,8 @@ class JoinShapeGuardSpec extends SparkSpec {
     "m8_grid", "m9_curve", "m10_cv", "m11_rec_coverage", "m12_fold_in",
     // streaming queries execute a full stream drain at construction; the
     // returned sink-read aggregate plans no joins to guard
-    "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest")
+    "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest",
+    "st4_stream_cdc")
 
   /** Queries whose BNLJ is the reviewed scalar-frame (or bounded
     * dimension-frame) broadcast idiom: the broadcast side is a one-row

@@ -63,7 +63,8 @@ class LambdaCseGuardSpec extends SparkSpec {
     "m11_rec_coverage", "m12_fold_in",
     // streaming queries execute a full stream drain at construction and
     // return a sink-read aggregate (no text HOFs in the consumer plan)
-    "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest")
+    "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest",
+    "st4_stream_cdc")
 
   test("no registered query evaluates an expensive loop-invariant " +
       "expression inside a HOF lambda") {

@@ -91,7 +91,8 @@ object ScanCensus {
     // sink), and the RETURNED plan reads the sink, never a fact table —
     // the stream's single pass over the landing files is pinned by the
     // checkpoint contract (FileStreamSpec), not by a consumer-plan census
-    "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest")
+    "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest",
+    "st4_stream_cdc")
 }
 
 /** Regenerates ScanBudgetSpec's committed budget table:

@@ -36,7 +36,8 @@ class WindowGuardSpec extends SparkSpec {
     "m8_grid", "m9_curve", "m11_rec_coverage", "m12_fold_in",
     // streaming queries execute a full stream drain at construction; the
     // returned frame is a sink read (no windows), StreamingQueries owns it
-    "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest")
+    "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest",
+    "st4_stream_cdc")
 
   test("no registered query plans a Window with an empty partitionSpec") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
