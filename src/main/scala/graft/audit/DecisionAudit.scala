@@ -363,6 +363,12 @@ object DecisionAudit {
         "2-dp-grain data) and is payload, not decision: last-writer-wins " +
         "picks by the exact (ts, event_id) order, unique by event_id",
       Seq("round(value * 100)", "ORDER BY ts DESC, event_id DESC")),
+    "st4_stream_cdc" -> GrainMargin(0.5,
+      "u8's decision path verbatim, driven through the streaming fold: " +
+        "cents conversion is payload-only, and CdcStream's " +
+        "max-of-(ts, op_id) struct ordering is the same exact integer " +
+        "last-writer-wins the oracle ranks by",
+      Seq("round(value * 100)", "ORDER BY ts DESC, event_id DESC")),
     "w16_changepoint" -> GrainMargin(0.5,
       "the per-row cents conversion is the only fp op (0.5 margin on " +
         "2-dp-grain data); bin sums, prefix sums, and every split's " +
