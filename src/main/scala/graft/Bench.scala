@@ -174,11 +174,13 @@ object Bench {
         catch { case _: Throwable => -1.0 })
       flush(partial = true)
     }
-    // st1/st2's landing fixture (events staged as files, once and twice):
-    // test plumbing, not operator work — staged outside query timing so
-    // the queries measure the stream drain itself. st3 stages inside its
-    // own timing ON PURPOSE: its two landings-then-drains ARE the query.
-    if (selected.exists(Set("st1_stream_hourly", "st2_stream_dedup"))) {
+    // st1/st2/st5's landing fixture (events staged as files, once and
+    // twice): test plumbing, not operator work — staged outside query
+    // timing so the queries measure the stream drain itself. st3/st4
+    // stage inside their own timing ON PURPOSE: their landings-then-
+    // drains sequences ARE the query.
+    if (selected.exists(Set("st1_stream_hourly", "st2_stream_dedup",
+        "st5_stream_join"))) {
       record("_stream_stage",
         try timed(graft.queries.StreamingQueries.pretrainStage(spark, sfDir))
         catch { case _: Throwable => -1.0 })

@@ -668,6 +668,10 @@ object DecisionAudit {
         "(p_cents * (n_t - t_us) + n_cents * (t_us - p_t)) // (n_t - p_t)")),
     "j12_attribution" -> GrainMargin(0.005,
       "round(value, 2) is an identity on 2-dp-quantized stored values"),
+    "st5_stream_join" -> GrainMargin(0.005,
+      "j12's decision path verbatim through the stream-stream join: " +
+        "round(value, 2) is an identity on 2-dp-quantized stored values; " +
+        "the join predicate is exact integer-epoch arithmetic"),
     "j8_asof_join" -> GrainMargin(0.005,
       "round(value, 2) is an identity on 2-dp-quantized stored values"),
     "j3_join_chain" -> GrainMargin(5e-5,

@@ -248,5 +248,66 @@ object StreamingQueries {
              |  FROM ops)
              |SELECT user_id, op AS last_op, c AS value_cents
              |FROM ranked WHERE rn = 1 AND op <> 'D'
-             |ORDER BY user_id""".stripMargin)))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ST5: the stream-STREAM interval join run as two real file streams —
+    // clicks and purchases read the landed events independently, join on
+    // user_id with the two-sided event-time bound, and land every
+    // attributed pair in an append-mode parquet sink. This is
+    // EventStream.attributedPurchases, the SAME function body j12 oracles
+    // on batch frames — here the watermarks are live (both sides' buffered
+    // state is evictable once the watermark passes its interval; inner-join
+    // matches emit as they arrive, so the single AvailableNow batch emits
+    // every pair). Oracle = j12's SQL verbatim: DuckDB's interval join over
+    // the original events equals the STREAMING join's sink, row for row —
+    // the strongest gate a stream-stream operator can get without a second
+    // engine that speaks watermarks.
+    Q("st5_stream_join",
+      (s, d) => {
+        val landing = stageEvents(s, d, copies = 1)
+        val n = runSeq.incrementAndGet()
+        val out = Scratch.dir(s, s"st5_out_$n")
+        val clicks = fileStream(s, landing)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = fileStream(s, landing)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        // State-shard count is a per-STREAM sizing decision, frozen into
+        // the checkpoint at first start: a stream-stream join materializes
+        // FOUR state stores per shuffle partition per side, each paying a
+        // commit per micro-batch, so shards are sized to the stream's
+        // arrival rate (tens of thousands of buffered rows here), not to
+        // the session's batch-shuffle width. A production deployment at
+        // higher throughput starts its checkpoint with proportionally more
+        // shards — same one-line conf, sized to the feed.
+        // restored only AFTER termination: start() is async and the
+        // stream captures the conf into its checkpoint during init
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = graft.streaming.EventStream
+            .attributedPurchases(clicks, purchases, "1 hour", 3600L)
+            .select(col("user_id"), col("click_id"), col("purchase_id"),
+              (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+                .as("gap_us"),
+              round(col("value"), 2).as("v"))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", Scratch.dir(s, s"st5_ck_$n"))
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.read.parquet(out)
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+             |  round(p.value, 2) AS v
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id AND p.ts >= c.ts
+             |  AND p.ts <= c.ts + INTERVAL 1 HOUR
+             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)))
 }
