@@ -4,11 +4,11 @@
 # sane ratios of their committed values (i.e. the host stayed calm for
 # the duration). Loops until an accepted artifact exists.
 #
-# Usage: tools/bench_when_calm.sh [OUT.json]   (default BENCH_r08_honest.json)
+# Usage: tools/bench_when_calm.sh OUT.json
 # Writes progress lines to stdout; run under nohup and tail the log.
 set -u
 cd "$(dirname "$0")/.."
-OUT="${1:-BENCH_r08_honest.json}"
+OUT="${1:?usage: bench_when_calm.sh OUT.json (e.g. BENCH_r17_honest.json)}"
 
 attempt=0
 while true; do
@@ -43,7 +43,9 @@ anchors = {"d7_dup_components": 3.07, "c3_decontaminate": 1.04,
            "j3_join_chain": 0.52}
 bad = [f"{k}={q[k]:.2f} (anchor {v}, ratio {q[k]/v:.1f}x)"
        for k, v in anchors.items() if k in q and q[k] > 2 * v]
-print(f"total {d['value']} across {len(q)} entries; errors={d['errors']}")
+nq = sum(1 for k in q if not k.startswith("_"))
+print(f"total {d['value']} across {nq} queries "
+      f"(+{len(q) - nq} harness entries); errors={d['errors']}")
 if bad:
     sys.exit("throttled run, rejecting: " + "; ".join(bad))
 if d["errors"]:
