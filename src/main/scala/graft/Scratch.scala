@@ -89,6 +89,17 @@ object Scratch {
     */
   def resetCuts(): Unit = written.clear()
 
+  /** Invalidation hooks run by [[sweep]] alongside [[resetCuts]]: any
+    * module that memoizes scratch PATHS (StreamingQueries' landing-fixture
+    * stage) registers a clear here, so no path memo anywhere can outlive
+    * the files it names — the round-10 t20 failure class. Registration is
+    * idempotent by construction (each module registers once at object
+    * init).
+    */
+  private val sweepHooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+  def onSweep(hook: () => Unit): Unit = { sweepHooks.add(hook); () }
+
   def cut(s: SparkSession, name: String)(df: DataFrame): DataFrame =
     if (s.conf.get(CutKey, "true").toBoolean) {
       val p = dir(s, name)
@@ -128,7 +139,9 @@ object Scratch {
     val root = spark.conf.get(ConfKey, Default)
     val leaf = new java.io.File(root).getName
     if (leaf.startsWith("graft_qtmp")) {
-      resetCuts() // the files are about to go — the memo must not outlive them
+      // the files are about to go — no memo may outlive them
+      resetCuts()
+      sweepHooks.forEach(_.apply())
       rm(new java.io.File(root))
       val parent = new java.io.File(root).getParentFile
       Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>

@@ -84,8 +84,11 @@ class CutDifferentialSpec extends SparkSpec {
 
   test("every Scratch.cut call site in main source is owned by a toggled query") {
     val root = Paths.get("src/main/scala")
-    val sources = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala")).toSeq
+    val walk = Files.walk(root)
+    val sources =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala")).toSeq
+      finally walk.close()
     // literal sites name the frame as s"<prefix>_${graft.Scratch.key(d)}";
     // parameterized sites (GenrePipeline.dominant's cutName) are matched
     // at their QUERY-side literal (g1_maps in PipelineQueries) instead.

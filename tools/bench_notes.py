@@ -59,16 +59,25 @@ def main():
     # query count from it so the headline never understates coverage.
     # Round <= 15 artifacts came from the old topLine whose top-40 and
     # _other bucket MIXED harness entries with queries (ADVICE r15): for
-    # those, every known harness key absent from the line sat inside the
-    # _other count, so subtract them. Round >= 16 lines list all harness
-    # entries individually and count queries only — already exact.
+    # those, every harness key that EXISTED that round but is absent from
+    # the line sat inside the _other count, so subtract them. The round's
+    # true harness set comes from its untruncated honest sibling artifact
+    # (the set grew over rounds — a fixed global list would overcorrect
+    # r3-r8, whose runs never recorded the later keys); with no honest
+    # sibling the correction is skipped (at most _floor-sized slack).
+    # Round >= 16 lines list all harness entries individually and count
+    # queries only — already exact.
     other = sum(int(m.group(1)) for k in harness
                 if (m := re.match(r"_other_(\d+)q$", k)))
-    if other and 0 <= round_no(cur_path) <= 15:
-        known_harness = {"_floor", "_edges_build", "_als_fit", "_ivf_build",
-                         "_pq_build", "_qc_fit", "_bucket_write",
-                         "_bpe_train64", "_bpe_batch64", "_bpe_batch64_rounds"}
-        other -= len(known_harness - set(harness))
+    n = round_no(cur_path)
+    if other and 0 <= n <= 15:
+        sibling = next((p for p in (f"BENCH_r{n:02d}_honest.json",
+                                    f"BENCH_r{n}_honest.json")
+                        if os.path.exists(p)), None)
+        if sibling:
+            round_harness = {k for k in load(sibling)["queries"]
+                             if k.startswith("_")}
+            other -= len(round_harness - set(harness))
     trunc = (f" ({len(q)} listed individually, driver-truncated stdout line;"
              " use the honest merged artifact for the full per-query table)"
              if other else "")
