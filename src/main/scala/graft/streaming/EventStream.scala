@@ -9,7 +9,7 @@ final case class UserEvent(user_id: Long, event_type: String,
 final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 final case class EwmaState(ewma: Double, n: Long)
 final case class UserEwma(user_id: Long, n_events: Long, ewma: Double)
-final case class OpenSession(start_ms: Long, last_ms: Long, n: Long, total: Double)
+final case class OpenSession(start_us: Long, last_us: Long, n: Long, total: Double)
 final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
     n_events: Long, total_value: Double)
 
@@ -141,6 +141,16 @@ object EventStream {
     * open session is closed by the watermark passing last_event + gap
     * (state is then removed — bounded state, the session-window streaming
     * contract). Emits each CLOSED session exactly once (Append mode).
+    *
+    * All interval arithmetic is at MICROSECOND grain (round 17): the
+    * events fixture carries real sub-millisecond components, and a
+    * `Timestamp.getTime`-based (ms-truncating) gap compare can flip a
+    * boundary decision against the full-precision batch `session_window`
+    * — two events 1799.9995 s apart truncate to exactly 1800000 ms when
+    * their sub-ms fractions straddle a millisecond edge, splitting a
+    * session the batch engine merges. st6_stream_session hash-oracles
+    * this function against w4's gaps-and-islands SQL, which compares at
+    * native precision.
     */
   def closedSessions(events: Dataset[UserEvent], gapMs: Long,
       watermarkDelay: String): Dataset[ClosedSession] = {
@@ -148,8 +158,16 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
 
+    val gapUs = gapMs * 1000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def stamp(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def toClosed(uid: Long, s: OpenSession): ClosedSession =
-      ClosedSession(uid, new java.sql.Timestamp(s.start_ms), s.n, s.total)
+      ClosedSession(uid, stamp(s.start_us), s.n, s.total)
 
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -161,26 +179,26 @@ object EventStream {
             state.remove()
             Iterator.single(closed)
           } else {
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            val sorted = batch.toSeq.sortBy(e => micros(e.ts))
             var open = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               open match {
                 // late events (in-watermark, BEFORE the open session) must
                 // not corrupt the interval: a bare `t - last < gap` check
                 // is trivially true for any old event and would drag
-                // last_ms backwards, breaking the event-time timeout.
-                case Some(s) if t < s.start_ms - gapMs =>
+                // last_us backwards, breaking the event-time timeout.
+                case Some(s) if t < s.start_us - gapUs =>
                   // beyond the gap before the session: its own session,
                   // emitted closed immediately (single-open-session state;
                   // an exact multi-open implementation would buffer it)
-                  closed += ClosedSession(uid, new java.sql.Timestamp(t), 1, e.value)
-                case Some(s) if t - s.last_ms < gapMs =>
+                  closed += ClosedSession(uid, stamp(t), 1, e.value)
+                case Some(s) if t - s.last_us < gapUs =>
                   // inside the session or within the gap on either side:
                   // merge and WIDEN — start may move back, last never does
-                  open = Some(OpenSession(math.min(s.start_ms, t),
-                    math.max(s.last_ms, t), s.n + 1, s.total + e.value))
+                  open = Some(OpenSession(math.min(s.start_us, t),
+                    math.max(s.last_us, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed += toClosed(uid, s)
                   open = Some(OpenSession(t, t, 1, e.value))
@@ -190,7 +208,10 @@ object EventStream {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last_ms + gapMs)
+              // timeout is ms-grained: round UP so the watermark must
+              // truly pass last + gap before the session force-closes
+              state.setTimeoutTimestamp(
+                Math.floorDiv(s.last_us + gapUs + 999L, 1000L))
             }
             closed.result().iterator
           }

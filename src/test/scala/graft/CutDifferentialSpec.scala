@@ -89,11 +89,17 @@ class CutDifferentialSpec extends SparkSpec {
       try walk.iterator().asScala
         .filter(p => p.toString.endsWith(".scala")).toSeq
       finally walk.close()
-    // literal sites name the frame as s"<prefix>_${graft.Scratch.key(d)}";
+    // literal sites name the frame as s"<prefix>_${Scratch.key(d)}" (with
+    // or without the graft. qualifier, across any line breaks — ADVICE
+    // r16: the grep must tolerate formatting, or a reflowed call site
+    // would stop matching `site` while still counting in `rawSites` and
+    // fail the count assertion with a message about wrappers);
     // parameterized sites (GenrePipeline.dominant's cutName) are matched
     // at their QUERY-side literal (g1_maps in PipelineQueries) instead.
-    val site = """Scratch\.cut\([^)]*s"([A-Za-z0-9_]+)_\$\{graft\.Scratch\.key""".r
-    val nameArg = """cutName\s*=\s*Some\(s"([A-Za-z0-9_]+)_\$\{graft\.Scratch\.key""".r
+    val site =
+      """Scratch\.cut\(\s*[^)]*?s"([A-Za-z0-9_]+)_\$\{(?:graft\.)?Scratch\.key""".r
+    val nameArg =
+      """cutName\s*=\s*Some\(\s*s"([A-Za-z0-9_]+)_\$\{(?:graft\.)?Scratch\.key""".r
     val texts = sources.map(Files.readString)
     val prefixes = texts.flatMap { text =>
       site.findAllMatchIn(text).map(_.group(1)) ++
@@ -112,8 +118,11 @@ class CutDifferentialSpec extends SparkSpec {
     assert(rawSites == literalSites + knownParameterized,
       s"raw Scratch.cut( occurrences ($rawSites) != literal sites " +
         s"($literalSites) + known parameterized ($knownParameterized) — " +
-        "a cut call site routes its name in a way this grep can't see; " +
-        "extend the regexes or the known-wrapper count")
+        "a cut call site routes its name in a way this grep can't see " +
+        "(a genuinely new wrapper, or a name interpolation the `site` " +
+        "regex doesn't cover — it tolerates line breaks and both " +
+        "Scratch.key spellings, but not e.g. a name built outside the " +
+        "call); extend the regexes or the known-wrapper count")
     val unowned = prefixes.filterNot(siteOwner.contains)
     assert(unowned.isEmpty,
       s"Scratch.cut sites with no differential owner: ${unowned.toSeq.sorted
