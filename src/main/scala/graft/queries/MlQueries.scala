@@ -57,16 +57,16 @@ object MlQueries {
     qcModel(s, d); ()
   }
 
-  private def ratingsOf(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def ratingsOf(s: org.apache.spark.sql.SparkSession, d: String) =
     lineitem(s, d)
       .groupBy(col("l_suppkey").cast("int").as("user_idx"),
         col("l_partkey").cast("int").as("item_idx"))
       .agg(sum(col("l_quantity")).cast("float").as("count"))
 
-  private val alsCfg = AlsConfig(rank = 8, regParam = 0.1, alpha = 10.0,
+  private[graft] val alsCfg = AlsConfig(rank = 8, regParam = 0.1, alpha = 10.0,
     maxIter = 5, userBlocks = 8, itemBlocks = 8)
 
-  private def alsModel(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def alsModel(s: org.apache.spark.sql.SparkSession, d: String) = {
     if (alsCache.size >= MaxCachedModels
         && !alsCache.contains(s"${s.hashCode}|$d")) alsCache.clear()
     alsCache.getOrElseUpdate(s"${s.hashCode}|$d",
