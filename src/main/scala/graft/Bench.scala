@@ -174,14 +174,15 @@ object Bench {
         catch { case _: Throwable => -1.0 })
       flush(partial = true)
     }
-    // st1/st2/st5/st6's landing fixture (events staged as files, once and
-    // twice, plus st6's sentinel): test plumbing, not operator work —
+    // st1/st2/st5/st6/st7's landing fixture (events staged as files, once
+    // and twice, plus st6's sentinel): test plumbing, not operator work —
     // staged outside query timing so the queries measure the stream drain
     // itself, and gated per fixture so a filtered run stages only what it
     // reads. st3/st4 stage inside their own timing ON PURPOSE: their
     // landings-then-drains sequences ARE the query.
     val stageSingle = selected.exists(Set(
-      "st1_stream_hourly", "st5_stream_join", "st6_stream_session"))
+      "st1_stream_hourly", "st5_stream_join", "st6_stream_session",
+      "st7_stream_ewma"))
     val stageDoubled = selected.contains("st2_stream_dedup")
     val stageSentinel = selected.contains("st6_stream_session")
     if (stageSingle || stageDoubled) {

@@ -516,6 +516,16 @@ object DecisionAudit {
       "per-key EWMA folds the identically-ordered (ts, event_id) series " +
         "sequentially in both engines — bit-equal before round(.,4)",
       Seq("list_reduce", "ORDER BY ts, event_id")),
+    "st7_stream_ewma" -> BitPinned(
+      "w11's fold run as a multi-batch stream: same seed, same 0.8/0.2 " +
+        "doubles, sequential per key — bit-equal before round(.,4) " +
+        "PROVIDED the stream's order equals the oracle's. Within a " +
+        "batch runningEwma sorts by full-resolution event time; across " +
+        "batches the time-ordered landing composes the fold; ts-only " +
+        "order == (ts, event_id) order because the data has zero " +
+        "same-user-same-ts collisions — premise re-verified against " +
+        "the CURRENT testdata by DecisionAuditSpec",
+      Seq("list_reduce", "ORDER BY ts, event_id")),
     "a21_cusum" -> IntegerDecided(
       "the recurrence is multiplied through by 100n so the entire fold " +
         "(d_i = n*c_i - sum_cents - 50n, S_i = max(0, S+d)) and the " +

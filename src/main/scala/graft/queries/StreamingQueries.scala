@@ -448,6 +448,72 @@ object StreamingQueries {
     // corpus size). The drain itself must be one data batch (same
     // 10-minute-delay reasoning as st1/st2, asserted); the timeout batch
     // that follows carries no input rows, so the assertion still holds.
+    // ST7: arbitrary stateful VALUE-FOLD across micro-batches — the EWMA
+    // face of the stateful tier (the last operator VERDICT r16 #3 listed
+    // as spec-only), and deliberately a MULTI-BATCH drain: st6 proves
+    // flatMapGroupsWithState's in-batch splits and timeout flush in ONE
+    // data batch, so what was still missing from the oracled path was a
+    // mapGroupsWithState state row CARRIED from batch N into batch N+1
+    // and folded onto. maxFilesPerTrigger=4 over the 8 time-ordered
+    // landing files forces exactly that (asserted ≥2 data batches), and
+    // the oracle is w11_ewma's SQL verbatim: DuckDB's list_reduce over
+    // the per-user (ts, event_id)-ordered series. Bit-equality holds
+    // because both engines run the IDENTICAL sequential fold (same seed,
+    // same 0.8/0.2 doubles) over the IDENTICAL order:
+    //  - within a batch runningEwma sorts by full-resolution event time;
+    //  - across batches the landing is range-partitioned on ts with
+    //    mod-times staggered ascending (stageEvents), so batch N+1's
+    //    rows all follow batch N's — the fold composes;
+    //  - ts-only order == the oracle's (ts, event_id) order because the
+    //    data has ZERO same-user-same-ts collisions — a premise
+    //    DecisionAuditSpec re-verifies against the CURRENT testdata, so
+    //    a hostile regeneration fails in the builder loop, not the gate.
+    // The update-mode memory sink is sound because emissions are bounded
+    // by users × batches (one snapshot per user per batch it appears
+    // in), never by event count; the final state per user is the
+    // max-n_events snapshot (n strictly increases on every emission).
+    // State at 100 TB: one (double, long) pair per key, no timeout here
+    // because the key space is bounded — unbounded-key deployments add
+    // the event-time timeout exactly as closedSessions does.
+    Q("st7_stream_ewma",
+      (s, d) => {
+        val landing = stageEvents(s, d, copies = 1)
+        val n = runSeq.incrementAndGet()
+        val sink = s"st7_sink_$n"
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        import ss.implicits._
+        val events = fileStream(ss, landing, maxFilesPerTrigger = Some(4))
+          .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+          .as[graft.streaming.UserEvent]
+        val q = graft.streaming.EventStream.runningEwma(events, alpha = 0.2)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", Scratch.dir(s, s"st7_ck_$n"))
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        val batches = dataBatches(q)
+        require(batches >= 2,
+          s"st7_stream_ewma drained in $batches data micro-batch(es) — " +
+            "the multi-batch leg exists to exercise cross-batch " +
+            "mapGroupsWithState state carry; check maxFilesPerTrigger " +
+            "against the staged landing's file count")
+        ss.table(sink)
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).cast("int").as("n_events"),
+            max_by(col("ewma"), col("n_events")).as("e"))
+          .select(col("user_id"), col("n_events"),
+            round(col("e"), 4).as("ewma"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(len(xs) AS INT) AS n_events,
+             |  round(list_reduce(xs, (acc, x) -> 0.8 * acc + 0.2 * x), 4) AS ewma
+             |FROM (
+             |  SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+             |  FROM events GROUP BY user_id)
+             |ORDER BY user_id""".stripMargin)),
+
     Q("st6_stream_session",
       (s, d) => {
         val landing = stageEvents(s, d, copies = 1)

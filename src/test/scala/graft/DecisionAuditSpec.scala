@@ -53,6 +53,24 @@ class DecisionAuditSpec extends SparkSpec {
     assert(missingSpec.isEmpty, s"covering specs not found on disk: $missingSpec")
   }
 
+  test("st7 premise: no same-user same-ts event collisions in the current testdata") {
+    // st7_stream_ewma's BitPinned path rests on ts-only stream order
+    // equaling the oracle's (ts, event_id) order, which holds iff no user
+    // has two events at the identical (nanosecond) timestamp. Verified
+    // against whatever testdata THIS run sees — a regeneration that
+    // introduces collisions fails here, in the builder loop, instead of
+    // as a hash red at the driver gate.
+    val collisions = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .count()
+    assert(collisions == 0L,
+      s"$collisions same-user-same-ts collision groups — st7_stream_ewma's " +
+        "ts-only fold order is no longer total; add an id tie-break to " +
+        "UserEvent/runningEwma or retire the oracle")
+  }
+
   test("GrainMargin premise: base value columns are 2-dp-quantized in the current testdata") {
     // the load-bearing assumption behind every round(sum(x), 2) oracle: the
     // stored values sit on the 0.01 grid (so true sums do too). Verified

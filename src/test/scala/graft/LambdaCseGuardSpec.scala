@@ -64,7 +64,8 @@ class LambdaCseGuardSpec extends SparkSpec {
     // streaming queries execute a full stream drain at construction and
     // return a sink-read aggregate (no text HOFs in the consumer plan)
     "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest",
-    "st4_stream_cdc", "st5_stream_join", "st6_stream_session")
+    "st4_stream_cdc", "st5_stream_join", "st6_stream_session",
+    "st7_stream_ewma")
 
   test("no registered query evaluates an expensive loop-invariant " +
       "expression inside a HOF lambda") {

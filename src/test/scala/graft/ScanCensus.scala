@@ -92,7 +92,8 @@ object ScanCensus {
     // the stream's single pass over the landing files is pinned by the
     // checkpoint contract (FileStreamSpec), not by a consumer-plan census
     "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest",
-    "st4_stream_cdc", "st5_stream_join", "st6_stream_session")
+    "st4_stream_cdc", "st5_stream_join", "st6_stream_session",
+    "st7_stream_ewma")
 }
 
 /** Regenerates ScanBudgetSpec's committed budget table:
