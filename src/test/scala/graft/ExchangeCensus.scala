@@ -41,8 +41,11 @@ object ExchangeCensus {
   }
 
   /** Compact committed form: "shuffle=2,broadcast=1"; "" = fully
-    * exchange-free (map-side only, or consumers of pre-partitioned
-    * artifacts — b1's bucketed join is the flagship "" row).
+    * exchange-free, map-side only (c7_epoch_shuffle, o2_limit,
+    * o11_compaction). Note b1_bucketed_join is NOT a "" row: the bucketed
+    * JOIN plans no exchange (BucketingSpec pins that), but its downstream
+    * aggregate + total-order sort are ordinary shuffles — the budget
+    * counts the whole query.
     */
   def render(c: Map[String, Int]): String =
     Seq("shuffle", "broadcast")
