@@ -174,7 +174,7 @@ object Bench {
         catch { case _: Throwable => -1.0 })
       flush(partial = true)
     }
-    // st1/st2/st5/st6/st7's landing fixture (events staged as files, once
+    // st1/st2/st5/st6/st7/st8's landing fixtures (events staged as files, once
     // and twice, plus st6's sentinel): test plumbing, not operator work —
     // staged outside query timing so the queries measure the stream drain
     // itself, and gated per fixture so a filtered run stages only what it
@@ -185,10 +185,12 @@ object Bench {
       "st7_stream_ewma"))
     val stageDoubled = selected.contains("st2_stream_dedup")
     val stageSentinel = selected.contains("st6_stream_session")
-    if (stageSingle || stageDoubled) {
+    val stageTokens = selected.contains("st8_stream_heavy")
+    if (stageSingle || stageDoubled || stageTokens) {
       record("_stream_stage",
         try timed(graft.queries.StreamingQueries
-          .pretrainStage(spark, sfDir, stageSingle, stageDoubled, stageSentinel))
+          .pretrainStage(spark, sfDir, stageSingle, stageDoubled,
+            stageSentinel, stageTokens))
         catch { case _: Throwable => -1.0 })
       flush(partial = true)
     }

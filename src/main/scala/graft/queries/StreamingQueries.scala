@@ -76,6 +76,21 @@ object StreamingQueries {
   // Verify's explicit clearCaches ordering
   graft.Scratch.onSweep(() => staged.clear())
 
+  /** Stagger a landing's part-file mod times ascending in name order, so
+    * the file source's oldest-first listing replays the range-partitioned
+    * slices in key order — the property every multi-batch leg rides.
+    */
+  private def stagger(path: String): Unit = {
+    val parts = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - 2000L * (parts.length + 1)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + 2000L * i); ()
+    }
+  }
+
   private def stageEvents(s: SparkSession, d: String, copies: Int): String = {
     val path = Scratch.dir(s, s"stev${copies}_${Scratch.key(d)}")
     staged.computeIfAbsent(path, _ => {
@@ -93,14 +108,7 @@ object StreamingQueries {
           .withColumn("ts", Tables.eventTime(col("ts")))
           .repartitionByRange(8, col("ts"))
           .write.mode("overwrite").parquet(path)
-        val parts = Option(new java.io.File(path).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.startsWith("part-"))
-          .sortBy(_.getName)
-        val t0 = System.currentTimeMillis() - 2000L * (parts.length + 1)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          f.setLastModified(t0 + 2000L * i); ()
-        }
+        stagger(path)
       } else {
         // the redelivered landing is byte-identical FILE COPIES of the
         // single-copy staging under fresh names — higher fidelity than
@@ -147,6 +155,34 @@ object StreamingQueries {
     })
   }
 
+  /** st8's token landing: the documents corpus tokenized ONCE (the same
+    * split-lower tokenization every t-family oracle mirrors) into
+    * (source, pos, term) rows, 8 range partitions on `pos` with staggered
+    * mod times. `pos = doc_id * 1e6 + word_index` is a pure map-side
+    * position that totally orders each source's tokens by (doc_id,
+    * word_index) — range-splitting on it puts batch N+1's tokens after
+    * batch N's for EVERY source, so a multi-batch drain folds each
+    * source's stream in the canonical order without a window function in
+    * the staging job (docs are far under 1e6 tokens; doc_ids far under
+    * 1e12/1e6 — both headroom facts of the fixture, rechecked by the
+    * hash gate itself: an overflow would reorder folds and surface as
+    * nondeterministic sketch candidates).
+    */
+  private def stageTokens(s: SparkSession, d: String): String = {
+    val path = Scratch.dir(s, s"sttok_${Scratch.key(d)}")
+    staged.computeIfAbsent(path, _ => {
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("w", "term")))
+        .select(col("source"),
+          (col("doc_id") * 1000000L + col("w")).as("pos"), col("term"))
+        .repartitionByRange(8, col("pos"))
+        .write.mode("overwrite").parquet(path)
+      stagger(path)
+      path
+    })
+  }
+
   /** Bench hook: pay the landing-fixture writes outside query timing
     * (the `_edges_build` precedent — the fixture is test plumbing, the
     * stream run is the operator being measured). Gated per fixture like
@@ -156,10 +192,12 @@ object StreamingQueries {
     * sentinel file for st6).
     */
   def pretrainStage(s: SparkSession, d: String,
-      single: Boolean, doubled: Boolean, sentinel: Boolean = false): Unit = {
+      single: Boolean, doubled: Boolean, sentinel: Boolean = false,
+      tokens: Boolean = false): Unit = {
     if (single || doubled) stageEvents(s, d, 1)
     if (doubled) stageEvents(s, d, 2)
     if (sentinel) stageSentinel(s, d)
+    if (tokens) stageTokens(s, d)
     ()
   }
 
@@ -560,5 +598,91 @@ object StreamingQueries {
              |SELECT user_id, epoch_us(min(ts)) // 1000000 AS session_start,
              |  count(*) AS n_events
              |FROM y GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin)))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ST8: streaming heavy hitters behind the gate — the last operator in
+    // graft.streaming without a registered query (TokenStream, VERDICT
+    // r16 "missing" #3), and it gets there ORACLED, which a sketch query
+    // normally can't: the registered shape is the two-pass
+    // sketch-then-verify pattern production heavy-hitter pipelines ship
+    // (pass 1 = the stream's per-source Misra-Gries candidates; pass 2 =
+    // one exact count of the CANDIDATE terms only). Misra-Gries
+    // guarantees its counter set contains EVERY term with true count >
+    // n/(k+1), so candidates ⊇ true heavy hitters, and filtering
+    // candidates by the exact integer predicate `exact * (k+1) > n`
+    // yields the exact heavy-hitter set — fully deterministic even
+    // though the sketch's sub-threshold survivors are order-dependent.
+    // DuckDB recomputes that set independently from the original
+    // documents, so the hash compare proves the streamed sketch (a) kept
+    // every true heavy hitter across a MULTI-batch drain (≥2 data
+    // batches asserted: the per-source MgBuf state is carried from batch
+    // N into batch N+1 and folded onto — the sketch-state face of st7's
+    // scalar-state carry), and (b) counted n exactly (n is the STREAM's
+    // own token count and sits inside the emitted rows AND the
+    // threshold; losing one token shifts the predicate and the hash).
+    // k=30 against the fixture's ~31-term per-source vocabulary keeps
+    // real evictions in play (est < exact for most survivors) while the
+    // near-uniform ~1/31 shares put many terms over the n/31 floor at
+    // every scale — nonempty output x3 scales. At 100 TB: state is k
+    // counters per source key (kilobytes), the verify pass is one
+    // candidate-filtered aggregate — never a full frequency table;
+    // TokenStreamSpec pins stream==batch fold parity and the undercount
+    // bound, MisraGriesSpec the merge laws.
+    Q("st8_stream_heavy",
+      (s, d) => {
+        val kk = 30
+        val landing = stageTokens(s, d)
+        val n = runSeq.incrementAndGet()
+        val sink = s"st8_sink_$n"
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        import ss.implicits._
+        val toks = fileStream(ss, landing, maxFilesPerTrigger = Some(4))
+          .select(col("source"), col("pos"), col("term"))
+          .as[graft.streaming.TokenRec]
+        val q = graft.streaming.TokenStream
+          .streamingHeavyHitters(toks, k = kk)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", Scratch.dir(s, s"st8_ck_$n"))
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        val batches = dataBatches(q)
+        require(batches >= 2,
+          s"st8_stream_heavy drained in $batches data micro-batch(es) — " +
+            "the multi-batch leg exists to exercise cross-batch sketch-" +
+            "state carry; check maxFilesPerTrigger against the staged " +
+            "landing's file count")
+        // final snapshot per source = the max-n emission (n strictly
+        // increases every batch the source appears in)
+        val candidates = ss.table(sink)
+          .groupBy(col("source"))
+          .agg(max_by(struct(col("n"), col("terms")), col("n")).as("f"))
+          .select(col("source"), col("f.n").as("n"),
+            explode(col("f.terms")).as("it"))
+          .select(col("source"), col("n"), col("it.term").as("term"))
+        // exact verify pass over the SAME staged token table (one corpus
+        // tokenization total, the t-family budget discipline)
+        val exact = s.read.parquet(landing)
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("exact"))
+        candidates.join(exact, Seq("source", "term"))
+          .filter(col("exact") * lit(kk + 1) > col("n"))
+          .select(col("source"), col("term"), col("exact"), col("n"))
+          .orderBy("source", "term")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents
+             |), cnt AS (
+             |  SELECT source, term, CAST(count(*) AS BIGINT) AS exact
+             |  FROM toks GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT source, CAST(sum(exact) AS BIGINT) AS n
+             |  FROM cnt GROUP BY source)
+             |SELECT c.source, c.term, c.exact, t.n
+             |FROM cnt c JOIN tot t USING (source)
+             |WHERE c.exact * 31 > t.n
+             |ORDER BY source, term""".stripMargin)))
 }

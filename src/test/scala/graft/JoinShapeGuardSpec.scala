@@ -22,7 +22,7 @@ class JoinShapeGuardSpec extends SparkSpec {
     // returned sink-read aggregate plans no joins to guard
     "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest",
     "st4_stream_cdc", "st5_stream_join", "st6_stream_session",
-    "st7_stream_ewma")
+    "st7_stream_ewma", "st8_stream_heavy")
 
   /** Queries whose BNLJ is the reviewed scalar-frame (or bounded
     * dimension-frame) broadcast idiom: the broadcast side is a one-row

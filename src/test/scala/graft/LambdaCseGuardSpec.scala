@@ -65,7 +65,7 @@ class LambdaCseGuardSpec extends SparkSpec {
     // return a sink-read aggregate (no text HOFs in the consumer plan)
     "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest",
     "st4_stream_cdc", "st5_stream_join", "st6_stream_session",
-    "st7_stream_ewma")
+    "st7_stream_ewma", "st8_stream_heavy")
 
   test("no registered query evaluates an expensive loop-invariant " +
       "expression inside a HOF lambda") {

@@ -93,7 +93,7 @@ object ScanCensus {
     // checkpoint contract (FileStreamSpec), not by a consumer-plan census
     "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest",
     "st4_stream_cdc", "st5_stream_join", "st6_stream_session",
-    "st7_stream_ewma")
+    "st7_stream_ewma", "st8_stream_heavy")
 }
 
 /** Regenerates ScanBudgetSpec's committed budget table:

@@ -38,7 +38,7 @@ class WindowGuardSpec extends SparkSpec {
     // returned frame is a sink read (no windows), StreamingQueries owns it
     "st1_stream_hourly", "st2_stream_dedup", "st3_stream_ingest",
     "st4_stream_cdc", "st5_stream_join", "st6_stream_session",
-    "st7_stream_ewma")
+    "st7_stream_ewma", "st8_stream_heavy")
 
   test("no registered query plans a Window with an empty partitionSpec") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
