@@ -111,6 +111,28 @@ object Scratch {
       s.read.parquet(p)
     } else df
 
+  /** [[cut]] for producers whose CONSTRUCTION is itself the expensive work
+    * (an iterative build that writes its own round checkpoints, a driver-
+    * synchronized trainer): the producer is BY-NAME, so once the cut is
+    * written this run, a second consumer never evaluates it at all —
+    * `cut`'s by-value parameter would re-run an eager builder before the
+    * memo could help (the d7/c17 shape: both queries rebuilt the same
+    * 10-round label propagation because the memo only deduped the final
+    * WRITE, not the build). Same memo map, same per-run reset discipline
+    * (Bench's resetCuts makes every suite run pay each build exactly
+    * once), same `cutMaterialize=false` escape hatch (live form = every
+    * consumer constructs its own build — the pre-r17 behavior, which
+    * CutDifferentialSpec proves result-identical).
+    */
+  def cutEager(s: SparkSession, name: String)(mk: => DataFrame): DataFrame =
+    if (s.conf.get(CutKey, "true").toBoolean) {
+      val p = dir(s, name)
+      written.computeIfAbsent(p, _ => {
+        mk.write.mode("overwrite").parquet(p); java.lang.Boolean.TRUE
+      })
+      s.read.parquet(p)
+    } else mk
+
   /** Collision-resistant per-dataset key for scratch stores that WIPE
     * before publishing (u5/u6/u7/u9): the sanitized last path segment
     * (the human-readable scale, e.g. `sf0.01`) PLUS the 32-bit string

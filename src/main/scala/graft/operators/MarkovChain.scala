@@ -41,22 +41,75 @@ object MarkovChain {
     * (paddedTransitions' shape). Returns (pi, piPrev) — the final vector
     * and the one before it, both (state, p_x1e6) — so the caller can
     * report the convergence delta.
+    *
+    * r17 shape: the transition table is |states|² rows at ANY corpus
+    * scale (states = event-type cardinality, bounded by the schema, not
+    * the corpus), so the old form — `rounds` unrolled join+groupBy stages,
+    * 37 exchanges in f6's plan — paid a per-round shuffle cadence for
+    * frames that fit in one task. The rounds now run as ONE codegen-
+    * friendly higher-order `aggregate` fold over a single collapsed row
+    * (states array + indexed edge array): per round, new_pi[j] =
+    * Σ_{edges e→j} pi[e.fi]·np div nf — the identical exact-integer floor
+    * divisions in the identical order-independent sum, so the vectors are
+    * bit-equal to the join-form's (the fold's accumulator is a VALUE, so
+    * each round evaluates once — no exponential re-inlining). Row
+    * membership keeps the join-form's sparse semantics: a state appears
+    * in round k's frame iff some edge reaches it from a state present in
+    * round k-1 (the `exists` mask fold) — membership only diverges from
+    * "all states" on tables with source-only states, which
+    * paddedTransitions never produces but the contract preserves anyway.
+    * The collapse is the TinyWindow argument: bounded-by-construction
+    * frames may run single-task; MarkovChainSpec's BigInt replay pins
+    * value-exactness, and f6's DuckDB oracle (which still unrolls the
+    * join form as 8 CTEs) pins cross-engine equality end to end.
     */
   def stationary(spark: SparkSession, trans: DataFrame,
       rounds: Int): (DataFrame, DataFrame) = {
-    val states = trans.select(col("from_type").as("state")).distinct()
-    val ns = states.agg(count(lit(1)).as("n_states"))
-    var pi = states.crossJoin(broadcast(ns))
-      .select(col("state"), expr("1000000 div n_states").as("p_x1e6"))
-    var prev = pi
-    for (_ <- 1 to rounds) {
-      prev = pi
-      pi = trans.join(pi, col("from_type") === col("state"))
-        .select(col("to_type"),
-          expr("p_x1e6 * n_pair div n_from").as("t"))
-        .groupBy(col("to_type")).agg(sum(col("t")).as("p_x1e6"))
-        .select(col("to_type").as("state"), col("p_x1e6"))
-    }
-    (pi, prev)
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val onerow = trans
+      .agg(collect_set(col("from_type")).as("froms"),
+        collect_set(col("to_type")).as("tos"),
+        collect_list(struct(col("from_type").as("f"), col("to_type").as("t"),
+          col("n_pair").cast("long").as("np"),
+          col("n_from").cast("long").as("nf"))).as("raw"))
+      .select(col("froms"), col("raw"),
+        sort_array(array_distinct(concat(col("froms"), col("tos"))))
+          .as("states"))
+      .select(col("states"),
+        expr("""transform(raw, e -> named_struct(
+                |  'fi', CAST(array_position(states, e.f) AS INT),
+                |  'ti', CAST(array_position(states, e.t) AS INT),
+                |  'np', e.np, 'nf', e.nf))""".stripMargin).as("edges"),
+        // seed matches the join form exactly: uniform mass over the
+        // FROM-state set (to-only states start absent ⟹ dense 0)
+        expr("""transform(states, x ->
+                |  IF(array_contains(froms, x),
+                |     1000000 div size(froms), 0L))""".stripMargin).as("pi0"),
+        expr("transform(states, x -> array_contains(froms, x))").as("pr0"))
+    val vfold =
+      s"""aggregate(sequence(1, $rounds),
+         |  named_struct('prev', pi0, 'cur', pi0),
+         |  (acc, r) -> named_struct('prev', acc.cur, 'cur',
+         |    transform(sequence(1, size(states)), j ->
+         |      aggregate(edges, 0L, (a, e) ->
+         |        a + IF(e.ti = j,
+         |              element_at(acc.cur, e.fi) * e.np div e.nf,
+         |              0L)))))""".stripMargin
+    val mfold =
+      s"""aggregate(sequence(1, $rounds),
+         |  named_struct('prev', pr0, 'cur', pr0),
+         |  (acc, r) -> named_struct('prev', acc.cur, 'cur',
+         |    transform(sequence(1, size(states)), j ->
+         |      exists(edges, e -> e.ti = j AND element_at(acc.cur, e.fi)))))"""
+        .stripMargin
+    val solved = onerow.select(col("states"),
+      expr(vfold).as("v"), expr(mfold).as("m"))
+    def frame(leg: String): DataFrame =
+      solved.select(posexplode(col("states")).as(Seq("i", "state")),
+          col("v"), col("m"))
+        .filter(expr(s"element_at(m.$leg, i + 1)"))
+        .select(col("state"),
+          expr(s"element_at(v.$leg, i + 1)").as("p_x1e6"))
+    (frame("cur"), frame("prev"))
   }
 }

@@ -15,6 +15,44 @@ import graft.functions.TextFunctions._
 object AdvancedQueries {
   import Tables._
 
+  /** The 6-merge BPE table shared by t16 (the table IS its output) and t21
+    * (the encoder replays it over the vocabulary). ONE definition — the
+    * corpora, merge budget, and tie-break contract can't drift between the
+    * two halves of the tokenizer pipeline — and the trained table rides
+    * [[graft.Scratch.cutEager]] (r17): training is a driver-synchronized
+    * EAGER build (6 argmax round-trips + checkpoint writes), so only the
+    * by-name cut stops the second consumer from re-training the identical
+    * table; each suite run pays training exactly once (t16 sorts first and
+    * pays; t21 reads). `cutMaterialize=false` restores per-consumer
+    * training; CutDifferentialSpec holds both forms row-identical.
+    */
+  private def bpe6Df(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Scratch.cutEager(s, s"bpe6_${graft.Scratch.key(d)}") {
+      import s.implicits._
+      val wc = documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      graft.operators.BpeTrainer
+        .train(wc, "word", "cnt", merges = 6,
+          checkpointDir = Some(graft.Scratch.dir(s, "bpe6_train")))
+        .toDF()
+    }
+
+  /** [[bpe6Df]] as the in-order merge list t21's encode expression needs —
+    * a ≤ 6-row scalar-class read-off (the merge table is bounded by the
+    * merge budget, never by the corpus; same driver contract as the
+    * trainer's own per-round argmax).
+    */
+  private def bpe6(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[graft.operators.BpeTrainer.Merge] =
+    bpe6Df(s, d).collect()
+      .map(r => graft.operators.BpeTrainer.Merge(
+        r.getAs[Int]("step"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pairCount")))
+      .sortBy(_.step).toSeq
+
   val all: Seq[Q] = Seq(
 
     // SK1: salted join for pathologically skewed keys
@@ -716,19 +754,11 @@ object AdvancedQueries {
     // scale factors' relative ordering; BpeTrainerSpec pins the algorithm
     // to a hand-computed merge sequence.
     Q("t16_bpe_merges",
-      (s, d) => {
-        import s.implicits._
-        val wc = documents(s, d)
-          .select(explode(tokens(col("text"))).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        graft.operators.BpeTrainer
-          .train(wc, "word", "cnt", merges = 6,
-            checkpointDir = Some(graft.Scratch.dir(s, "t16_bpe")))
-          .toDF()
+      (s, d) =>
+        bpe6Df(s, d)
           .select(col("step").cast("long").as("step"), col("left"),
             col("right"), col("merged"), col("pairCount").as("pair_count"))
-          .orderBy("step")
-      },
+          .orderBy("step"),
       None),
 
     // T21: BPE tokenizer APPLY — the other half of t16 (VERDICT r9 #7):
@@ -749,9 +779,7 @@ object AdvancedQueries {
         val wc = documents(s, d)
           .select(explode(tokens(col("text"))).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        val table = graft.operators.BpeTrainer
-          .train(wc, "word", "cnt", merges = 6,
-            checkpointDir = Some(graft.Scratch.dir(s, "t21_bpe")))
+        val table = bpe6(s, d)
         // Encode the UNIQUE-word vocabulary, not the token stream: the
         // merge replay costs per distinct word, and the doc rollup joins
         // the (word -> piece stats) table back — at 100 TB the encode

@@ -81,31 +81,42 @@ object GraphTemporalQueries {
     * lineage stays O(1). `tag` keys the scratch dirs so two queries in
     * one session never clobber each other's rounds.
     */
+  /** The exact 3-round LPA label frame shared by g4 (the labels ARE its
+    * output) and g11 (modularity scores them). r17: the finished labels
+    * ride [[graft.Scratch.cutEager]] — the propagation is an EAGER build
+    * (per-round checkpoint writes, the d7/c17 class), so each suite run
+    * pays it once (g11 sorts first and pays; g4 reads the identical
+    * frame). `tag` still isolates the BUILDER's per-round scratch dirs so
+    * the `cutMaterialize=false` live form (per-consumer rebuild —
+    * CutDifferentialSpec proves it row-identical) never interleaves two
+    * consumers' round files.
+    */
   private def lpaLabels(s: org.apache.spark.sql.SparkSession, d: String,
-      tag: String): org.apache.spark.sql.DataFrame = {
-    val e = coocEdges(s, d)
-    val nbPath = graft.Scratch.dir(s, s"${tag}_nb")
-    e.select(col("u").as("node"), col("v").as("nbr"))
-      .union(e.select(col("v"), col("u")))
-      .write.mode("overwrite").parquet(nbPath)
-    val nb = s.read.parquet(nbPath)
-    var labels = nb.select(col("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-    for (round <- 1 to 3) {
-      val next = nb
-        .join(labels.select(col("node").as("ln"), col("label")),
-          col("nbr") === col("ln"))
-        .groupBy(col("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("node"))
-        .agg(min(struct(negate(col("cnt")), col("label"))).as("best"))
-        .select(col("node"), col("best.label").as("label"))
-      val path = graft.Scratch.dir(s, s"${tag}_round$round")
-      next.write.mode("overwrite").parquet(path)
-      labels = s.read.parquet(path)
+      tag: String): org.apache.spark.sql.DataFrame =
+    graft.Scratch.cutEager(s, s"lpa3_${graft.Scratch.key(d)}") {
+      val e = coocEdges(s, d)
+      val nbPath = graft.Scratch.dir(s, s"${tag}_nb")
+      e.select(col("u").as("node"), col("v").as("nbr"))
+        .union(e.select(col("v"), col("u")))
+        .write.mode("overwrite").parquet(nbPath)
+      val nb = s.read.parquet(nbPath)
+      var labels = nb.select(col("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (round <- 1 to 3) {
+        val next = nb
+          .join(labels.select(col("node").as("ln"), col("label")),
+            col("nbr") === col("ln"))
+          .groupBy(col("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("node"))
+          .agg(min(struct(negate(col("cnt")), col("label"))).as("best"))
+          .select(col("node"), col("best.label").as("label"))
+        val path = graft.Scratch.dir(s, s"${tag}_round$round")
+        next.write.mode("overwrite").parquet(path)
+        labels = s.read.parquet(path)
+      }
+      labels
     }
-    labels
-  }
 
   def clearCaches(): Unit = synchronized { edgeCache.clear() }
 
@@ -1883,12 +1894,14 @@ object GraphTemporalQueries {
     // exact integer division, so the sum is order-independent and the
     // iteration is bit-reproducible in both engines (float pi would be
     // the a16 class; the <= |states| mass leak per round is 5e-6 here
-    // and reported in-row as mass_x1e6). Scale shape: ONE event-scan
-    // builds the transition counts (f4's shuffle), materialized to
-    // scratch so the 8 tiny-frame rounds re-read a |states|²-row
-    // parquet instead of replaying the shuffle per round (the g2/lpa
-    // loop discipline); the iteration itself touches frames the size of
-    // the state space, nothing more, at any corpus scale. The oracle
+    // and reported in-row as mass_x1e6). Scale shape (r17): ONE event-
+    // scan builds the transition counts (f4's shuffle), materialized to
+    // scratch; totals, the sink padding, and the iteration all re-derive
+    // from that |states|²-row parquet, and the 8 power rounds execute as
+    // a single-row higher-order fold inside MarkovChain.stationary — no
+    // per-round exchange, because the frame is bounded by the schema's
+    // state cardinality at any corpus scale (f6's exchange budget fell
+    // 37→≤6 with bit-identical output). The oracle
     // unrolls the same 8 rounds as MATERIALIZED CTEs (g8's rule).
     Q("f6_markov_stationary",
       (s, d) => {
@@ -1902,15 +1915,28 @@ object GraphTemporalQueries {
           .withColumnRenamed("event_type", "from_type")
         val counts = pairs.groupBy(col("from_type"), col("to_type"))
           .agg(count(lit(1)).as("n_pair"))
-        val totals = counts.groupBy(col("from_type"))
+        // r17: materialize the TRANSITION COUNTS (the one events-derived
+        // frame) instead of the padded table — totals, the padding, and
+        // the iteration all re-derive from the |states|²-row parquet, so
+        // the events scan + lead-window + aggregate run exactly ONCE per
+        // query (the returned plan's totals branch used to replay them:
+        // ScanBudget f6 events=1 → 0).
+        val countsPath = graft.Scratch.dir(s, "f6_counts")
+        counts.write.mode("overwrite").parquet(countsPath)
+        val countsF = s.read.parquet(countsPath)
+        val totals = countsF.groupBy(col("from_type"))
           .agg(sum(col("n_pair")).as("n_from"))
         // operators/MarkovChain pads SINK states (appearing only as
         // to_type) with an absorbing self-loop — without it a sink's
         // whole mass vanishes each round, far beyond the floor-leak
         // bound (no sink exists in this data; MarkovChainSpec exercises
-        // the path on a synthetic sink-bearing chain)
+        // the path on a synthetic sink-bearing chain). The padded table
+        // is ALSO flattened to parquet: stationary's collapsed-row agg is
+        // planned once per consumer (pi/prev/mass), and left live the
+        // padding's join lineage would replan per consumer (measured
+        // 19 exchanges vs 6 flat).
         val transPath = graft.Scratch.dir(s, "f6_trans")
-        graft.operators.MarkovChain.paddedTransitions(counts)
+        graft.operators.MarkovChain.paddedTransitions(countsF)
           .write.mode("overwrite").parquet(transPath)
         val trans = s.read.parquet(transPath)
         val (pi, prev) = graft.operators.MarkovChain.stationary(s, trans, 8)
@@ -2247,8 +2273,16 @@ object GraphTemporalQueries {
           .join(broadcast(b),
             col("noun") === col("noun2") && col("pk1") =!= col("pk2")
               && abs(length(col("n1")) - length(col("n2"))) <= 2)
-          .withColumn("dist", levenshtein(col("n1"), col("n2")))
-          .filter(col("dist") <= 2)
+          // threshold form (Spark 3.5+): the DP runs BANDED — O(len·k)
+          // cells instead of the full O(len²) matrix — and early-exits
+          // with -1 the moment a row's minimum exceeds k. Distances ≤ 2
+          // are returned exactly (identical to the unbounded form, so the
+          // oracle is unchanged); candidates beyond the band surface as
+          // -1, which between(0, 2) rejects just like their true
+          // distance did. This is guide-§1.2 "per-task work": the
+          // blocked-candidate × full-DP product was d10's whole cost.
+          .withColumn("dist", levenshtein(col("n1"), col("n2"), 2))
+          .filter(col("dist").between(0, 2))
           .groupBy(col("pk1"))
           .agg(min(struct(col("dist"), col("pk2"))).as("best"))
           .select(col("pk1"), col("best.pk2").as("best_pk2"),

@@ -252,6 +252,11 @@ object StreamingQueries {
         val n = runSeq.incrementAndGet()
         val sink = s"st1_sink_$n"
         val ss = s.newSession()
+        // state shards sized to the stream's arrival rate, not the batch
+        // session's shuffle width (st5's measured discipline, r17: a
+        // stateful agg pays one state-store commit per shard per batch,
+        // and AQE cannot coalesce inside a micro-batch plan)
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
         val q = graft.streaming.EventStream
           .streamingTypeCounts(fileStream(ss, landing), "1 hour", "10 minutes")
           .writeStream.format("memory").queryName(sink)
@@ -286,6 +291,8 @@ object StreamingQueries {
         val n = runSeq.incrementAndGet()
         val out = Scratch.dir(s, s"st2_out_$n")
         val ss = s.newSession()
+        // st1's shard-sizing rationale: dedup state commits per shard
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
         val q = graft.streaming.EventStream
           .dedupedStream(fileStream(ss, landing), "10 minutes", Seq("event_id"))
           .writeStream.format("parquet").option("path", out)
@@ -322,10 +329,17 @@ object StreamingQueries {
         val ledger = Scratch.dir(s, s"st3_ledger_$n")
         val ckpt = Scratch.dir(s, s"st3_ck_$n")
         val docs = Tables.documents(s, d)
+        // the drains run on their own session with micro-batch shuffle
+        // width sized to the stream's arrival rate (st5's discipline,
+        // r17): ingest's per-batch dedup window + ledger anti-join plan
+        // inside MicroBatchExecution, where AQE cannot coalesce the
+        // batch-session width down
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
         docs.write.mode("overwrite").parquet(landing)
-        graft.streaming.DocIngest.ingestOnce(s, landing, corpus, ledger, ckpt)
+        graft.streaming.DocIngest.ingestOnce(ss, landing, corpus, ledger, ckpt)
         docs.write.mode("append").parquet(landing) // the re-crawl lands
-        graft.streaming.DocIngest.ingestOnce(s, landing, corpus, ledger, ckpt)
+        graft.streaming.DocIngest.ingestOnce(ss, landing, corpus, ledger, ckpt)
         s.read.parquet(corpus)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
@@ -366,13 +380,17 @@ object StreamingQueries {
             .otherwise("U").as("op"),
           round(col("value") * 100).cast("long").as("payload"))
         val firstHalf = ops.filter(pmod(col("op_id"), lit(2)) === 0)
+        // st3's rationale: per-drain fold shuffles run inside
+        // MicroBatchExecution at session width unless sized here
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
         firstHalf.write.mode("overwrite").parquet(landing)
-        graft.streaming.CdcStream.applyOnce(s, landing, state, ckpt)
+        graft.streaming.CdcStream.applyOnce(ss, landing, state, ckpt)
         ops.filter(pmod(col("op_id"), lit(2)) === 1)
           .write.mode("append").parquet(landing)
-        graft.streaming.CdcStream.applyOnce(s, landing, state, ckpt)
+        graft.streaming.CdcStream.applyOnce(ss, landing, state, ckpt)
         firstHalf.write.mode("append").parquet(landing) // redelivered
-        graft.streaming.CdcStream.applyOnce(s, landing, state, ckpt)
+        graft.streaming.CdcStream.applyOnce(ss, landing, state, ckpt)
         graft.streaming.CdcStream.currentState(s, state)
           .select(col("key").as("user_id"), col("op").as("last_op"),
             col("payload").as("value_cents"))

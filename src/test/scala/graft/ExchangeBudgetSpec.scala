@@ -162,7 +162,13 @@ class ExchangeBudgetSpec extends SparkSpec {
     "f3_top_paths" -> "shuffle=2",
     "f4_markov_transitions" -> "shuffle=6,broadcast=1",
     "f5_rfm_segments" -> "shuffle=5",
-    "f6_markov_stationary" -> "shuffle=37,broadcast=29",
+    // r17: the 8 power rounds collapsed from unrolled join+groupBy stages
+    // (37 shuffles / 29 broadcasts) into one single-row HOF fold over the
+    // bounded transition matrix (MarkovChain.stationary), and totals now
+    // re-derives from the materialized counts parquet (no events lead-
+    // window replay); what remains are the collapsed-row collects for
+    // pi/prev/mass plus the final tiny joins
+    "f6_markov_stationary" -> "shuffle=4,broadcast=3",
     "f7_cohort_ltv" -> "shuffle=5,broadcast=1",
     "f8_sessionize" -> "shuffle=2",
     "f9_survival_km" -> "shuffle=7,broadcast=2",

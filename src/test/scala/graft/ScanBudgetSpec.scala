@@ -161,7 +161,9 @@ class ScanBudgetSpec extends SparkSpec {
     "f3_top_paths" -> "events=1",
     "f4_markov_transitions" -> "events=2",
     "f5_rfm_segments" -> "events=1",
-    "f6_markov_stationary" -> "events=1",
+    // r17: totals re-derives from the materialized counts parquet — the
+    // returned plan no longer replays the events lead-window branch
+    "f6_markov_stationary" -> "",
     "f7_cohort_ltv" -> "events=2",
     "f8_sessionize" -> "events=1",
     "f9_survival_km" -> "",

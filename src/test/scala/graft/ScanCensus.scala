@@ -73,8 +73,21 @@ object ScanCensus {
     "u1_upsert", "u2_snapshot_diff", "u10_mor_read", "u11_log_compact",
     "w21_drawdown")
 
+  /** The round-17 optimization cuts: EAGER builds shared by two queries
+    * through [[Scratch.cutEager]] (the by-name variant — a plain cut's
+    * by-value producer would re-run the build before the memo applied).
+    * d7/c17 share the 10-round label propagation (`d7_comps`); t16/t21
+    * share the 6-merge BPE training (`bpe6`). Same differential contract:
+    * `cutMaterialize=false` restores the per-consumer rebuild and results
+    * must be identical both ways.
+    */
+  val round17Cuts: Seq[String] = Seq(
+    "c17_survivor_quality", "d7_dup_components",
+    "t16_bpe_merges", "t21_bpe_encode",
+    "g11_modularity", "g4_label_prop")
+
   /** Union of every cut-bearing query the differential must toggle. */
-  val allCuts: Seq[String] = censusCuts ++ round15Cuts
+  val allCuts: Seq[String] = censusCuts ++ round15Cuts ++ round17Cuts
 
   /** Model-fitting queries whose construction executes training — the
     * WindowGuardSpec / JoinShapeGuardSpec skip-set rationale: their plan
