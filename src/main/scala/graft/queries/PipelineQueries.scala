@@ -151,15 +151,24 @@ object PipelineQueries {
       .repartition(col("bucket"))
 
   /** doc_id x (band_idx, band_key) LSH band rows, partitioned by the band
-    * key. Shared by d3/d6; see the d3 comment for why posexplode_outer +
-    * repartition (instead of persist) is the single-computation shape.
+    * key. Shared by d3/d6/c11 and the d7/c17 cluster build; see the d3
+    * comment for why posexplode_outer + repartition (instead of persist)
+    * is the single-computation shape WITHIN one query. r17: the exploded
+    * band rows ride [[graft.Scratch.cut]] — four consumers re-derived the
+    * same tokenize+minhash pass per suite run; now the first (c11 in sort
+    * order) writes it once and the rest read the identical files. The
+    * repartition stays OUTSIDE the cut so both self-join inputs remain
+    * the same shuffle subtree (the ReusedExchange diamond PlanSpec pins,
+    * which the live `cutMaterialize=false` form — toggled by
+    * CutDifferentialSpec — still exercises end to end).
     */
   private def lshBandFrame(s: SparkSession, d: String): DataFrame =
-    tokenized(s, d)
-      .select(col("doc_id"), minhashSigNative(col("text"), 16).as("sig"))
-      .select(col("doc_id"), lshBands(col("sig"), 4, 4).as("bands"))
-      .select(col("doc_id"),
-        posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+    graft.Scratch.cut(s, s"lshb_${graft.Scratch.key(d)}")(
+      tokenized(s, d)
+        .select(col("doc_id"), minhashSigNative(col("text"), 16).as("sig"))
+        .select(col("doc_id"), lshBands(col("sig"), 4, 4).as("bands"))
+        .select(col("doc_id"),
+          posexplode_outer(col("bands")).as(Seq("band_idx", "band_key"))))
       .repartition(col("band_idx"), col("band_key"))
 
   /** The near-dup CLUSTER frame (doc_id, comp) shared by d7 and c17: LSH

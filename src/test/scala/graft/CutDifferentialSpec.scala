@@ -83,7 +83,7 @@ class CutDifferentialSpec extends SparkSpec {
     "w16_bins" -> "w16_changepoint", "w21_day" -> "w21_drawdown",
     // r17 cutEager sites (shared eager builds; first consumer owns)
     "d7_comps" -> "c17_survivor_quality", "bpe6" -> "t16_bpe_merges",
-    "lpa3" -> "g11_modularity")
+    "lpa3" -> "g11_modularity", "lshb" -> "c11_quality_survivor")
 
   test("every Scratch.cut call site in main source is owned by a toggled query") {
     val root = Paths.get("src/main/scala")

@@ -45,14 +45,30 @@ class PlanSpec extends SparkSpec {
 
   test("d3: band self-join computes the signatures once (ReusedExchange), " +
       "and the derived generate filter doesn't re-inline them") {
-    val df = SparkEntry.queries("d3_lsh_pairs")(spark, sfDir)
-    df.collect() // AQE inserts exchange reuse at runtime — read the final plan
-    val p = df.queryExecution.executedPlan.toString
+    // r17: the band frame rides Scratch.cut, so the signature lineage
+    // lives in the LIVE form (cutMaterialize=false) — pin it there; the
+    // cut (default) form must read the lshb scratch parquet instead and
+    // keep the one-exchange diamond over the scratch scan.
+    spark.conf.set(Scratch.CutKey, "false")
+    val p =
+      try {
+        val df = SparkEntry.queries("d3_lsh_pairs")(spark, sfDir)
+        df.collect() // AQE inserts exchange reuse at runtime — final plan
+        df.queryExecution.executedPlan.toString
+      } finally spark.conf.set(Scratch.CutKey, "true")
     assert(p.contains("isFinalPlan=true"), p.take(300))
     assert(p.contains("ReusedExchange"), "band diamond computed twice:\n" + p.take(2000))
     assert(!p.contains("slice(minhash_sig"),
       "minhash_sig re-inlined into a filter (posexplode_outer regressed)")
     assert(p.contains("minhash_sig"), "native signature expression missing")
+    val dfMat = SparkEntry.queries("d3_lsh_pairs")(spark, sfDir)
+    dfMat.collect()
+    val pm = dfMat.queryExecution.executedPlan.toString
+    assert(pm.contains("lshb_"), "cut d3 no longer reads the shared band frame")
+    assert(!pm.contains("minhash_sig"),
+      "cut d3 re-derives signatures the shared frame already materialized")
+    assert(pm.contains("ReusedExchange"),
+      "cut band diamond computed twice:\n" + pm.take(2000))
   }
 
   test("e2/e3: embedding self-joins shuffle (no broadcast of the vector " +

@@ -97,7 +97,8 @@ class ScanBudgetSpec extends SparkSpec {
     "b9_tpch_q17" -> "lineitem=1",
     "c10_temporal_split" -> "events=2",
     // protocol-inherent: survivor-vs-corpus contrast reads both policy branches
-    "c11_quality_survivor" -> "documents=5",
+    // r17: band frame ships from the shared lshb cut (documents 5 -> 3)
+    "c11_quality_survivor" -> "documents=3",
     "c13_temperature_mix" -> "documents=3",
     // protocol-inherent: train/eval gram sides + per-n replication
     "c14_ngram_contamination" -> "documents=4",
@@ -124,14 +125,16 @@ class ScanBudgetSpec extends SparkSpec {
     "d17_self_repeats" -> "documents=2",
     "d1_dedup_exact" -> "documents=1",
     "d2_minhash_sig" -> "documents=1",
-    "d3_lsh_pairs" -> "documents=2",
+    // r17: both self-join inputs read the shared lshb cut (2 -> 0)
+    "d3_lsh_pairs" -> "",
     "d4_simhash" -> "documents=1",
     "d5_jaccard_pairs" -> "",
     // d6/c11/d8/e6: self-join DIAMONDS (both plan references are the
     // same subtree, collapsed to one execution by ReusedExchange —
     // the d3 pin) plus the anti-join base / partition-pruned slices;
     // not the re-derived-consumer class the cuts fix
-    "d6_dedup_apply" -> "documents=3",
+    // r17: band branches read the shared lshb cut (3 -> 1, the apply scan)
+    "d6_dedup_apply" -> "documents=1",
     "d7_dup_components" -> "",
     "d8_incremental_dedup" -> "documents=3",
     "d9_span_dedup" -> "documents=1",

@@ -84,7 +84,9 @@ object ScanCensus {
   val round17Cuts: Seq[String] = Seq(
     "c17_survivor_quality", "d7_dup_components",
     "t16_bpe_merges", "t21_bpe_encode",
-    "g11_modularity", "g4_label_prop")
+    "g11_modularity", "g4_label_prop",
+    // the shared LSH band frame (plain cut — the frame is lazy)
+    "c11_quality_survivor", "d3_lsh_pairs", "d6_dedup_apply")
 
   /** Union of every cut-bearing query the differential must toggle. */
   val allCuts: Seq[String] = censusCuts ++ round15Cuts ++ round17Cuts
