@@ -2243,46 +2243,77 @@ object GraphTemporalQueries {
     // D10: fuzzy (edit-distance) matching — the string-similarity face of
     // the dedup block: candidates are generated ONLY within a blocking
     // key (the name's noun token), scored with exact levenshtein, and
-    // reduced to each entity's BEST match (min dist, then min key — a
-    // deterministic struct-min, which partial-aggregates map-side so the
-    // shuffle carries one row per entity, not the pair explosion). The
-    // probe side BROADCASTS: part is a dimension table, and a shuffle
-    // band join here would hash on the handful of noun values — 8
-    // distinct keys caps parallelism at 8 tasks (measured 107 s at
-    // sf0.1; broadcast restores input-partition parallelism). For two
-    // LARGE fuzzy sides, salt the band key instead. Both engines run
-    // textbook Wagner-Fischer, so distances are integer-identical.
-    // (t8_edit_distance scores a fixed pair list; this op GENERATES
-    // candidates and resolves each entity.)
+    // reduced to each entity's BEST match (min dist, then min key).
+    // r18 shape — score DISTINCT names, attach by key (guide §2.3
+    // "shuffle keys and metadata instead of payloads" + §1.2 "don't
+    // compute twice"): entity-level pair scoring evaluated the identical
+    // string pair once per ENTITY pair — ~50M DP runs over a corpus with
+    // 64 distinct names (duplicate-heavy corpora are the norm: this is
+    // the same collapse exact-dedup rides). Now the DP runs once per
+    // distinct (n1, n2) inside the block; the entity answer is rebuilt
+    // EXACTLY from per-name aggregates, because for a fixed probe row
+    // the struct-min over candidate entities factors through names:
+    //   min over pk2 in pks(n2)\{pk1} of (dist(n1,n2), pk2)
+    //     = (dist(n1,n2), min pks(n2))            for n2 != n1
+    //     = (0, 2nd-min pks(n1)) when pk1 IS min  for n2 == n1 (cnt>=2)
+    // so carrying (pk_min, pk_min2, cnt) per name loses nothing. The
+    // name-level band join never does worse than the entity-level one
+    // (distinct <= total rows) and both sides stay broadcastable; the
+    // DP sits in the condition as the SINGLE conjunct
+    // `levenshtein(n1,n2,2) >= 0` — the banded threshold form returns
+    // exact distances <= 2 and -1 past the band, and one >= 0 test
+    // survives filter-pushdown as ONE call (the r17 `between(0,2)` form
+    // split into two conjuncts and the optimizer inlined the DP into
+    // each: 3 evaluations/pair, a measured 3.2x driver regression).
+    // Both engines run textbook Wagner-Fischer banded/full, so distances
+    // are integer-identical; oracle (plain levenshtein over entity
+    // pairs) is unchanged and pins the equivalence. (t8_edit_distance
+    // scores a fixed pair list; this op GENERATES candidates and
+    // resolves each entity.)
     Q("d10_fuzzy_pairs",
       (s, d) => {
         val named = part(s, d)
           .select(col("p_partkey"), col("p_name"),
             split(col("p_name"), " ").getItem(1).as("noun"))
-        val a = named.select(col("p_partkey").as("pk1"),
-          col("p_name").as("n1"), col("noun"))
-        val b = named.select(col("p_partkey").as("pk2"),
-          col("p_name").as("n2"), col("noun").as("noun2"))
-        // The dim parquet is ONE split locally — a broadcast join's
-        // parallelism is the probe side's partition count, so spread the
-        // probe explicitly (at warehouse scale the probe side arrives in
-        // many splits and this repartition is a no-op to remove). The
-        // length-delta conjunct is levenshtein's lower bound: a cheap
-        // int compare that prunes candidates before the DP runs.
-        a.repartition(s.sparkContext.defaultParallelism, col("pk1"))
-          .join(broadcast(b),
-            col("noun") === col("noun2") && col("pk1") =!= col("pk2")
-              && abs(length(col("n1")) - length(col("n2"))) <= 2)
-          // threshold form (Spark 3.5+): the DP runs BANDED — O(len·k)
-          // cells instead of the full O(len²) matrix — and early-exits
-          // with -1 the moment a row's minimum exceeds k. Distances ≤ 2
-          // are returned exactly (identical to the unbounded form, so the
-          // oracle is unchanged); candidates beyond the band surface as
-          // -1, which between(0, 2) rejects just like their true
-          // distance did. This is guide-§1.2 "per-task work": the
-          // blocked-candidate × full-DP product was d10's whole cost.
-          .withColumn("dist", levenshtein(col("n1"), col("n2"), 2))
-          .filter(col("dist").between(0, 2))
+        // per-name aggregates: the two smallest entity keys (+ count).
+        // Two partial-aggregating passes, never a per-name collect — a
+        // hot name at warehouse scale may own billions of entities.
+        val perName = named.groupBy(col("noun"), col("p_name"))
+          .agg(min(col("p_partkey")).as("pk_min"),
+            count(lit(1)).as("cnt"))
+        val secondMin = named.join(broadcast(perName), Seq("noun", "p_name"))
+          .filter(col("p_partkey") > col("pk_min"))
+          .groupBy(col("noun"), col("p_name"))
+          .agg(min(col("p_partkey")).as("pk_min2"))
+        val nameAgg = perName
+          .join(broadcast(secondMin), Seq("noun", "p_name"), "left")
+        // name-level banded join: every distinct in-block pair scored
+        // once. The length-delta conjunct is levenshtein's lower bound —
+        // a cheap int compare before the DP. Self-pairs (n1 == n2,
+        // dist 0) are real candidates only when the name has a second
+        // entity to point at.
+        val namePairs = nameAgg.select(col("noun"), col("p_name").as("n1"))
+          .join(broadcast(nameAgg.select(col("noun").as("noun2"),
+            col("p_name").as("n2"), col("pk_min"), col("pk_min2"),
+            col("cnt"))),
+            col("noun") === col("noun2")
+              && abs(length(col("n1")) - length(col("n2"))) <= 2
+              && levenshtein(col("n1"), col("n2"), 2) >= 0)
+          .filter(col("n1") =!= col("n2") || col("cnt") >= 2)
+          .select(col("noun").as("bnoun"), col("n1"), col("n2"),
+            levenshtein(col("n1"), col("n2"), 2).as("dist"),
+            col("pk_min"), col("pk_min2"))
+        // attach: entities join the tiny scored-pair table by their own
+        // name (broadcast — entities are never shuffled), resolve the
+        // self-name exclusion per entity, and reduce to the best match
+        // (map-side partial struct-min, one row per entity through the
+        // shuffle — same reduction contract as before).
+        named
+          .join(broadcast(namePairs),
+            col("noun") === col("bnoun") && col("p_name") === col("n1"))
+          .select(col("p_partkey").as("pk1"), col("dist"),
+            when(col("n2") === col("n1") && col("p_partkey") === col("pk_min"),
+              col("pk_min2")).otherwise(col("pk_min")).as("pk2"))
           .groupBy(col("pk1"))
           .agg(min(struct(col("dist"), col("pk2"))).as("best"))
           .select(col("pk1"), col("best.pk2").as("best_pk2"),

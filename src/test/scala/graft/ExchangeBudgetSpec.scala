@@ -124,7 +124,11 @@ class ExchangeBudgetSpec extends SparkSpec {
     "c6_domain_cap" -> "shuffle=2",
     "c7_epoch_shuffle" -> "",
     "c8_bloom_decontaminate" -> "shuffle=4,broadcast=3",
-    "d10_fuzzy_pairs" -> "shuffle=2,broadcast=1",
+    // r18 distinct-name rewrite: every exchange now carries name-level
+    // aggregates (<= distinct-name rows), not the entity corpus — the two
+    // extra groupBys are the pk_min/pk_min2 per-name passes, the extra
+    // broadcasts ship the scored-name-pair table to the entity attach
+    "d10_fuzzy_pairs" -> "shuffle=6,broadcast=4",
     "d11_incremental_neardup" -> "shuffle=4,broadcast=1",
     "d12_span_excise" -> "shuffle=4,broadcast=2",
     "d13_containment" -> "shuffle=8,broadcast=5",
