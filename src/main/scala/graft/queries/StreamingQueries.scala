@@ -208,6 +208,44 @@ object StreamingQueries {
     r.parquet(landing)
   }
 
+  /** A stream's own session with its state/micro-batch shuffle width
+    * DERIVED from the landing it will read — one shard per landed data
+    * file — instead of the r17 literal `8` (VERDICT r17 "what's wrong
+    * #2": the literal encoded this fixture's arrival rate; at a 100 TB
+    * arrival rate a hardcoded 8 is a throughput ceiling and a skew
+    * magnet). The landed-file count is the arrival-rate proxy the
+    * staging controls: stageEvents/stageTokens slice the feed into 8
+    * range partitions (so st1/st5/st7/st8 resolve to the r17-measured
+    * 8, st6 to 9 with its sentinel file, st2's doubled redelivery to
+    * 16), while st3/st4's corpus-sized-but-locally-single-file landings
+    * resolve to the 2 floor — each width re-A/B'd against the r17
+    * committed times (BENCH_NOTES r18). Stateful operators' results are
+    * shard-count-independent by contract (every st oracle holds x3
+    * scales at any width); the shard count is frozen into each stream's
+    * checkpoint at first start, and every st query uses a fresh
+    * checkpoint per construction, so a derived width can never conflict
+    * with a resumed one. `spark.graft.streamShards` overrides the
+    * derivation (a production deployment sizing shards to sustained
+    * arrival rather than per-trigger file count); the cap keeps a
+    * mis-staged many-file landing from exploding the per-batch
+    * state-store commit count on a small host.
+    */
+  private def streamSession(s: SparkSession, landings: String*): SparkSession = {
+    val ss = s.newSession()
+    val width = ss.conf.getOption("spark.graft.streamShards")
+      .map(_.toInt)
+      .getOrElse {
+        val files = landings.map { p =>
+          Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+            .count(f => f.isFile && !f.getName.startsWith(".")
+              && !f.getName.startsWith("_"))
+        }.sum
+        math.min(math.max(files, 2), 4 * s.sparkContext.defaultParallelism)
+      }
+    ss.conf.set("spark.sql.shuffle.partitions", width.toString)
+    ss
+  }
+
   /** Data micro-batches a finished query actually ran — the drain-shape
     * evidence the determinism contract asserts on (ADVICE r16: the
     * single-batch assumption must be an assertion, not a comment).
@@ -251,12 +289,12 @@ object StreamingQueries {
         val landing = stageEvents(s, d, copies = 1)
         val n = runSeq.incrementAndGet()
         val sink = s"st1_sink_$n"
-        val ss = s.newSession()
         // state shards sized to the stream's arrival rate, not the batch
         // session's shuffle width (st5's measured discipline, r17: a
         // stateful agg pays one state-store commit per shard per batch,
-        // and AQE cannot coalesce inside a micro-batch plan)
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        // and AQE cannot coalesce inside a micro-batch plan); the width
+        // is derived from the landing, not a literal (streamSession)
+        val ss = streamSession(s, landing)
         val q = graft.streaming.EventStream
           .streamingTypeCounts(fileStream(ss, landing), "1 hour", "10 minutes")
           .writeStream.format("memory").queryName(sink)
@@ -290,9 +328,9 @@ object StreamingQueries {
         val landing = stageEvents(s, d, copies = 2)
         val n = runSeq.incrementAndGet()
         val out = Scratch.dir(s, s"st2_out_$n")
-        val ss = s.newSession()
-        // st1's shard-sizing rationale: dedup state commits per shard
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        // st1's shard-sizing rationale: dedup state commits per shard;
+        // the doubled redelivery landing derives 2x st1's width
+        val ss = streamSession(s, landing)
         val q = graft.streaming.EventStream
           .dedupedStream(fileStream(ss, landing), "10 minutes", Seq("event_id"))
           .writeStream.format("parquet").option("path", out)
@@ -334,9 +372,8 @@ object StreamingQueries {
         // r17): ingest's per-batch dedup window + ledger anti-join plan
         // inside MicroBatchExecution, where AQE cannot coalesce the
         // batch-session width down
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
         docs.write.mode("overwrite").parquet(landing)
+        val ss = streamSession(s, landing)
         graft.streaming.DocIngest.ingestOnce(ss, landing, corpus, ledger, ckpt)
         docs.write.mode("append").parquet(landing) // the re-crawl lands
         graft.streaming.DocIngest.ingestOnce(ss, landing, corpus, ledger, ckpt)
@@ -382,9 +419,8 @@ object StreamingQueries {
         val firstHalf = ops.filter(pmod(col("op_id"), lit(2)) === 0)
         // st3's rationale: per-drain fold shuffles run inside
         // MicroBatchExecution at session width unless sized here
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
         firstHalf.write.mode("overwrite").parquet(landing)
+        val ss = streamSession(s, landing)
         graft.streaming.CdcStream.applyOnce(ss, landing, state, ckpt)
         ops.filter(pmod(col("op_id"), lit(2)) === 1)
           .write.mode("append").parquet(landing)
@@ -445,8 +481,7 @@ object StreamingQueries {
         // the session's batch-shuffle width. The override lives on the
         // stream's OWN newSession() (VERDICT r16 #7) — no shared session
         // conf is mutated, ever.
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val ss = streamSession(s, landing)
         val clicks = fileStream(ss, landing, maxFilesPerTrigger = Some(4))
           .filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("event_id"))
@@ -536,8 +571,7 @@ object StreamingQueries {
         val landing = stageEvents(s, d, copies = 1)
         val n = runSeq.incrementAndGet()
         val sink = s"st7_sink_$n"
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val ss = streamSession(s, landing)
         import ss.implicits._
         val events = fileStream(ss, landing, maxFilesPerTrigger = Some(4))
           .select(col("user_id"), col("event_type"), col("ts"), col("value"))
@@ -576,8 +610,8 @@ object StreamingQueries {
         val sentinel = stageSentinel(s, d)
         val n = runSeq.incrementAndGet()
         val out = Scratch.dir(s, s"st6_out_$n")
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        // both legs land in the state: the sentinel file counts too
+        val ss = streamSession(s, landing, sentinel)
         import ss.implicits._
         def leg(dir: String) = fileStream(ss, dir)
           .select(col("user_id"), col("event_type"), col("ts"), col("value"))
@@ -652,8 +686,7 @@ object StreamingQueries {
         val landing = stageTokens(s, d)
         val n = runSeq.incrementAndGet()
         val sink = s"st8_sink_$n"
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val ss = streamSession(s, landing)
         import ss.implicits._
         val toks = fileStream(ss, landing, maxFilesPerTrigger = Some(4))
           .select(col("source"), col("pos"), col("term"))
