@@ -79,4 +79,59 @@ object PageRank {
     }
     ranks
   }
+
+  /** [[run]] for SCHEMA-BOUNDED node spaces (g2's nation-keyed trade
+    * graph: <= |nation| nodes at ANY corpus scale, so the weighted edge
+    * aggregate is at most |nation|² rows) — the MarkovChain.stationary
+    * r17 collapse applied to PageRank: the aggregated edge table folds
+    * into ONE row (sorted node array + index-encoded edge array) and the
+    * `iters` power rounds run as a single higher-order `aggregate` fold,
+    * replacing `iters` join+groupBy stages and their per-round
+    * checkpoint write+read cadence with one codegen'd job. Per-term
+    * arithmetic is IDENTICAL to the join form — teleport/n + damping *
+    * Σ rank·w/ow, each term one multiply + one divide — only the SUM
+    * ORDER differs (fixed sorted-edge order here vs partial-aggregation
+    * order there), which is inside the 1e-6 reporting grain every
+    * consumer rounds at (DecisionAudit's GrainMargin entry re-verifies
+    * the margin against current data; PageRankSpec pins fold == join
+    * form to 1e-12 on a hand-checked digraph). The edge array is
+    * `array_sort`ed so the fold's summation order never depends on
+    * collect_list's task order — bit-reproducible across runs. Constants
+    * cross into SQL as round-tripped string casts (a bare 0.15 literal
+    * would parse as DECIMAL). For corpus-bounded graphs keep [[run]]:
+    * a one-row collapse of an unbounded edge set is the driver-collect
+    * hazard, not an optimization.
+    */
+  def runDense(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 8, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def dbl(v: Double) = s"CAST('${v}' AS DOUBLE)"
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val onerow = e.join(outw, "src")
+      .agg(collect_set(col("src")).as("srcs"),
+        collect_set(col("dst")).as("dsts"),
+        collect_list(struct(col("src").as("f"), col("dst").as("t"),
+          col("w"), col("ow"))).as("raw"))
+      .select(sort_array(array_distinct(concat(col("srcs"), col("dsts"))))
+          .as("nodes"), col("raw"))
+      .select(col("nodes"),
+        expr("""array_sort(transform(raw, e -> named_struct(
+               |  'si', CAST(array_position(nodes, e.f) AS INT),
+               |  'di', CAST(array_position(nodes, e.t) AS INT),
+               |  'w', e.w, 'ow', e.ow)))""".stripMargin).as("edges"))
+    val vfold =
+      s"""aggregate(sequence(1, $iters),
+         |  transform(nodes, x -> ${dbl(1.0)} / size(nodes)),
+         |  (acc, r) -> transform(sequence(1, size(nodes)), j ->
+         |    ${dbl(1.0 - damping)} / size(nodes) + ${dbl(damping)} *
+         |      aggregate(edges, ${dbl(0.0)}, (a, e) ->
+         |        a + IF(e.di = j,
+         |              element_at(acc, e.si) * e.w / e.ow,
+         |              ${dbl(0.0)}))))""".stripMargin
+    onerow.select(col("nodes"), expr(vfold).as("v"))
+      .select(posexplode(col("nodes")).as(Seq("i", "node")), col("v"))
+      .select(col("node"), expr("element_at(v, i + 1)").as("rank"))
+  }
 }

@@ -815,13 +815,20 @@ object AdvancedQueries {
     // G2: weighted PageRank over the supplier-nation -> customer-nation
     // trade graph (operators/PageRank) — the authority score curation
     // pipelines compute over the domain link graph to gate ingestion.
-    // Fixed 8 power iterations for bit-reproducible scores; each round is
-    // one equi-join + one partial-combining groupBy, ranks checkpointed to
-    // storage per round (lineage stays O(1)); the edge aggregate is
-    // materialized ONCE to scratch so the loop never replays the 3-way
-    // fact-table join. The oracle unrolls the same 8 iterations as chained
-    // CTEs with explicit ::DOUBLE arithmetic so every IEEE op matches;
-    // scores cross the comparator integer-scaled at 1e6.
+    // Fixed 8 power iterations for bit-reproducible scores; the edge
+    // aggregate is materialized ONCE to scratch so the iteration never
+    // replays the 3-way fact-table join. r18: the node space is SCHEMA-
+    // bounded (nation keys — <= 25 nodes, <= 625 edges at any corpus
+    // scale), so the 8 rounds run as PageRank.runDense's one-row fold —
+    // the f6/MarkovChain collapse — instead of 8 join+groupBy stages
+    // with a per-round checkpoint write+read (the r17 verdict's
+    // measured-most-expensive honest query: the cadence WAS the cost).
+    // Per-term IEEE arithmetic is unchanged; only double summation order
+    // moves, inside the 1e6 grain the comparator rounds at (GrainMargin
+    // audit re-verifies). The oracle still unrolls 8 CTE iterations with
+    // explicit ::DOUBLE arithmetic; scores cross integer-scaled at 1e6.
+    // An UNBOUNDED link graph keeps PageRank.run's per-round checkpoint
+    // discipline — see runDense's scaladoc.
     Q("g2_pagerank",
       (s, d) => {
         val edges = lineitem(s, d)
@@ -839,8 +846,8 @@ object AdvancedQueries {
         val scratch = graft.Scratch.dir(s, "g2")
         edges.write.mode("overwrite").parquet(s"$scratch/edges")
         graft.operators.PageRank
-          .run(s.read.parquet(s"$scratch/edges"), "src", "dst", "w",
-            iters = 8, checkpointDir = Some(s"$scratch/ranks"))
+          .runDense(s.read.parquet(s"$scratch/edges"), "src", "dst", "w",
+            iters = 8)
           .join(broadcast(nation(s, d)), col("node") === col("n_nationkey"))
           .select(col("node"), col("n_name"),
             round(col("rank") * lit(1000000.0)).cast("long").as("rank_x1e6"))

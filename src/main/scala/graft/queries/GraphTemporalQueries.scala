@@ -275,11 +275,22 @@ object GraphTemporalQueries {
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
           .agg(count(lit(1)).as("w")), "ew")
-        def authStep(hub: org.apache.spark.sql.DataFrame, r: Int) = {
+        // r18 cadence: checkpoint every SECOND half-step (h1 + the final
+        // a2), not every half-step — HitsCadenceExperiment measured the
+        // fused form 0.84x at sf0.1 and 0.91x at the x10 fact replica
+        // with bit-identical results (integer arithmetic, total order).
+        // One skipped level is the bound: a1's subtree is inlined twice
+        // in h1's plan (rows + broadcast max) where ReusedExchange
+        // dedups the shuffle; skipping EVERY checkpoint would nest that
+        // doubling per step — the exponential-lineage cliff the per-step
+        // discipline exists to avoid.
+        def authStep(hub: org.apache.spark.sql.DataFrame, r: Int,
+            mat: Boolean) = {
           val a = ew.join(hub, Seq("c")).groupBy(col("s"))
             .agg(sum(col("h") * col("w")).as("a"))
-          ckpt(a.crossJoin(broadcast(a.agg(max(col("a")).as("m"))))
-            .select(col("s"), expr("a * 1000 div m").as("a")), s"a$r")
+          val scored = a.crossJoin(broadcast(a.agg(max(col("a")).as("m"))))
+            .select(col("s"), expr("a * 1000 div m").as("a"))
+          if (mat) ckpt(scored, s"a$r") else scored
         }
         def hubStep(auth: org.apache.spark.sql.DataFrame, r: Int) = {
           val h = ew.join(auth, Seq("s")).groupBy(col("c"))
@@ -288,7 +299,8 @@ object GraphTemporalQueries {
             .select(col("c"), expr("h * 1000 div m").as("h")), s"h$r")
         }
         val hub0 = ew.select(col("c")).distinct().withColumn("h", lit(1000L))
-        val a2 = authStep(hubStep(authStep(hub0, 1), 1), 2)
+        val a2 = authStep(
+          hubStep(authStep(hub0, 1, mat = false), 1), 2, mat = true)
         val deg = ew.groupBy(col("s")).agg(count(lit(1)).as("n_customers"))
         a2.join(deg, Seq("s"))
           .join(broadcast(supplier(s, d)

@@ -184,7 +184,13 @@ class ExchangeBudgetSpec extends SparkSpec {
     "g15_link_prediction" -> "shuffle=3,broadcast=4",
     "g16_harmonic_centrality" -> "shuffle=2",
     "g1_dominant_tag" -> "shuffle=9,broadcast=2",
-    "g2_pagerank" -> "shuffle=1,broadcast=1",
+    // r18 runDense fold: the 8 power rounds moved INTO the returned plan
+    // (one single-row collapse agg = +1 shuffle of <= 625 edge structs,
+    // +1 broadcast of the 1-row fold result into the nation join) —
+    // before, the rounds ran EAGERLY at construction as 8 hidden
+    // join+groupBy jobs plus 9 checkpoint write+read cycles the budget
+    // never saw; the visible plan grew, the executed work collapsed 2.4x
+    "g2_pagerank" -> "shuffle=2,broadcast=2",
     "g3_triangle_count" -> "shuffle=1,broadcast=6",
     "g4_label_prop" -> "shuffle=1",
     "g5_bfs" -> "shuffle=1",

@@ -74,6 +74,29 @@ class PageRankSpec extends SparkSpec {
     assert(r.values.sum < 1.0)
   }
 
+  test("runDense fold == run join form (r18 g2 collapse differential)") {
+    // same digraph as the power-method reference, PLUS a dangling node
+    // and a source-only node so every membership arm is exercised; the
+    // two forms differ only in double summation order, so agreement is
+    // demanded at 1e-12 (term count is tiny — reordering noise is ULPs)
+    val edges = Seq(
+      (1L, 2L, 2.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 1L, 4.0),
+      (4L, 1L, 1.0), (4L, 5L, 1.0), (5L, 4L, 2.0), (2L, 5L, 3.0),
+      (1L, 6L, 0.5), // 6 is dangling: receives, never redistributes
+      (7L, 1L, 1.0)) // 7 is source-only: teleport rank, never receives
+    for (iters <- Seq(1, 8)) {
+      val joinForm = ranks(edges, iters)
+      val dense = PageRank
+        .runDense(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(dense.keySet == joinForm.keySet)
+      joinForm.foreach { case (nd, v) =>
+        assert(math.abs(dense(nd) - v) < 1e-12,
+          s"iters=$iters node $nd: dense ${dense(nd)} vs join $v")
+      }
+    }
+  }
+
   test("per-round plan: equi-join + partial aggregation, no cartesian") {
     val edges = (1L to 200L).map(i => (i, i % 17, 1.0)).toDF("src", "dst", "w")
     val p = PageRank.run(edges, "src", "dst", "w", iters = 1)

@@ -210,8 +210,8 @@ class PlanSpec extends SparkSpec {
         s"u2 full-outer join carries raw text: ${carried.mkString(",")}")
     }
     // g2: the final assembly joins the 25-row nation dim by broadcast;
-    // the iterative ranks come off the checkpoint scan, so no sort-merge
-    // anywhere
+    // the iterative ranks come off the runDense one-row fold (r18), so
+    // no sort-merge anywhere
     val g2 = plan("g2_pagerank")
     assert(g2.contains("BroadcastHashJoin"), "g2 nation join not broadcast")
     assert(!g2.contains("SortMergeJoin"))
